@@ -1,0 +1,241 @@
+"""Wavefront path-tracing integrator.
+
+Reference: the Sample() bounce loop of the megakernel
+(Jobs/SampleBatchJob.cs:166-401): per bounce — BVH candidate walk, sorted
+hits, probabilistic-volume walk, material scatter, emission/attenuation
+stacks, AOV capture, sky termination; depth exhaustion *fails* the sample
+(SampleBatchJob.cs:380-381); final radiance is the back-to-front fold
+c = c*a + e (SampleBatchJob.cs:384-396).
+
+TPU-native redesign:
+  * One `lax.scan` over bounce depth; every ray of the wavefront advances in
+    lockstep with an active mask (no divergence, static shapes).
+  * The emission/attenuation two-stack fold is algebraically identical to
+    the running pair  radiance += throughput * e;  throughput *= a,
+    which needs no stacks and is the associative, scan- and autodiff-
+    friendly form.
+  * The sorted-hit volume walk (SampleBatchJob.cs:212-303) collapses to
+    per-ray state: the id of the volume we are inside (-1 when outside)
+    plus the hit entity's convex exit distance. Equivalent for the convex
+    hulls volumes are restricted to (Entity.cs:24 IsConvexHull). Deviation:
+    passing *through* a volume without scattering consumes one bounce
+    iteration here (the reference advances within the same depth); deep
+    nested-volume scenes should raise trace_depth accordingly.
+  * "Camera starts inside a volume" (DetermineVolumeContainment,
+    SampleBatchJob.cs:477-508) becomes a direct point-in-convex-hull test.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_in_one_weekend_tpu.core import environment, materials, math3, rng
+from raytracing_in_one_weekend_tpu.core.ray import Rays, SELF_INTERSECTION_OFFSET
+from raytracing_in_one_weekend_tpu.ops import intersect
+from raytracing_in_one_weekend_tpu.scene.scene import MaterialType, Scene
+
+
+class PathState(NamedTuple):
+    origin: jnp.ndarray  # (N, 3)
+    direction: jnp.ndarray  # (N, 3)
+    time: jnp.ndarray  # (N,)
+    throughput: jnp.ndarray  # (N, 3)
+    radiance: jnp.ndarray  # (N, 3)
+    active: jnp.ndarray  # (N,) bool — still bouncing
+    valid: jnp.ndarray  # (N,) bool — terminated successfully (sky)
+    inside_volume: jnp.ndarray  # (N,) int32 — material id or -1
+    aov_normal: jnp.ndarray  # (N, 3)
+    aov_albedo: jnp.ndarray  # (N, 3)
+    got_nonspecular: jnp.ndarray  # (N,) bool
+    events: jnp.ndarray  # (N,) RandomEvents accumulator
+
+
+class TraceResult(NamedTuple):
+    radiance: jnp.ndarray  # (N, 3) — zero where invalid
+    valid: jnp.ndarray  # (N,) bool
+    aov_normal: jnp.ndarray  # (N, 3)
+    aov_albedo: jnp.ndarray  # (N, 3)
+    events: jnp.ndarray  # (N,)
+    ray_count: jnp.ndarray  # () total rays cast (for MRays/s metrics)
+
+
+def trace(scene: Scene, rays: Rays, key: jax.Array, trace_depth: int) -> TraceResult:
+    """Trace a wavefront of rays to completion (one full path per ray)."""
+    n = rays.origin.shape[0]
+
+    inside0 = intersect.point_inside_volume(scene, rays.origin)
+    state = PathState(
+        origin=rays.origin,
+        direction=rays.direction,
+        time=rays.time,
+        throughput=jnp.ones((n, 3)),
+        radiance=jnp.zeros((n, 3)),
+        active=jnp.ones((n,), jnp.bool_),
+        valid=jnp.zeros((n,), jnp.bool_),
+        inside_volume=inside0,
+        aov_normal=jnp.zeros((n, 3)),
+        aov_albedo=jnp.zeros((n, 3)),
+        got_nonspecular=jnp.zeros((n,), jnp.bool_),
+        events=jnp.zeros((n,)),
+    )
+
+    def bounce(state: PathState, bounce_index):
+        bkey = rng.bounce_key(key, bounce_index)
+        new_state = _bounce_once(scene, state, bkey, bounce_index)
+        rays_cast = jnp.sum(state.active.astype(jnp.int32))
+        return new_state, rays_cast
+
+    state, rays_per_bounce = jax.lax.scan(
+        bounce, state, jnp.arange(trace_depth), unroll=1
+    )
+
+    valid = state.valid
+    radiance = jnp.where(valid[:, None], state.radiance, 0.0)
+    return TraceResult(
+        radiance=radiance,
+        valid=valid,
+        aov_normal=state.aov_normal,
+        aov_albedo=state.aov_albedo,
+        events=state.events,
+        ray_count=jnp.sum(rays_per_bounce),
+    )
+
+
+def _bounce_once(
+    scene: Scene, state: PathState, key: jax.Array, bounce_index
+) -> PathState:
+    mats = scene.materials
+    rays = Rays(state.origin, state.direction, state.time)
+    hit = intersect.nearest_hit(scene, rays)
+
+    hit_mat_type = mats.type[hit.material]
+    hit_is_volume = hit.hit & (hit_mat_type == MaterialType.PROBABILISTIC_VOLUME)
+    entering = math3.dot(hit.normal, state.direction) < 0.0
+    in_vol = state.inside_volume >= 0
+
+    # --- probabilistic volume walk (SampleBatchJob.cs:212-303) -------------
+    vol_mat = jnp.where(in_vol, state.inside_volume, hit.material)
+    density = mats.parameter[jnp.maximum(vol_mat, 0)]
+    u_free = jax.random.uniform(
+        rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (state.origin.shape[0],)
+    )
+    free_path = materials.volume_free_path(density, u_free)
+
+    # Inside a volume the whole segment [0, t_hit) is in-medium; at an entry
+    # boundary the segment is [t_hit, t_exit) of the hit convex entity.
+    seg_len = jnp.where(in_vol, hit.t, hit.t_exit - hit.t)
+    vol_candidate = hit.hit & (in_vol | (hit_is_volume & entering))
+    vol_scatter = vol_candidate & (free_path < seg_len)
+    vol_t = jnp.where(in_vol, free_path, hit.t + free_path)
+
+    # Pass-through / own-exit transitions (no scatter, ray continues).
+    pass_through = hit.hit & ~in_vol & hit_is_volume & entering & ~vol_scatter
+    exits_own = (
+        in_vol & hit.hit & hit_is_volume & ~entering & ~vol_scatter
+        & (hit.material == state.inside_volume)
+    )
+    skip = pass_through | exits_own
+    skip_t = jnp.where(pass_through, hit.t_exit, hit.t)
+
+    # --- effective scatter record -------------------------------------------
+    scatter_mask = state.active & hit.hit & ~skip
+    eff_t = jnp.where(vol_scatter, vol_t, hit.t)
+    eff_point = state.origin + eff_t[:, None] * state.direction
+    eff_normal = jnp.where(vol_scatter[:, None], -state.direction, hit.normal)
+    eff_material = jnp.where(vol_scatter, vol_mat, hit.material)
+    eff_uv = jnp.where(vol_scatter[:, None], jnp.zeros_like(hit.uv), hit.uv)
+
+    sc = materials.scatter(
+        scene, state.direction, eff_normal, eff_point, eff_uv, eff_material, key
+    )
+
+    # --- sky termination (SampleBatchJob.cs:341-374) -------------------------
+    miss = state.active & ~hit.hit
+    sky = environment.sample_sky(scene.environment, state.direction)
+
+    # --- emission/attenuation running fold -----------------------------------
+    emission = jnp.where(
+        scatter_mask[:, None], sc.emission, jnp.where(miss[:, None], sky, 0.0)
+    )
+    radiance = state.radiance + state.throughput * emission
+    throughput = jnp.where(
+        scatter_mask[:, None], state.throughput * sc.reflectance, state.throughput
+    )
+
+    # --- AOV capture (SampleBatchJob.cs:313-330,366-372) ----------------------
+    is_depth0 = bounce_index == 0
+    aov_normal = jnp.where(
+        (scatter_mask & is_depth0 & ~state.got_nonspecular)[:, None],
+        eff_normal,
+        state.aov_normal,
+    )
+    first_nonspec = scatter_mask & ~state.got_nonspecular & ~sc.perfect_specular
+    aov_normal = jnp.where(first_nonspec[:, None], eff_normal, aov_normal)
+    aov_albedo = jnp.where(
+        first_nonspec[:, None], sc.emission + sc.reflectance, state.aov_albedo
+    )
+    sky_first = miss & ~state.got_nonspecular
+    aov_normal = jnp.where(sky_first[:, None], -state.direction, aov_normal)
+    aov_albedo = jnp.where(sky_first[:, None], sky, aov_albedo)
+    got_nonspecular = state.got_nonspecular | first_nonspec | sky_first
+
+    # --- RandomEvents accumulation (SampleBatchJob.cs:332,363) ----------------
+    step_events = (
+        jnp.where(scatter_mask, sc.random_events, 0.0)
+        + jnp.where(state.active & vol_candidate, 1.0, 0.0)  # ProbabilisticHit
+    )
+    depth_weight = jnp.exp2(-bounce_index.astype(jnp.float32))
+    events = state.events + step_events * depth_weight
+
+    # --- advance rays -----------------------------------------------------------
+    offset_sign = jnp.where(
+        math3.dot(sc.direction, eff_normal) >= 0.0, 1.0, -1.0
+    )
+    new_origin = jnp.where(
+        scatter_mask[:, None],
+        eff_point + SELF_INTERSECTION_OFFSET * offset_sign[:, None] * eff_normal,
+        jnp.where(
+            (state.active & skip)[:, None],
+            state.origin
+            + (skip_t + SELF_INTERSECTION_OFFSET)[:, None] * state.direction,
+            state.origin,
+        ),
+    )
+    new_direction = jnp.where(scatter_mask[:, None], sc.direction, state.direction)
+
+    new_inside = jnp.where(
+        state.active,
+        jnp.where(
+            vol_scatter,
+            vol_mat,
+            jnp.where(
+                skip,
+                -1,
+                state.inside_volume,  # obstacle scatter keeps volume state
+            ),
+        ),
+        state.inside_volume,
+    )
+
+    active = state.active & ~miss
+    valid = state.valid | miss
+
+    return PathState(
+        origin=new_origin,
+        direction=new_direction,
+        time=state.time,
+        throughput=jnp.where(state.active[:, None], throughput, state.throughput),
+        radiance=jnp.where(state.active[:, None], radiance, state.radiance),
+        active=active,
+        valid=valid,
+        inside_volume=new_inside,
+        aov_normal=jnp.where(state.active[:, None], aov_normal, state.aov_normal),
+        aov_albedo=jnp.where(state.active[:, None], aov_albedo, state.aov_albedo),
+        got_nonspecular=jnp.where(
+            state.active, got_nonspecular, state.got_nonspecular
+        ),
+        events=events,
+    )

@@ -1,0 +1,167 @@
+"""Jitted render step: a batch of samples for every pixel, accumulated.
+
+Reference: the ScheduleSample job graph (Unity/Raytracer.cs:602-816) —
+copy accumulators, run SampleBatchJob over WxH pixels, reduce metrics, swap
+buffers. Here the whole graph is one jitted function: the sample loop is a
+`lax.scan`, the accumulators are donated device buffers, and the metric
+reduction is a couple of jnp reductions that XLA fuses into the epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+from raytracing_in_one_weekend_tpu.core import rng
+from raytracing_in_one_weekend_tpu.core.camera import Camera
+from raytracing_in_one_weekend_tpu.render import film, integrator
+from raytracing_in_one_weekend_tpu.scene.scene import Scene
+
+
+class BatchMetrics(NamedTuple):
+    """Per-batch reduced metrics (reference: Jobs/ReduceMetricsJob.cs:22-47)."""
+
+    total_rays: jnp.ndarray  # () int32
+    total_samples: jnp.ndarray  # () float
+    min_sample_count: jnp.ndarray  # ()
+    max_sample_count: jnp.ndarray  # ()
+    weight_min: jnp.ndarray  # () sample-count-weight extrema -> next batch's
+    weight_max: jnp.ndarray  # () adaptive sampler normalization
+
+
+def render_batch(
+    scene: Scene,
+    camera: Camera,
+    acc: film.Accumulators,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    samples: int,
+    trace_depth: int,
+    sub_pixel_jitter: bool = True,
+    interlace: tuple[int, int] = (0, 1),
+) -> tuple[film.Accumulators, BatchMetrics]:
+    """Accumulate `samples` new samples per pixel.
+
+    interlace = (slice_offset, slice_divider): only rows with
+    row % divider == offset do work this batch (reference row-skip at
+    SampleBatchJob.cs:69-70); masked lanes still fly but their results are
+    dropped, which preserves static shapes.
+    """
+    n = width * height
+
+    row = jnp.arange(n, dtype=jnp.int32) // width
+    slice_offset, slice_divider = interlace
+    row_active = (row % slice_divider) == slice_offset
+
+    def one_sample(carry, sample_index):
+        acc_c = carry
+        skey = rng.sample_key(key, sample_index)
+        coords = camera_mod.pixel_coords(
+            width, height, skey if sub_pixel_jitter else None, sub_pixel_jitter
+        )
+        rays = camera_mod.generate_rays(camera, coords, skey)
+        result = integrator.trace(scene, rays, skey, trace_depth)
+
+        valid = result.valid & row_active
+        fvalid = valid.astype(jnp.float32)
+        is_first_ever = acc_c.sample_count == 0.0
+
+        new_acc = film.Accumulators(
+            color=acc_c.color + result.radiance * fvalid[:, None],
+            sample_count=acc_c.sample_count + fvalid,
+            normal=acc_c.normal + result.aov_normal * fvalid[:, None],
+            albedo=acc_c.albedo + result.aov_albedo * fvalid[:, None],
+            weight=acc_c.weight + result.events * fvalid,
+            # Fallback AOVs: the first sample's AOV, valid or not
+            # (SampleBatchJob.cs:146-151 s==0 fallback capture).
+            fallback_normal=jnp.where(
+                (is_first_ever & row_active)[:, None],
+                result.aov_normal,
+                acc_c.fallback_normal,
+            ),
+            fallback_albedo=jnp.where(
+                (is_first_ever & row_active)[:, None],
+                result.aov_albedo,
+                acc_c.fallback_albedo,
+            ),
+        )
+        rays_cast = result.ray_count
+        return new_acc, rays_cast
+
+    acc, rays_per_sample = jax.lax.scan(
+        one_sample, acc, jnp.arange(samples), unroll=1
+    )
+
+    count = acc.sample_count
+    weight_per_sample = acc.weight / jnp.maximum(count, 1.0)
+    metrics = BatchMetrics(
+        total_rays=jnp.sum(rays_per_sample),
+        total_samples=jnp.sum(count),
+        min_sample_count=jnp.min(count),
+        max_sample_count=jnp.max(count),
+        weight_min=jnp.min(
+            jnp.where(count > 0, weight_per_sample, jnp.inf)
+        ),
+        weight_max=jnp.max(jnp.where(count > 0, weight_per_sample, -jnp.inf)),
+    )
+    return acc, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "samples", "trace_depth", "sub_pixel_jitter",
+        "slice_divider",
+    ),
+    donate_argnames=("acc",),
+)
+def render_batch_jit(
+    scene: Scene,
+    camera: Camera,
+    acc: film.Accumulators,
+    key: jax.Array,
+    slice_offset: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    samples: int,
+    trace_depth: int,
+    sub_pixel_jitter: bool = True,
+    slice_divider: int = 1,
+):
+    """Donated-accumulator jitted batch step — the analog of the reference's
+    pooled-buffer double-buffering (Raytracer.cs:798-802), which collapses
+    to XLA buffer donation."""
+    return render_batch(
+        scene, camera, acc, key,
+        width=width, height=height, samples=samples, trace_depth=trace_depth,
+        sub_pixel_jitter=sub_pixel_jitter,
+        interlace=(slice_offset, slice_divider),
+    )
+
+
+def render_image(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    samples_per_pixel: int,
+    trace_depth: int,
+    sub_pixel_jitter: bool = True,
+) -> film.CombinedImage:
+    """One-shot convenience render (no progressive driver)."""
+    acc = film.zero_accumulators(width * height)
+    acc, _ = render_batch_jit(
+        scene, camera, acc, key, jnp.asarray(0, jnp.int32),
+        width=width, height=height, samples=samples_per_pixel,
+        trace_depth=trace_depth, sub_pixel_jitter=sub_pixel_jitter,
+    )
+    return film.combine(acc, width, height)

@@ -1,0 +1,82 @@
+"""Render configuration.
+
+TPU-native analog of the reference driver's inspector settings
+(reference: Assets/Scripts/Unity/Raytracer.cs:83-100) and its compile-time
+defines (Assets/Scripts/Unity/CompileTimeOptions.cs:29-41).  Compile-time
+defines become static booleans that specialize the jitted step function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class NoiseColor(enum.IntEnum):
+    """RNG flavor (reference: Runtime/RandomSource.cs:8-13)."""
+
+    WHITE = 0
+    BLUE = 1
+    SPATIO_TEMPORAL_BLUE = 2
+
+
+class DenoiseMode(enum.IntEnum):
+    """Denoiser selection (reference: Unity/Raytracer.cs denoiseMode).
+
+    The reference binds Intel OIDN / NVidia OptiX native denoisers; in the
+    TPU build the differentiable pipeline supersedes them, but the AOV
+    plumbing (normal/albedo channels) is kept and NONE remains the default.
+    """
+
+    NONE = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render settings; hashable so it can be a jit static arg.
+
+    Field-for-field parity with the reference driver settings
+    (Unity/Raytracer.cs:83-100), minus Unity-display-only knobs:
+
+      * interlacing            -> interlacing (row-sliced progressive batches)
+      * maxBvhDepth            -> max_bvh_depth
+      * resolutionScaling      -> caller scales width/height
+      * samplesPerPixel        -> samples_per_pixel (total, progressive)
+      * samplesPerBatchRange   -> samples_per_batch_range (adaptive min/max)
+      * traceDepth             -> trace_depth
+      * noiseColor             -> noise_color
+      * subPixelJitter         -> sub_pixel_jitter
+      * stopWhenCompleted / saveWhenCompleted / maxDurationSeconds -> driver
+    """
+
+    width: int = 512
+    height: int = 512
+    samples_per_pixel: int = 64
+    trace_depth: int = 35
+    samples_per_batch_range: tuple[int, int] = (1, 50)
+    adaptive_sampling: bool = True
+    interlacing: int = 1
+    max_bvh_depth: int = 16
+    sub_pixel_jitter: bool = True
+    noise_color: NoiseColor = NoiseColor.WHITE
+    denoise_mode: DenoiseMode = DenoiseMode.NONE
+    # Compile-time defines (CompileTimeOptions.cs) as static jit switches.
+    full_diagnostics: bool = False
+    path_debugging: bool = False
+
+    @property
+    def pixel_count(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSettings:
+    """Thin-lens camera parameters (reference: Runtime/View.cs:16-36 plus
+    Unity/CameraData.cs:8 aperture annotation)."""
+
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    look_at: tuple[float, float, float] = (0.0, 0.0, -1.0)
+    up: tuple[float, float, float] = (0.0, 1.0, 0.0)
+    vertical_fov: float = 40.0
+    aperture: float = 0.0
+    focus_distance: float | None = None  # None = autofocus on look_at
