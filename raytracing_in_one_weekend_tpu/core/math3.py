@@ -29,22 +29,24 @@ def length(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(length_sq(a))
 
 
-def normalize(a: jnp.ndarray, eps: float = EPSILON) -> jnp.ndarray:
-    """Safe normalize: returns a / |a| with a clamped norm.
+def _safe_norm(a: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """|a| with an adjoint-safe floor: the sqrt never sees values below
+    eps^2, so its backward stays finite even for zero vectors (a plain
+    max(|a|, eps) still backprops inf through sqrt(0))."""
+    return jnp.sqrt(jnp.maximum(length_sq(a), eps * eps))
 
-    The clamp keeps gradients finite at |a| -> 0 (important for the
-    differentiable rough-normal constructions which can degenerate).
-    """
-    norm = jnp.maximum(length(a), eps)
-    return a / norm[..., None]
+
+def normalize(a: jnp.ndarray, eps: float = EPSILON) -> jnp.ndarray:
+    """Safe normalize: a / max(|a|, eps), finite gradients at |a| -> 0
+    (important for the differentiable rough-normal constructions)."""
+    return a / _safe_norm(a, eps)[..., None]
 
 
 def normalize_safe(a: jnp.ndarray, eps: float = EPSILON) -> jnp.ndarray:
     """Like Unity normalizesafe: zero vector stays zero
     (reference: CombineJob.cs OutputNormal normalizesafe)."""
-    norm = length(a)
-    safe = jnp.maximum(norm, eps)
-    out = a / safe[..., None]
+    norm = _safe_norm(a, eps)
+    out = a / norm[..., None]
     return jnp.where((norm > eps)[..., None], out, jnp.zeros_like(a))
 
 
@@ -110,8 +112,11 @@ def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
 
 def linear_to_gamma(c: jnp.ndarray) -> jnp.ndarray:
     """Linear -> sRGB-approx gamma (reference: Util/Tools.cs:185-189
-    LinearToGamma, the max(1.055 x^0.4166 - 0.055, 0) fit)."""
-    return jnp.maximum(1.055 * jnp.power(jnp.maximum(c, 0.0), 0.416666667) - 0.055, 0.0)
+    LinearToGamma, the max(1.055 x^0.4166 - 0.055, 0) fit).  The tiny floor
+    keeps the fractional-power backward finite at 0."""
+    return jnp.maximum(
+        1.055 * jnp.power(jnp.maximum(c, 1e-12), 0.416666667) - 0.055, 0.0
+    )
 
 
 def gamma_to_linear(c: jnp.ndarray) -> jnp.ndarray:

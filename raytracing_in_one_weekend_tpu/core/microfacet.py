@@ -38,13 +38,14 @@ def smith_lambda(
     cos_theta = math3.dot(w, normal)
     sq_cos = cos_theta * cos_theta
     sq_sin = jnp.maximum(0.0, 1.0 - sq_cos)
-    # Guard cos==0; reference returns 0 when tan is inf.
-    safe_cos = jnp.where(jnp.abs(cos_theta) < 1e-12, 1e-12, cos_theta)
-    abs_tan = jnp.abs(jnp.sqrt(sq_sin) / safe_cos)
+    # tan^2 computed without the intermediate sqrt(sin^2) so normal
+    # incidence (sin == 0) has a finite backward pass.
+    safe_sq_cos = jnp.maximum(sq_cos, 1e-24)
+    sq_tan = sq_sin / safe_sq_cos
     alpha = roughness_to_alpha(roughness)
-    a2t2 = (alpha * abs_tan) * (alpha * abs_tan)
+    a2t2 = alpha * alpha * sq_tan
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
-    return jnp.where(jnp.abs(cos_theta) < 1e-12, 0.0, lam)
+    return jnp.where(sq_cos < 1e-24, 0.0, lam)
 
 
 def smith_masking_shadowing(

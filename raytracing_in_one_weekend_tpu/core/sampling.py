@@ -85,7 +85,9 @@ def refract(
     dt = math3.dot(v, n)
     discriminant = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
     can_refract = discriminant > 0.0
-    sqrt_disc = jnp.sqrt(jnp.maximum(discriminant, 0.0))
+    # Adjoint-safe: masked lanes must not see sqrt(0) (inf backward).
+    sqrt_disc = jnp.sqrt(jnp.where(can_refract, discriminant, 1.0))
+    sqrt_disc = jnp.where(can_refract, sqrt_disc, 0.0)
     refracted = (
         ni_over_nt[..., None] * (v - n * dt[..., None])
         - n * sqrt_disc[..., None]

@@ -1,0 +1,93 @@
+"""Inverse rendering: optimize scene parameters from a target image.
+
+BASELINE.json config 4 — "optimize sphere positions/albedo/IOR from target
+image".  The optimizer step is one jitted function: render with the current
+parameters, L2 loss against the target, backprop through the whole wavefront
+integrator, optax update.  On a device mesh the gradient is psum'd across
+the pixel-sharded render (see parallel/shard.py), which is the distributed
+north star of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from raytracing_in_one_weekend_tpu.core import rng
+from raytracing_in_one_weekend_tpu.core.camera import Camera
+from raytracing_in_one_weekend_tpu.diff import params as params_mod
+from raytracing_in_one_weekend_tpu.render import renderer
+from raytracing_in_one_weekend_tpu.scene.scene import Scene
+
+
+class InverseRenderConfig(NamedTuple):
+    width: int = 64
+    height: int = 64
+    samples_per_pixel: int = 8
+    trace_depth: int = 6
+    learning_rate: float = 2e-2
+    steps: int = 100
+
+
+def make_loss_fn(
+    scene_template: Scene,
+    camera: Camera,
+    target_image: jnp.ndarray,  # (P, 3) linear
+    config: InverseRenderConfig,
+) -> Callable[[dict[str, Any], jax.Array], jnp.ndarray]:
+    def loss_fn(params: dict[str, Any], key: jax.Array) -> jnp.ndarray:
+        scene = params_mod.apply_params(scene_template, params)
+        img = renderer.render_image(
+            scene, camera, key,
+            width=config.width, height=config.height,
+            samples_per_pixel=config.samples_per_pixel,
+            trace_depth=config.trace_depth,
+        )
+        return jnp.mean((img.color - target_image) ** 2)
+
+    return loss_fn
+
+
+def optimize(
+    scene_template: Scene,
+    camera: Camera,
+    target_image: jnp.ndarray,
+    init_params: dict[str, Any],
+    config: InverseRenderConfig = InverseRenderConfig(),
+    seed: int = 0,
+    callback=None,
+    grad_mask: dict[str, Any] | None = None,
+) -> tuple[dict[str, Any], list[float]]:
+    """Adam descent on the photometric loss; fresh sample stream per step
+    (re-randomized MC gradients avoid overfitting the noise pattern).
+
+    grad_mask: optional pytree matching init_params; gradients are
+    multiplied elementwise (1 = optimize, 0 = freeze), the analog of
+    selecting which scene objects are exposed to the optimizer.
+    """
+    loss_fn = make_loss_fn(scene_template, camera, target_image, config)
+    optimizer = optax.adam(config.learning_rate)
+    opt_state = optimizer.init(init_params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params = init_params
+    key = jax.random.PRNGKey(seed)
+    losses: list[float] = []
+    for i in range(config.steps):
+        params, opt_state, loss = step(params, opt_state, rng.batch_key(key, i))
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, float(loss))
+    return params, losses

@@ -1,0 +1,60 @@
+"""Parameter plumbing for inverse rendering.
+
+Scene pytrees are immutable NamedTuples; these helpers splice optimizable
+parameter pytrees (sphere centers/radii, texture colors, material IOR/...)
+into a scene template so `jax.grad` differentiates the render with respect
+to exactly the chosen parameters.  This replaces nothing in the reference
+(it has no adjoint); it is the BASELINE.json north-star machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from raytracing_in_one_weekend_tpu.scene.scene import Scene
+
+
+def set_sphere_centers(scene: Scene, centers: jnp.ndarray) -> Scene:
+    return scene._replace(spheres=scene.spheres._replace(center=centers))
+
+
+def set_sphere_radii(scene: Scene, radii: jnp.ndarray) -> Scene:
+    return scene._replace(spheres=scene.spheres._replace(radius=radii))
+
+
+def set_texture_colors(scene: Scene, main_color: jnp.ndarray) -> Scene:
+    """Replace the whole texture main-color table (albedos/emissions live
+    here for constant textures)."""
+    return scene._replace(textures=scene.textures._replace(main_color=main_color))
+
+
+def set_material_parameters(scene: Scene, parameter: jnp.ndarray) -> Scene:
+    """IOR (standard/dielectric) / density (volume) table."""
+    return scene._replace(materials=scene.materials._replace(parameter=parameter))
+
+
+_SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
+    "sphere_centers": set_sphere_centers,
+    "sphere_radii": set_sphere_radii,
+    "texture_colors": set_texture_colors,
+    "material_parameters": set_material_parameters,
+}
+
+
+def apply_params(scene: Scene, params: dict[str, Any]) -> Scene:
+    """Splice a {name: array} parameter dict into the scene template."""
+    for name, value in params.items():
+        scene = _SETTERS[name](scene, value)
+    return scene
+
+
+def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarray]:
+    getters = {
+        "sphere_centers": lambda s: s.spheres.center,
+        "sphere_radii": lambda s: s.spheres.radius,
+        "texture_colors": lambda s: s.textures.main_color,
+        "material_parameters": lambda s: s.materials.parameter,
+    }
+    return {n: getters[n](scene) for n in names}

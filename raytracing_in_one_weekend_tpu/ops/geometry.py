@@ -14,6 +14,7 @@ masked min and everything stays differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from raytracing_in_one_weekend_tpu.core import math3
@@ -23,8 +24,19 @@ T_MIN = 0.0  # reference FindHits uses tMin=0 (SampleBatchJob.cs:458)
 
 
 def _matdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N,3) x (S,3) -> (N,S) pairwise dot as an MXU-friendly contraction."""
-    return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    """(N,3) x (S,3) -> (N,S) pairwise dot as an MXU-friendly contraction.
+
+    Precision is pinned to HIGHEST: on TPU a default-precision f32 matmul
+    runs as one bf16 MXU pass, whose 8-bit mantissa is far too coarse for
+    hit distances (visible banding on sphere silhouettes).  HIGHEST uses
+    the 3-pass bf16 decomposition, giving ~f32 accuracy while still riding
+    the MXU.
+    """
+    return jnp.dot(
+        a, b.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +127,10 @@ def sphere_hit_all(
     c_term = o_sq - 2.0 * o_dot_c + c_sq - (radii * radii)[None, :]
     discriminant = b * b - a * c_term
     has_root = discriminant > 0.0
-    sqrt_disc = jnp.sqrt(jnp.maximum(discriminant, 0.0))
+    # Adjoint-safe sqrt: masked-out lanes must not see sqrt(0), whose
+    # backward is inf and poisons the whole gradient via 0*inf = NaN.
+    sqrt_disc = jnp.sqrt(jnp.where(has_root, discriminant, 1.0))
+    sqrt_disc = jnp.where(has_root, sqrt_disc, 0.0)
 
     t_near = (-b - sqrt_disc) / a
     t_far = (-b + sqrt_disc) / a

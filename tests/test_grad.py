@@ -1,0 +1,148 @@
+"""Gradient north-star tests: autodiff vs finite differences (allclose) for
+each parameter class (BASELINE.json config 4).
+
+Methodology: both sides use common random numbers (identical keys), so FD
+differentiates the same realized Monte-Carlo estimator that autodiff sees.
+They agree exactly along smooth paths; they diverge only where a parameter
+perturbation flips a discrete event (silhouette crossing, lottery flip).
+Geometry parameters (centers/radii) are therefore validated on
+interior-masked losses (pixels strictly inside the silhouette), the
+standard protocol for detached-sampling differentiable renderers; shading
+parameters (albedo) are validated full-frame with tight allclose.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+from raytracing_in_one_weekend_tpu.diff import gradcheck, params as params_mod
+from raytracing_in_one_weekend_tpu.models import book_scenes
+from raytracing_in_one_weekend_tpu.render import renderer
+
+
+def _make_loss(
+    setter, scene, cam_settings, width=24, height=24, spp=4, depth=4,
+    pixel_mask=None,
+):
+    cam = camera_mod.make_camera(
+        cam_settings.origin, cam_settings.look_at, cam_settings.up,
+        cam_settings.vertical_fov, width / height,
+        focus_distance=cam_settings.focus_distance,
+    )
+    key = jax.random.PRNGKey(7)
+    if pixel_mask is not None:
+        pixel_mask = jnp.asarray(pixel_mask.reshape(-1), jnp.float32)
+
+    @jax.jit
+    def loss(x):
+        s = setter(scene, x)
+        img = renderer.render_image(
+            s, cam, key, width=width, height=height,
+            samples_per_pixel=spp, trace_depth=depth, sub_pixel_jitter=False,
+        )
+        sq = jnp.sum(img.color**2, axis=-1)
+        if pixel_mask is not None:
+            return jnp.sum(sq * pixel_mask) / jnp.sum(pixel_mask)
+        return jnp.mean(sq)
+
+    return loss
+
+
+def _interior_mask(h, w, r0, r1, c0, c1):
+    m = np.zeros((h, w), np.float32)
+    m[r0:r1, c0:c1] = 1.0
+    return m
+
+
+class TestGradients:
+    @pytest.fixture(scope="class")
+    def scene_cam(self):
+        return book_scenes.single_sphere()
+
+    def test_sphere_center_grad_interior(self, scene_cam):
+        scene, cam_settings = scene_cam
+        # 24x24, 90-deg fov, sphere fills the middle: rows/cols 9..15 are
+        # strictly inside the silhouette -> no visibility flips under eps.
+        mask = _interior_mask(24, 24, 9, 15, 9, 15)
+        loss = _make_loss(
+            params_mod.set_sphere_centers, scene, cam_settings, pixel_mask=mask
+        )
+        report = gradcheck.check_grads(
+            loss, scene.spheres.center, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report
+        assert report["rel_err"] < 0.15, report
+
+    def test_sphere_radius_grad_interior(self, scene_cam):
+        scene, cam_settings = scene_cam
+        mask = _interior_mask(24, 24, 9, 15, 9, 15)
+        loss = _make_loss(
+            params_mod.set_sphere_radii, scene, cam_settings, pixel_mask=mask
+        )
+        report = gradcheck.check_grads(
+            loss, scene.spheres.radius, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report
+
+    def test_albedo_grad_allclose_fullframe(self, scene_cam):
+        scene, cam_settings = scene_cam
+        loss = _make_loss(params_mod.set_texture_colors, scene, cam_settings)
+        report = gradcheck.check_grads(
+            loss, scene.textures.main_color, eps=1e-3, rtol=0.1, atol=1e-3
+        )
+        # albedo gradients are smooth (no geometric discontinuity): tight
+        assert report["allclose"], report
+        assert report["cosine"] > 0.999, report
+
+    def test_ior_grad_dielectric(self):
+        scene, cam_settings = book_scenes.three_spheres()
+        # Mask to the glass sphere's transmitted interior (image-right,
+        # x flipped by the View basis) to dodge silhouette flips.
+        mask = _interior_mask(24, 36, 10, 14, 28, 33)
+        loss = _make_loss(
+            params_mod.set_material_parameters, scene, cam_settings,
+            width=36, height=24, spp=8, depth=6, pixel_mask=mask,
+        )
+        report = gradcheck.check_grads(
+            loss, scene.materials.parameter, eps=1e-3, rtol=0.3, atol=5e-3
+        )
+        # IOR gradients flow through Snell refraction; the Schlick lottery
+        # adds discrete-boundary noise, so the gate is directional.
+        assert report["cosine"] > 0.9, report
+
+    def test_grad_is_nonzero_and_finite(self, scene_cam):
+        scene, cam_settings = scene_cam
+        loss = _make_loss(params_mod.set_sphere_centers, scene, cam_settings)
+        g = np.asarray(jax.grad(loss)(scene.spheres.center))
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0
+
+
+class TestGradThroughBatch:
+    def test_grad_through_accumulating_renderer(self):
+        """Gradients flow through the full batch/accumulator pipeline."""
+        from raytracing_in_one_weekend_tpu.render import film
+
+        scene, cam_settings = book_scenes.single_sphere()
+        cam = camera_mod.make_camera(
+            cam_settings.origin, cam_settings.look_at, cam_settings.up,
+            cam_settings.vertical_fov, 1.0,
+            focus_distance=cam_settings.focus_distance,
+        )
+        key = jax.random.PRNGKey(0)
+
+        def loss(centers):
+            s = params_mod.set_sphere_centers(scene, centers)
+            acc = film.zero_accumulators(16 * 16)
+            acc, _ = renderer.render_batch(
+                s, cam, acc, key,
+                width=16, height=16, samples=2, trace_depth=4,
+            )
+            img = film.combine(acc, 16, 16)
+            return jnp.mean(img.color**2)
+
+        g = np.asarray(jax.grad(loss)(scene.spheres.center))
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0
