@@ -31,6 +31,11 @@ class InverseRenderConfig(NamedTuple):
     trace_depth: int = 6
     learning_rate: float = 2e-2
     steps: int = 100
+    # Silhouette boundary gradients (diff/boundary.py) — required for
+    # geometry (position/radius) optimization; interior-only gradients
+    # cannot see coverage changes.
+    use_boundary: bool = False
+    boundary_samples: int = 128
 
 
 def make_loss_fn(
@@ -69,13 +74,39 @@ def optimize(
     multiplied elementwise (1 = optimize, 0 = freeze), the analog of
     selecting which scene objects are exposed to the optimizer.
     """
-    loss_fn = make_loss_fn(scene_template, camera, target_image, config)
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(init_params)
 
+    if config.use_boundary:
+        from raytracing_in_one_weekend_tpu.diff import boundary
+
+        def render_fn(params, key):
+            scene = params_mod.apply_params(scene_template, params)
+            img = renderer.render_image(
+                scene, camera, key,
+                width=config.width, height=config.height,
+                samples_per_pixel=config.samples_per_pixel,
+                trace_depth=config.trace_depth,
+            )
+            return img.color
+
+        value_and_grad = boundary.value_and_grad_with_boundary(
+            render_fn,
+            lambda img: jnp.mean((img - target_image) ** 2),
+            lambda p: params_mod.apply_params(scene_template, p),
+            camera, config.width, config.height,
+            boundary.BoundaryConfig(
+                samples_per_sphere=config.boundary_samples,
+                trace_depth=config.trace_depth,
+            ),
+        )
+    else:
+        loss_fn = make_loss_fn(scene_template, camera, target_image, config)
+        value_and_grad = jax.value_and_grad(loss_fn)
+
     @jax.jit
     def step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        loss, grads = value_and_grad(params, key)
         if grad_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
