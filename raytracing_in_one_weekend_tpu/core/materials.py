@@ -44,6 +44,64 @@ class Scatter(NamedTuple):
     perfect_specular: jnp.ndarray  # (N,) bool — gates AOV capture
 
 
+PACKED_COLS = 12
+
+
+def pack_materials(scene: Scene) -> jnp.ndarray:
+    """Resolve the material tables into one (M, 12) float record:
+
+      0: type | 1:4 albedo | 4:7 emission | 7 gloss | 8 metallic |
+      9: parameter (IOR/density) | 10: perfect_specular | 11: pad
+
+    Constant textures are resolved here at M-size (loop-invariant — XLA
+    hoists it out of the bounce scan), so the per-ray hot path needs ONE
+    (N, 12) gather instead of ~30 table gathers.  Procedural textures
+    (checker/perlin/image) are still evaluated per-ray when the scene flag
+    says they exist.  Built in-jit from traced tables so texture/material
+    parameters remain differentiable/optimizable.
+    """
+    tex = scene.textures
+    mats = scene.materials
+
+    def color_of(tex_id):
+        t = tex.type[tex_id]
+        c = jnp.where(
+            (t == textures.TextureType.CONSTANT)[:, None],
+            tex.main_color[tex_id],
+            0.0,
+        )
+        return jnp.where(
+            (t == textures.TextureType.CONSTANT_SCALAR)[:, None],
+            tex.parameter[tex_id][:, None],
+            c,
+        )
+
+    def scalar_of(tex_id):
+        t = tex.type[tex_id]
+        main = tex.main_color[tex_id]
+        ch = tex.scalar_channel[tex_id]
+        s = jnp.take_along_axis(main, ch[:, None], axis=-1)[:, 0]
+        s = jnp.where(t == textures.TextureType.CONSTANT, s, 0.0)
+        return jnp.where(
+            t == textures.TextureType.CONSTANT_SCALAR, tex.parameter[tex_id], s
+        )
+
+    m = mats.type.shape[0]
+    return jnp.concatenate(
+        [
+            mats.type[:, None].astype(jnp.float32),
+            color_of(mats.albedo_tex),
+            color_of(mats.emission_tex),
+            scalar_of(mats.glossiness_tex)[:, None],
+            scalar_of(mats.metallic_tex)[:, None],
+            mats.parameter[:, None],
+            mats.perfect_specular[:, None].astype(jnp.float32),
+            jnp.zeros((m, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def scatter(
     scene: Scene,
     ray_direction: jnp.ndarray,  # (N, 3)
@@ -52,33 +110,44 @@ def scatter(
     uv: jnp.ndarray,  # (N, 2)
     material: jnp.ndarray,  # (N,) int32
     key: jax.Array,
+    packed: jnp.ndarray | None = None,  # (M, 12) from pack_materials
+    row: jnp.ndarray | None = None,  # (N, >=11) pre-fetched records
 ) -> Scatter:
     """Scatter all rays at once (reference dispatch: Material.cs:68-174)."""
     mats = scene.materials
     tex = scene.textures
-    mtype = mats.type[material]
+    if row is None:
+        if packed is None:
+            packed = pack_materials(scene)
+        row = packed[material]  # (N, 12): the one hot-path gather
+    mtype = row[:, 0].astype(jnp.int32)
+    albedo = row[:, 1:4]
+    emission = row[:, 4:7]
+    glossiness = row[:, 7]
+    metallic = row[:, 8]
+    parameter = row[:, 9]
+    perfect_specular = row[:, 10] > 0.5
 
-    albedo = textures.sample_color(tex, mats.albedo_tex[material], uv, point, normal)
-    emission = textures.sample_color(
-        tex, mats.emission_tex[material], uv, point, normal
-    )
-    glossiness = textures.sample_scalar(
-        tex, mats.glossiness_tex[material], uv, point, normal
-    )
-    metallic = textures.sample_scalar(
-        tex, mats.metallic_tex[material], uv, point, normal
-    )
-    parameter = mats.parameter[material]  # IOR or density
+    if scene.flags.has_procedural_textures:
+        # Full texture path (checker / perlin / image) overrides constants.
+        albedo = textures.sample_color(
+            tex, mats.albedo_tex[material], uv, point, normal
+        )
+        emission = textures.sample_color(
+            tex, mats.emission_tex[material], uv, point, normal
+        )
+        glossiness = textures.sample_scalar(
+            tex, mats.glossiness_tex[material], uv, point, normal
+        )
+        metallic = textures.sample_scalar(
+            tex, mats.metallic_tex[material], uv, point, normal
+        )
 
     n = ray_direction.shape[0]
-    ua, ub = jax.random.uniform(rng.purpose_key(key, rng.Purpose.SCATTER_A), (2, n))
-    uc, ud = jax.random.uniform(rng.purpose_key(key, rng.Purpose.SCATTER_B), (2, n))
-    u_choice = jax.random.uniform(
-        rng.purpose_key(key, rng.Purpose.SCATTER_CHOICE), (n,)
+    u = jax.random.uniform(
+        rng.purpose_key(key, rng.Purpose.SCATTER_A), (6, n)
     )
-    u_choice2 = jax.random.uniform(
-        rng.purpose_key(key, rng.Purpose.DIELECTRIC_CHOICE), (n,)
-    )
+    ua, ub, uc, ud, u_choice, u_choice2 = u
 
     # ---- Standard (Material.cs:75-119) -----------------------------------
     roughness = jnp.square(1.0 - glossiness)
@@ -117,45 +186,59 @@ def scatter(
     )
 
     # ---- Dielectric (Material.cs:121-161) ---------------------------------
-    d_roughness = 1.0 - glossiness
-    sphere_sample = sampling.unit_sphere(ua, ub)
-    d_rough_normal = math3.normalize(normal + d_roughness[:, None] * sphere_sample)
-    d_dot = math3.dot(ray_direction, d_rough_normal)
-    exiting = d_dot > 0.0
-    outward_normal = jnp.where(exiting[:, None], -d_rough_normal, d_rough_normal)
-    ior = parameter
-    ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
-    cosine = jnp.where(exiting, ior * d_dot, -d_dot)
-    refracted, can_refract = sampling.refract(
-        ray_direction, outward_normal, ni_over_nt
-    )
-    refl_prob = sampling.schlick(cosine, ior)
-    do_refract = can_refract & (u_choice > refl_prob)
-    diel_dir = jnp.where(
-        do_refract[:, None], refracted, math3.reflect(ray_direction, d_rough_normal)
-    )
-    diel_reflectance = jnp.where(
-        do_refract[:, None], albedo, jnp.ones_like(albedo)
-    )
-    diel_events = 1.0 + d_roughness
+    # (compiled out entirely when the scene has none — SceneFlags)
+    if scene.flags.has_dielectrics:
+        d_roughness = 1.0 - glossiness
+        sphere_sample = sampling.unit_sphere(ua, ub)
+        d_rough_normal = math3.normalize(
+            normal + d_roughness[:, None] * sphere_sample
+        )
+        d_dot = math3.dot(ray_direction, d_rough_normal)
+        exiting = d_dot > 0.0
+        outward_normal = jnp.where(
+            exiting[:, None], -d_rough_normal, d_rough_normal
+        )
+        ior = parameter
+        ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
+        cosine = jnp.where(exiting, ior * d_dot, -d_dot)
+        refracted, can_refract = sampling.refract(
+            ray_direction, outward_normal, ni_over_nt
+        )
+        refl_prob = sampling.schlick(cosine, ior)
+        do_refract = can_refract & (u_choice > refl_prob)
+        diel_dir = jnp.where(
+            do_refract[:, None],
+            refracted,
+            math3.reflect(ray_direction, d_rough_normal),
+        )
+        diel_reflectance = jnp.where(
+            do_refract[:, None], albedo, jnp.ones_like(albedo)
+        )
+        diel_events = 1.0 + d_roughness
 
     # ---- ProbabilisticVolume isotropic scatter (Material.cs:163-168) ------
-    vol_dir = sampling.unit_sphere(uc, ud)
-    vol_events = jnp.full((n,), 2.0)
+    if scene.flags.has_volumes:
+        vol_dir = sampling.unit_sphere(uc, ud)
+        vol_events = jnp.full((n,), 2.0)
 
     # ---- blend by type -----------------------------------------------------
-    is_std = (mtype == MaterialType.STANDARD)[:, None]
-    is_diel = (mtype == MaterialType.DIELECTRIC)[:, None]
-    direction = jnp.where(is_std, std_dir, jnp.where(is_diel, diel_dir, vol_dir))
-    reflectance = jnp.where(
-        is_std, std_reflectance, jnp.where(is_diel, diel_reflectance, albedo)
-    )
-    events = jnp.where(
-        mtype == MaterialType.STANDARD,
-        std_events,
-        jnp.where(mtype == MaterialType.DIELECTRIC, diel_events, vol_events),
-    )
-    perfect_specular = mats.perfect_specular[material]
+    direction = std_dir
+    reflectance = std_reflectance
+    events = std_events
+    if scene.flags.has_dielectrics:
+        is_diel = (mtype == MaterialType.DIELECTRIC)[:, None]
+        direction = jnp.where(is_diel, diel_dir, direction)
+        reflectance = jnp.where(is_diel, diel_reflectance, reflectance)
+        events = jnp.where(
+            mtype == MaterialType.DIELECTRIC, diel_events, events
+        )
+    if scene.flags.has_volumes:
+        is_vol = (mtype == MaterialType.PROBABILISTIC_VOLUME)[:, None]
+        direction = jnp.where(is_vol, vol_dir, direction)
+        reflectance = jnp.where(is_vol, albedo, reflectance)
+        events = jnp.where(
+            mtype == MaterialType.PROBABILISTIC_VOLUME, vol_events, events
+        )
 
     return Scatter(
         direction=direction,

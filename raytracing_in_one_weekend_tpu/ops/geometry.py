@@ -143,6 +143,37 @@ def sphere_hit_all(
     return t_entry, t_exit
 
 
+def sphere_hit_single(
+    origin: jnp.ndarray,  # (N, 3)
+    direction: jnp.ndarray,  # (N, 3)
+    centers: jnp.ndarray,  # (N, 3) — one (gathered) sphere per ray
+    radii: jnp.ndarray,  # (N,)
+    t_min: float = T_MIN,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray single-sphere quadratic (HitTests.cs:23-60), (N,)-sized.
+
+    The differentiable re-evaluation companion of the Pallas selection
+    kernel (ops/pallas_sphere.py): the kernel picks the winner, this
+    computes its entry/exit distances with gradients flowing to the
+    gathered center/radius.
+    """
+    oc = origin - centers
+    a = math3.length_sq(direction)
+    b = math3.dot(oc, direction)
+    c = math3.length_sq(oc) - radii * radii
+    disc = b * b - a * c
+    has_root = disc > 0.0
+    sq = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+    sq = jnp.where(has_root, sq, 0.0)
+    t_near = (-b - sq) / a
+    t_far = (-b + sq) / a
+    near_ok = has_root & (t_near > t_min)
+    far_ok = has_root & (t_far > t_min)
+    t_entry = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, BIG))
+    t_exit = jnp.where(far_ok, t_far, BIG)
+    return t_entry, t_exit
+
+
 def sphere_normal_at(
     point: jnp.ndarray,  # (N, 3)
     center: jnp.ndarray,  # (N, 3) effective center of the hit sphere

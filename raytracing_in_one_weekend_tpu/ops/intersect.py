@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from raytracing_in_one_weekend_tpu.core import math3
@@ -51,19 +52,35 @@ def nearest_hit(scene: Scene, rays: Rays, t_min: float = 0.0) -> Hit:
 
     sph = scene.spheres
     if sph.center.shape[0] > 0:
-        t_entry, t_exit = geometry.sphere_hit_all(
-            rays.origin, rays.direction, rays.time,
-            sph.center, sph.radius, sph.move_offset, sph.time_range, t_min,
-        )
-        idx = jnp.argmin(t_entry, axis=1).astype(jnp.int32)
-        t = jnp.take_along_axis(t_entry, idx[:, None], axis=1)[:, 0]
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+
+        if pallas_sphere.use_pallas() and not scene.flags.has_motion:
+            # Fused VMEM selection kernel + differentiable (N,)-sized
+            # re-evaluation of the winner (see ops/pallas_sphere.py).
+            _, idx, _ = pallas_sphere.sphere_select(
+                jax.lax.stop_gradient(rays.origin),
+                jax.lax.stop_gradient(rays.direction),
+                jax.lax.stop_gradient(sph.center),
+                jax.lax.stop_gradient(sph.radius),
+                t_min=t_min,
+            )
+            t, t_exit_sel = geometry.sphere_hit_single(
+                rays.origin, rays.direction,
+                sph.center[idx], sph.radius[idx], t_min,
+            )
+        else:
+            t_entry, t_exit = geometry.sphere_hit_all(
+                rays.origin, rays.direction, rays.time,
+                sph.center, sph.radius, sph.move_offset, sph.time_range, t_min,
+            )
+            idx = jnp.argmin(t_entry, axis=1).astype(jnp.int32)
+            t = jnp.take_along_axis(t_entry, idx[:, None], axis=1)[:, 0]
+            t_exit_sel = jnp.take_along_axis(t_exit, idx[:, None], axis=1)[:, 0]
         closer = t < best_t
         best_t = jnp.where(closer, t, best_t)
         best_kind = jnp.where(closer, EntityKind.SPHERE, best_kind)
         best_index = jnp.where(closer, idx, best_index)
-        best_exit = jnp.where(
-            closer, jnp.take_along_axis(t_exit, idx[:, None], axis=1)[:, 0], best_exit
-        )
+        best_exit = jnp.where(closer, t_exit_sel, best_exit)
 
     rct = scene.rects
     if rct.rot.shape[0] > 0:

@@ -62,11 +62,26 @@ class TraceResult(NamedTuple):
     ray_count: jnp.ndarray  # () total rays cast (for MRays/s metrics)
 
 
-def trace(scene: Scene, rays: Rays, key: jax.Array, trace_depth: int) -> TraceResult:
-    """Trace a wavefront of rays to completion (one full path per ray)."""
+def trace(
+    scene: Scene,
+    rays: Rays,
+    key: jax.Array,
+    trace_depth: int,
+    differentiable: bool = True,
+) -> TraceResult:
+    """Trace a wavefront of rays to completion (one full path per ray).
+
+    differentiable=False enables the fused Pallas fast path (selection +
+    record fetch in VMEM, no HBM gathers) whose hit attributes carry NO
+    gradients wrt scene geometry — use it for forward-only progressive
+    rendering; keep True for anything under jax.grad.
+    """
     n = rays.origin.shape[0]
 
-    inside0 = intersect.point_inside_volume(scene, rays.origin)
+    if scene.flags.has_volumes:
+        inside0 = intersect.point_inside_volume(scene, rays.origin)
+    else:
+        inside0 = jnp.full((n,), -1, jnp.int32)
     state = PathState(
         origin=rays.origin,
         direction=rays.direction,
@@ -82,9 +97,45 @@ def trace(scene: Scene, rays: Rays, key: jax.Array, trace_depth: int) -> TraceRe
         events=jnp.zeros((n,)),
     )
 
+    # Loop-invariant packed material records (see materials.pack_materials).
+    packed = materials.pack_materials(scene)
+
+    # Per-sphere records for the fused fast path: packed material row of
+    # each sphere + its material id (S-sized, loop-invariant).
+    from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+
+    fast = (
+        not differentiable
+        and pallas_sphere.use_pallas()
+        and not scene.flags.has_motion
+        and not scene.flags.has_procedural_textures
+        and not scene.flags.has_volumes
+        and scene.spheres.center.shape[0] > 0
+        and scene.rects.rot.shape[0] == 0
+        and scene.boxes.rot.shape[0] == 0
+        and scene.triangles.vert0.shape[0] == 0
+    )
+    if fast:
+        sph_records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+    else:
+        sph_records = None
+
+    # Remat the bounce body: the adjoint recomputes the (N, S) intersection
+    # tensors instead of saving them per bounce — without this, backward
+    # through the scan stores O(depth * N * S) residuals and blows HBM
+    # (jax.checkpoint = the reference's "stacks fit in registers" analog).
+    @jax.checkpoint
     def bounce(state: PathState, bounce_index):
         bkey = rng.bounce_key(key, bounce_index)
-        new_state = _bounce_once(scene, state, bkey, bounce_index)
+        new_state = _bounce_once(
+            scene, state, bkey, bounce_index, packed, sph_records
+        )
         rays_cast = jnp.sum(state.active.astype(jnp.int32))
         return new_state, rays_cast
 
@@ -105,51 +156,107 @@ def trace(scene: Scene, rays: Rays, key: jax.Array, trace_depth: int) -> TraceRe
 
 
 def _bounce_once(
-    scene: Scene, state: PathState, key: jax.Array, bounce_index
+    scene: Scene, state: PathState, key: jax.Array, bounce_index,
+    packed: jnp.ndarray | None = None,
+    sph_records: jnp.ndarray | None = None,
 ) -> PathState:
     mats = scene.materials
+    if packed is None:
+        packed = materials.pack_materials(scene)
     rays = Rays(state.origin, state.direction, state.time)
-    hit = intersect.nearest_hit(scene, rays)
 
-    hit_mat_type = mats.type[hit.material]
-    hit_is_volume = hit.hit & (hit_mat_type == MaterialType.PROBABILISTIC_VOLUME)
-    entering = math3.dot(hit.normal, state.direction) < 0.0
-    in_vol = state.inside_volume >= 0
+    row = None  # pre-fetched material records (fast path only)
+    if sph_records is not None:
+        # Fused Pallas fast path (spheres-only, non-differentiable):
+        # selection + winner normal + winner record in one VMEM kernel.
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.ops.intersect import Hit
+        from raytracing_in_one_weekend_tpu.scene.scene import EntityKind
 
-    # --- probabilistic volume walk (SampleBatchJob.cs:212-303) -------------
-    vol_mat = jnp.where(in_vol, state.inside_volume, hit.material)
-    density = mats.parameter[jnp.maximum(vol_mat, 0)]
-    u_free = jax.random.uniform(
-        rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (state.origin.shape[0],)
-    )
-    free_path = materials.volume_free_path(density, u_free)
+        t, t_exit, normal, rec = pallas_sphere.sphere_select_full(
+            rays.origin, rays.direction,
+            scene.spheres.center, scene.spheres.radius, sph_records,
+            active=state.active,
+        )
+        hit_mask = t < intersect.BIG
+        hit = Hit(
+            t=t,
+            hit=hit_mask,
+            point=rays.at(jnp.where(hit_mask, t, 0.0)),
+            normal=normal,
+            uv=jnp.zeros((t.shape[0], 2)),
+            material=rec[:, 11].astype(jnp.int32),
+            kind=jnp.where(
+                hit_mask, jnp.int32(EntityKind.SPHERE), jnp.int32(-1)
+            ),
+            index=jnp.zeros((t.shape[0],), jnp.int32),
+            t_exit=t_exit,
+        )
+        row = rec[:, :12]
+    else:
+        hit = intersect.nearest_hit(scene, rays)
 
-    # Inside a volume the whole segment [0, t_hit) is in-medium; at an entry
-    # boundary the segment is [t_hit, t_exit) of the hit convex entity.
-    seg_len = jnp.where(in_vol, hit.t, hit.t_exit - hit.t)
-    vol_candidate = hit.hit & (in_vol | (hit_is_volume & entering))
-    vol_scatter = vol_candidate & (free_path < seg_len)
-    vol_t = jnp.where(in_vol, free_path, hit.t + free_path)
+    n = state.origin.shape[0]
+    if scene.flags.has_volumes:
+        hit_mat_type = mats.type[hit.material]
+        hit_is_volume = hit.hit & (
+            hit_mat_type == MaterialType.PROBABILISTIC_VOLUME
+        )
+        entering = math3.dot(hit.normal, state.direction) < 0.0
+        in_vol = state.inside_volume >= 0
 
-    # Pass-through / own-exit transitions (no scatter, ray continues).
-    pass_through = hit.hit & ~in_vol & hit_is_volume & entering & ~vol_scatter
-    exits_own = (
-        in_vol & hit.hit & hit_is_volume & ~entering & ~vol_scatter
-        & (hit.material == state.inside_volume)
-    )
-    skip = pass_through | exits_own
-    skip_t = jnp.where(pass_through, hit.t_exit, hit.t)
+        # --- probabilistic volume walk (SampleBatchJob.cs:212-303) ---------
+        vol_mat = jnp.where(in_vol, state.inside_volume, hit.material)
+        density = mats.parameter[jnp.maximum(vol_mat, 0)]
+        u_free = jax.random.uniform(
+            rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (n,)
+        )
+        free_path = materials.volume_free_path(density, u_free)
+
+        # Inside a volume the whole segment [0, t_hit) is in-medium; at an
+        # entry boundary it is [t_hit, t_exit) of the hit convex entity.
+        seg_len = jnp.where(in_vol, hit.t, hit.t_exit - hit.t)
+        vol_candidate = hit.hit & (in_vol | (hit_is_volume & entering))
+        vol_scatter = vol_candidate & (free_path < seg_len)
+        vol_t = jnp.where(in_vol, free_path, hit.t + free_path)
+
+        # Pass-through / own-exit transitions (no scatter, ray continues).
+        pass_through = (
+            hit.hit & ~in_vol & hit_is_volume & entering & ~vol_scatter
+        )
+        exits_own = (
+            in_vol & hit.hit & hit_is_volume & ~entering & ~vol_scatter
+            & (hit.material == state.inside_volume)
+        )
+        skip = pass_through | exits_own
+        skip_t = jnp.where(pass_through, hit.t_exit, hit.t)
+    else:
+        false_n = jnp.zeros((n,), jnp.bool_)
+        vol_candidate = vol_scatter = skip = false_n
+        vol_mat = hit.material
+        vol_t = hit.t
+        skip_t = hit.t
 
     # --- effective scatter record -------------------------------------------
     scatter_mask = state.active & hit.hit & ~skip
-    eff_t = jnp.where(vol_scatter, vol_t, hit.t)
-    eff_point = state.origin + eff_t[:, None] * state.direction
-    eff_normal = jnp.where(vol_scatter[:, None], -state.direction, hit.normal)
-    eff_material = jnp.where(vol_scatter, vol_mat, hit.material)
-    eff_uv = jnp.where(vol_scatter[:, None], jnp.zeros_like(hit.uv), hit.uv)
+    if scene.flags.has_volumes:
+        eff_t = jnp.where(vol_scatter, vol_t, hit.t)
+        eff_point = state.origin + eff_t[:, None] * state.direction
+        eff_normal = jnp.where(
+            vol_scatter[:, None], -state.direction, hit.normal
+        )
+        eff_material = jnp.where(vol_scatter, vol_mat, hit.material)
+        eff_uv = jnp.where(vol_scatter[:, None], jnp.zeros_like(hit.uv), hit.uv)
+    else:
+        eff_t = hit.t
+        eff_point = hit.point
+        eff_normal = hit.normal
+        eff_material = hit.material
+        eff_uv = hit.uv
 
     sc = materials.scatter(
-        scene, state.direction, eff_normal, eff_point, eff_uv, eff_material, key
+        scene, state.direction, eff_normal, eff_point, eff_uv, eff_material,
+        key, packed=packed, row=row,
     )
 
     # --- sky termination (SampleBatchJob.cs:341-374) -------------------------
@@ -206,19 +313,22 @@ def _bounce_once(
     )
     new_direction = jnp.where(scatter_mask[:, None], sc.direction, state.direction)
 
-    new_inside = jnp.where(
-        state.active,
-        jnp.where(
-            vol_scatter,
-            vol_mat,
+    if scene.flags.has_volumes:
+        new_inside = jnp.where(
+            state.active,
             jnp.where(
-                skip,
-                -1,
-                state.inside_volume,  # obstacle scatter keeps volume state
+                vol_scatter,
+                vol_mat,
+                jnp.where(
+                    skip,
+                    -1,
+                    state.inside_volume,  # obstacle scatter keeps volume state
+                ),
             ),
-        ),
-        state.inside_volume,
-    )
+            state.inside_volume,
+        )
+    else:
+        new_inside = state.inside_volume
 
     active = state.active & ~miss
     valid = state.valid | miss

@@ -45,6 +45,7 @@ def render_batch(
     trace_depth: int,
     sub_pixel_jitter: bool = True,
     interlace: tuple[int, int] = (0, 1),
+    differentiable: bool = True,
 ) -> tuple[film.Accumulators, BatchMetrics]:
     """Accumulate `samples` new samples per pixel.
 
@@ -66,7 +67,9 @@ def render_batch(
             width, height, skey if sub_pixel_jitter else None, sub_pixel_jitter
         )
         rays = camera_mod.generate_rays(camera, coords, skey)
-        result = integrator.trace(scene, rays, skey, trace_depth)
+        result = integrator.trace(
+            scene, rays, skey, trace_depth, differentiable=differentiable
+        )
 
         valid = result.valid & row_active
         fvalid = valid.astype(jnp.float32)
@@ -117,7 +120,7 @@ def render_batch(
     jax.jit,
     static_argnames=(
         "width", "height", "samples", "trace_depth", "sub_pixel_jitter",
-        "slice_divider",
+        "slice_divider", "differentiable",
     ),
     donate_argnames=("acc",),
 )
@@ -134,15 +137,21 @@ def render_batch_jit(
     trace_depth: int,
     sub_pixel_jitter: bool = True,
     slice_divider: int = 1,
+    differentiable: bool = False,
 ):
     """Donated-accumulator jitted batch step — the analog of the reference's
     pooled-buffer double-buffering (Raytracer.cs:798-802), which collapses
-    to XLA buffer donation."""
+    to XLA buffer donation.
+
+    NOTE: differentiable defaults to FALSE here (progressive forward
+    rendering wants the fused Pallas fast path); pass True before taking
+    gradients through this function."""
     return render_batch(
         scene, camera, acc, key,
         width=width, height=height, samples=samples, trace_depth=trace_depth,
         sub_pixel_jitter=sub_pixel_jitter,
         interlace=(slice_offset, slice_divider),
+        differentiable=differentiable,
     )
 
 
@@ -156,12 +165,17 @@ def render_image(
     samples_per_pixel: int,
     trace_depth: int,
     sub_pixel_jitter: bool = True,
+    differentiable: bool = True,
 ) -> film.CombinedImage:
-    """One-shot convenience render (no progressive driver)."""
+    """One-shot convenience render (no progressive driver).
+
+    Defaults to the differentiable path so jax.grad through this function
+    is always correct; pass differentiable=False for forward-only speed."""
     acc = film.zero_accumulators(width * height)
     acc, _ = render_batch_jit(
         scene, camera, acc, key, jnp.asarray(0, jnp.int32),
         width=width, height=height, samples=samples_per_pixel,
         trace_depth=trace_depth, sub_pixel_jitter=sub_pixel_jitter,
+        differentiable=differentiable,
     )
     return film.combine(acc, width, height)

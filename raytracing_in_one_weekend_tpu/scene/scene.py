@@ -19,6 +19,7 @@ import dataclasses
 import enum
 from typing import NamedTuple, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +106,23 @@ class Environment(NamedTuple):
     cubemap: Optional[jnp.ndarray]  # (6, H, W, 3) float32 or None
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class SceneFlags:
+    """Static (compile-time) scene facts; jit specializes on them, the TPU
+    analog of the reference's compile-time defines (CompileTimeOptions.cs).
+    The integrator uses them to skip whole subsystems (volume walk, motion
+    blur, dielectric branch) for scenes that don't need them."""
+
+    has_volumes: bool = False
+    has_dielectrics: bool = False
+    has_motion: bool = False
+    has_emissive: bool = False
+    # any CHECKER / PERLIN / IMAGE texture: forces the full per-ray texture
+    # sampling path; constant-only scenes use the packed material records
+    has_procedural_textures: bool = False
+
+
 class Scene(NamedTuple):
     spheres: Spheres
     rects: Rects
@@ -113,6 +131,7 @@ class Scene(NamedTuple):
     materials: MaterialTable
     textures: TextureTable
     environment: Environment
+    flags: SceneFlags = SceneFlags()
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +553,23 @@ class SceneBuilder:
             cubemap=jnp.asarray(self._cubemap) if self._cubemap is not None else None,
         )
 
+        mat_types = [m["type"] for m in mats]
+        flags = SceneFlags(
+            has_volumes=int(MaterialType.PROBABILISTIC_VOLUME) in mat_types,
+            has_dielectrics=int(MaterialType.DIELECTRIC) in mat_types,
+            has_motion=has_motion,
+            has_emissive=any(
+                self._textures[m["emission"]].type != TextureType.NONE
+                for m in mats
+            ),
+            has_procedural_textures=any(
+                t.type in (TextureType.CHECKER, TextureType.PERLIN,
+                           TextureType.IMAGE)
+                for t in self._textures
+            ),
+        )
         return Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=triangles,
             materials=materials, textures=textures, environment=environment,
+            flags=flags,
         )
