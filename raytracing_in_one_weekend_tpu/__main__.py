@@ -1,0 +1,125 @@
+"""Command-line render driver.
+
+The reference's UX layer is the Unity editor (Raytracer.Editor.cs buttons,
+inspector settings Raytracer.cs:83-100, CompileTimeOptions defines); the
+TPU build's equivalent is this CLI: scene selection, render settings,
+progressive trace with live MRays/s, PNG outputs, checkpoint/resume.
+
+Usage:  python -m raytracing_in_one_weekend_tpu --scene cover --spp 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raytracing_in_one_weekend_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    p.add_argument("--scene", default="cover",
+                   help="scene name from models.book_scenes / models.testbeds")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=64,
+                   help="total samples per pixel (slowest pixel)")
+    p.add_argument("--depth", type=int, default=35, help="trace depth")
+    p.add_argument("--batch-range", type=int, nargs=2, default=(1, 8),
+                   metavar=("MIN", "MAX"),
+                   help="adaptive samples-per-batch range")
+    p.add_argument("--no-adaptive", action="store_true")
+    p.add_argument("--interlacing", type=int, default=1)
+    p.add_argument("--denoise", action="store_true",
+                   help="AOV-guided a-trous denoise of the final image")
+    p.add_argument("--tonemap", choices=("gamma", "aces"), default="gamma")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-duration", type=float, default=None,
+                   help="stop after this many seconds")
+    p.add_argument("--output", default="render.png")
+    p.add_argument("--save-aovs", action="store_true",
+                   help="also save normal/albedo AOV PNGs")
+    p.add_argument("--checkpoint", default=None,
+                   help="write progressive state here when stopping")
+    p.add_argument("--resume", default=None,
+                   help="restore progressive state from this checkpoint")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def resolve_scene(name: str):
+    from raytracing_in_one_weekend_tpu.models import book_scenes, testbeds
+
+    registry = dict(book_scenes.SCENES)
+    registry.update(testbeds.SCENES)
+    if name not in registry:
+        raise SystemExit(
+            f"unknown scene {name!r}; available: {', '.join(sorted(registry))}"
+        )
+    return registry[name]()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from raytracing_in_one_weekend_tpu.render import driver as driver_mod
+    from raytracing_in_one_weekend_tpu.render import film
+    from raytracing_in_one_weekend_tpu.utils import image as image_util
+    from raytracing_in_one_weekend_tpu.utils.config import (
+        DenoiseMode,
+        RenderSettings,
+    )
+
+    scene, camera_settings = resolve_scene(args.scene)
+    settings = RenderSettings(
+        width=args.width,
+        height=args.height,
+        samples_per_pixel=args.spp,
+        trace_depth=args.depth,
+        samples_per_batch_range=tuple(args.batch_range),
+        adaptive_sampling=not args.no_adaptive,
+        interlacing=args.interlacing,
+        denoise_mode=DenoiseMode.ATROUS if args.denoise else DenoiseMode.NONE,
+    )
+    r = driver_mod.ProgressiveRenderer(
+        scene, camera_settings, settings, seed=args.seed
+    )
+    if args.resume:
+        r.restore(args.resume)
+
+    def report(stats):
+        if not args.quiet:
+            print(
+                f"batch {stats.batch_index:4d}  "
+                f"{stats.mrays_per_second:8.2f} MRays/s  "
+                f"samples/pixel [{stats.min_samples:.0f}, "
+                f"{stats.max_samples:.0f}]  "
+                f"{stats.duration_s * 1e3:.1f} ms",
+                file=sys.stderr,
+            )
+
+    r.run(max_duration_seconds=args.max_duration, on_batch=report)
+
+    if args.checkpoint:
+        r.checkpoint(args.checkpoint)
+    images = r.images(tonemap=args.tonemap)
+    image_util.write_png(args.output, np.asarray(images["color"]))
+    if args.save_aovs:
+        stem = args.output.rsplit(".", 1)[0]
+        image_util.write_png(f"{stem}_normal.png", np.asarray(images["normal"]))
+        image_util.write_png(f"{stem}_albedo.png", np.asarray(images["albedo"]))
+    if not args.quiet:
+        print(
+            f"done: {r.dispatched_samples_per_pixel} spp dispatched "
+            f"(slowest pixel {r.min_samples_per_pixel:.0f} valid), "
+            f"avg {r.avg_mrays_per_second:.2f} MRays/s -> {args.output}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,9 +58,13 @@ def make_camera(
     half_height = jnp.tan(theta / 2.0)
     half_width = aspect * half_height
 
+    # Basis (View.cs:24-26 builds Right = Forward x up in Unity's
+    # left-handed world; the right-handed equivalent that preserves the
+    # image orientation — +x on the image's right for the canonical book
+    # camera — is Shirley's u = up x w, v = w x u).
     forward = math3.normalize(origin - look_at)
-    right = math3.normalize(jnp.cross(forward, up))
-    cam_up = jnp.cross(right, forward)
+    right = math3.normalize(jnp.cross(up, forward))
+    cam_up = jnp.cross(forward, right)
 
     lower_left = (
         half_width * focus_distance * -right

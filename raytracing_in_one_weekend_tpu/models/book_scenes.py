@@ -170,3 +170,13 @@ def cornell_box() -> tuple[Scene, CameraSettings]:
         focus_distance=3.2,
     )
     return b.build(), cam
+
+
+SCENES = {
+    "single_sphere": single_sphere,
+    "three_spheres": three_spheres,
+    "cover": cover_scene,
+    "cover_motion": lambda: cover_scene(motion_blur=True),
+    "volume": volume_test,
+    "cornell": cornell_box,
+}

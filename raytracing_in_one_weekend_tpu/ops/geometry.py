@@ -317,6 +317,105 @@ def box_hit_all(
     return t, world_n, t_exit
 
 
+def rect_hit_single(
+    origin: jnp.ndarray,  # (M, 3)
+    direction: jnp.ndarray,  # (M, 3)
+    rot: jnp.ndarray,  # (M, 4) — one (gathered) rect per ray
+    pos: jnp.ndarray,  # (M, 3)
+    xy_from: jnp.ndarray,  # (M, 2)
+    xy_to: jnp.ndarray,  # (M, 2)
+    t_min: float = T_MIN,
+) -> jnp.ndarray:
+    """Per-ray single-rect test (HitTests.cs:62-78) for BVH leaf candidates."""
+    inv_rot = math3.quat_conjugate(rot)
+    o_local = math3.quat_rotate(inv_rot, origin - pos)
+    d_local = math3.quat_rotate(inv_rot, direction)
+    dz = d_local[..., 2]
+    safe_dz = jnp.where(dz == 0.0, 1.0, dz)
+    t = -o_local[..., 2] / safe_dz
+    xy = o_local[..., :2] + t[..., None] * d_local[..., :2]
+    inside = jnp.all((xy >= xy_from) & (xy <= xy_to), axis=-1)
+    ok = (dz < 0.0) & (t > t_min) & inside
+    return jnp.where(ok, t, BIG)
+
+
+def box_hit_single(
+    origin: jnp.ndarray,  # (M, 3)
+    direction: jnp.ndarray,  # (M, 3)
+    rot: jnp.ndarray,  # (M, 4) — one (gathered) box per ray
+    pos: jnp.ndarray,  # (M, 3)
+    extents: jnp.ndarray,  # (M, 3)
+    t_min: float = T_MIN,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray single-box entry/exit (HitTests.cs:81-113 entry; slab exit)."""
+    inv_rot = math3.quat_conjugate(rot)
+    o = math3.quat_rotate(inv_rot, origin - pos)
+    d = math3.quat_rotate(inv_rot, direction)
+    o = o + d * t_min
+
+    inside = jnp.max(jnp.abs(o) / jnp.maximum(extents, 1e-30), axis=-1) < 1.0
+    winding = jnp.where(inside, -1.0, 1.0)
+    sgn = -jnp.sign(d)
+    safe_d = jnp.where(d == 0.0, 1e-30, d)
+    dist_to_plane = (extents * winding[..., None] * sgn - o) / safe_d
+
+    def _face_test(axis):
+        u, v = (axis + 1) % 3, (axis + 2) % 3
+        da = dist_to_plane[..., axis]
+        pu = o[..., u] + d[..., u] * da
+        pv = o[..., v] + d[..., v] * da
+        return (
+            (da >= 0.0)
+            & (jnp.abs(pu) < extents[..., u])
+            & (jnp.abs(pv) < extents[..., v])
+        )
+
+    tx, ty, tz = _face_test(0), _face_test(1), _face_test(2)
+    any_hit = tx | ty | tz
+    t = jnp.where(
+        tx,
+        dist_to_plane[..., 0],
+        jnp.where(ty, dist_to_plane[..., 1], dist_to_plane[..., 2]),
+    )
+    t = jnp.where(any_hit, t + t_min, BIG)
+
+    inv_d = safe_invert(d)
+    t0 = (-extents - o) * inv_d
+    t1 = (extents - o) * inv_d
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) + t_min
+    t_near_slab = jnp.max(jnp.minimum(t0, t1), axis=-1) + t_min
+    exit_ok = (t_far > t_min) & (t_near_slab < t_far)
+    return t, jnp.where(exit_ok, t_far, BIG)
+
+
+def triangle_hit_single(
+    origin: jnp.ndarray,  # (M, 3)
+    direction: jnp.ndarray,  # (M, 3)
+    edge_a: jnp.ndarray,  # (M, 3) — one (gathered) triangle per ray
+    edge_b: jnp.ndarray,  # (M, 3)
+    vert0: jnp.ndarray,  # (M, 3)
+    t_min: float = T_MIN,
+) -> jnp.ndarray:
+    """Per-ray single-triangle Moller-Trumbore (HitTests.cs:116-150);
+    distance only — the winner's normal/uv are recomputed by
+    intersect._shading_attributes."""
+    pvec = jnp.cross(direction, edge_a)
+    det = math3.dot(edge_b, pvec)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = origin - vert0
+    u = math3.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, edge_b)
+    v = math3.dot(direction, qvec) * inv_det
+    t = math3.dot(edge_a, qvec) * inv_det
+    ok = (
+        (det != 0.0)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(ok, t, BIG)
+
+
 # ---------------------------------------------------------------------------
 # Triangles (reference: HitTests.cs:116-150, Moller-Trumbore)
 # ---------------------------------------------------------------------------

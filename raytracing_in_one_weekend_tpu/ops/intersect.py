@@ -43,7 +43,29 @@ class Hit(NamedTuple):
 
 
 def nearest_hit(scene: Scene, rays: Rays, t_min: float = 0.0) -> Hit:
-    """All rays vs the whole scene; nearest surface hit per ray."""
+    """All rays vs the whole scene; nearest surface hit per ray.
+
+    With a BVH attached (scene/bvh.attach_bvh) the candidate walk replaces
+    the dense all-pairs pass — the analog of the reference's
+    FindHitCandidates traversal (SampleBatchJob.cs:403-448).
+    """
+    if scene.bvh is not None:
+        from raytracing_in_one_weekend_tpu.ops import bvh_traverse
+
+        best_t, best_kind, best_index, best_exit = bvh_traverse.bvh_nearest(
+            scene, rays, t_min
+        )
+        hit = best_t < BIG
+        point = rays.at(jnp.where(hit, best_t, 0.0))
+        normal, uv, material = _shading_attributes(
+            scene, rays, point, best_kind, best_index
+        )
+        return Hit(
+            t=best_t, hit=hit, point=point, normal=normal, uv=uv,
+            material=material, kind=best_kind, index=best_index,
+            t_exit=best_exit,
+        )
+
     n = rays.origin.shape[0]
     best_t = jnp.full((n,), BIG)
     best_kind = jnp.full((n,), -1, jnp.int32)

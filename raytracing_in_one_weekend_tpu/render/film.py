@@ -131,7 +131,10 @@ def finalize(
     albedo_ldr = math3.saturate(math3.linear_to_gamma(image.albedo)) * 255.0
 
     def to_img(flat):
-        return flat.reshape(height, width, 3).astype(jnp.uint8)
+        # Flat buffers are v-major bottom-up (pixel row r maps to viewport
+        # v=(r+0.5)/H, camera.pixel_coords); image row 0 is the TOP, so
+        # flip rows here (the reference's blit shader handles orientation).
+        return flat.reshape(height, width, 3)[::-1].astype(jnp.uint8)
 
     return {
         "color": to_img(color_ldr),

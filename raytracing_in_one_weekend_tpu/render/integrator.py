@@ -68,6 +68,7 @@ def trace(
     key: jax.Array,
     trace_depth: int,
     differentiable: bool = True,
+    active: jnp.ndarray | None = None,
 ) -> TraceResult:
     """Trace a wavefront of rays to completion (one full path per ray).
 
@@ -75,6 +76,11 @@ def trace(
     record fetch in VMEM, no HBM gathers) whose hit attributes carry NO
     gradients wrt scene geometry — use it for forward-only progressive
     rendering; keep True for anything under jax.grad.
+
+    `active` optionally masks lanes off from the start (the reference's
+    per-pixel adaptive sample count, SampleBatchJob.cs:118-126, and
+    interlace row skip, :69-70): masked lanes fly but cast no counted rays
+    and never become valid.
     """
     n = rays.origin.shape[0]
 
@@ -88,7 +94,7 @@ def trace(
         time=rays.time,
         throughput=jnp.ones((n, 3)),
         radiance=jnp.zeros((n, 3)),
-        active=jnp.ones((n,), jnp.bool_),
+        active=jnp.ones((n,), jnp.bool_) if active is None else active,
         valid=jnp.zeros((n,), jnp.bool_),
         inside_volume=inside0,
         aov_normal=jnp.zeros((n, 3)),

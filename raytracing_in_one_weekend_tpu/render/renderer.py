@@ -46,19 +46,41 @@ def render_batch(
     sub_pixel_jitter: bool = True,
     interlace: tuple[int, int] = (0, 1),
     differentiable: bool = True,
+    sample_range: tuple[int, int] | None = None,
+    weight_extrema: jnp.ndarray | None = None,
 ) -> tuple[film.Accumulators, BatchMetrics]:
-    """Accumulate `samples` new samples per pixel.
+    """Accumulate up to `samples` new samples per pixel.
 
     interlace = (slice_offset, slice_divider): only rows with
     row % divider == offset do work this batch (reference row-skip at
     SampleBatchJob.cs:69-70); masked lanes still fly but their results are
     dropped, which preserves static shapes.
+
+    Adaptive sampling (SampleBatchJob.cs:118-126): when `sample_range`
+    (min, max) and `weight_extrema` (2,) — the previous batch's reduced
+    noise-weight extrema — are given, each pixel accumulates
+    round(lerp(min, max, unlerp(extrema, weight))) samples this batch,
+    with `samples` lanes in flight and the excess masked off. Pixels with
+    zero accumulated weight get the minimum (first-batch behavior).
     """
     n = width * height
 
     row = jnp.arange(n, dtype=jnp.int32) // width
     slice_offset, slice_divider = interlace
     row_active = (row % slice_divider) == slice_offset
+
+    if sample_range is not None and weight_extrema is not None:
+        lo, hi = sample_range
+        wps = acc.weight / jnp.maximum(acc.sample_count, 1.0)
+        span = jnp.maximum(weight_extrema[1] - weight_extrema[0], 1e-12)
+        norm = jnp.clip((wps - weight_extrema[0]) / span, 0.0, 1.0)
+        per_pixel = jnp.where(
+            wps == 0.0,
+            jnp.float32(lo),
+            jnp.round(lo + (hi - lo) * norm),
+        ).astype(jnp.int32)
+    else:
+        per_pixel = jnp.full((n,), samples, jnp.int32)
 
     def one_sample(carry, sample_index):
         acc_c = carry
@@ -67,8 +89,10 @@ def render_batch(
             width, height, skey if sub_pixel_jitter else None, sub_pixel_jitter
         )
         rays = camera_mod.generate_rays(camera, coords, skey)
+        lane_active = row_active & (sample_index < per_pixel)
         result = integrator.trace(
-            scene, rays, skey, trace_depth, differentiable=differentiable
+            scene, rays, skey, trace_depth, differentiable=differentiable,
+            active=lane_active,
         )
 
         valid = result.valid & row_active
@@ -84,12 +108,12 @@ def render_batch(
             # Fallback AOVs: the first sample's AOV, valid or not
             # (SampleBatchJob.cs:146-151 s==0 fallback capture).
             fallback_normal=jnp.where(
-                (is_first_ever & row_active)[:, None],
+                (is_first_ever & lane_active)[:, None],
                 result.aov_normal,
                 acc_c.fallback_normal,
             ),
             fallback_albedo=jnp.where(
-                (is_first_ever & row_active)[:, None],
+                (is_first_ever & lane_active)[:, None],
                 result.aov_albedo,
                 acc_c.fallback_albedo,
             ),
@@ -120,7 +144,7 @@ def render_batch(
     jax.jit,
     static_argnames=(
         "width", "height", "samples", "trace_depth", "sub_pixel_jitter",
-        "slice_divider", "differentiable",
+        "slice_divider", "differentiable", "sample_range",
     ),
     donate_argnames=("acc",),
 )
@@ -138,6 +162,8 @@ def render_batch_jit(
     sub_pixel_jitter: bool = True,
     slice_divider: int = 1,
     differentiable: bool = False,
+    sample_range: tuple[int, int] | None = None,
+    weight_extrema: jnp.ndarray | None = None,
 ):
     """Donated-accumulator jitted batch step — the analog of the reference's
     pooled-buffer double-buffering (Raytracer.cs:798-802), which collapses
@@ -152,6 +178,8 @@ def render_batch_jit(
         sub_pixel_jitter=sub_pixel_jitter,
         interlace=(slice_offset, slice_divider),
         differentiable=differentiable,
+        sample_range=sample_range,
+        weight_extrema=weight_extrema,
     )
 
 

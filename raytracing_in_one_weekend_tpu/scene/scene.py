@@ -132,6 +132,9 @@ class Scene(NamedTuple):
     textures: TextureTable
     environment: Environment
     flags: SceneFlags = SceneFlags()
+    # Optional flattened BVH (scene/bvh.py BvhArrays); attach via
+    # bvh.attach_bvh(scene).  None = brute-force nearest-hit.
+    bvh: Optional[NamedTuple] = None
 
 
 # ---------------------------------------------------------------------------

@@ -23,12 +23,13 @@ class NoiseColor(enum.IntEnum):
 class DenoiseMode(enum.IntEnum):
     """Denoiser selection (reference: Unity/Raytracer.cs denoiseMode).
 
-    The reference binds Intel OIDN / NVidia OptiX native denoisers; in the
-    TPU build the differentiable pipeline supersedes them, but the AOV
-    plumbing (normal/albedo channels) is kept and NONE remains the default.
+    The reference binds Intel OIDN / NVidia OptiX native denoisers; the
+    TPU build replaces both with an on-device AOV-guided a-trous filter
+    (render/denoise.py) consuming the same color/normal/albedo channels.
     """
 
     NONE = 0
+    ATROUS = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +64,22 @@ class RenderSettings:
     # Compile-time defines (CompileTimeOptions.cs) as static jit switches.
     full_diagnostics: bool = False
     path_debugging: bool = False
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"invalid resolution {self.width}x{self.height}")
+        if self.samples_per_pixel <= 0:
+            raise ValueError("samples_per_pixel must be positive")
+        lo, hi = self.samples_per_batch_range
+        if lo < 1 or hi < lo:
+            raise ValueError(
+                f"samples_per_batch_range must satisfy 1 <= min <= max, "
+                f"got {self.samples_per_batch_range}"
+            )
+        if self.interlacing < 1:
+            raise ValueError("interlacing must be >= 1")
+        if self.trace_depth < 1:
+            raise ValueError("trace_depth must be >= 1")
 
     @property
     def pixel_count(self) -> int:

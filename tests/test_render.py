@@ -96,16 +96,16 @@ class TestThreeSpheres:
 
     def test_metal_reflects_ground_tint(self, image):
         color = np.asarray(image.color).reshape(64, 96, 3)
-        # Like the reference View (View.cs:16-36), forward = origin-lookAt and
-        # right = cross(forward, up), so world +x lands on the image's LEFT.
+        # Shirley right-handed basis (camera.make_camera): world +x lands on
+        # the image's RIGHT (u grows along right = up x forward).
         # Metal sphere at x=+1, gold albedo (0.8, 0.6, 0.2): red dominates blue.
-        region = color[24:40, 8:24]
+        region = color[24:40, 72:88]
         assert region[..., 0].mean() > region[..., 2].mean()
 
     def test_glass_transmits(self, image):
         color = np.asarray(image.color).reshape(64, 96, 3)
-        # glass sphere at x=-1 (image right) transmits sky/ground: not black
-        region = color[24:40, 72:88]
+        # glass sphere at x=-1 (image left) transmits sky/ground: not black
+        region = color[24:40, 8:24]
         assert region.mean() > 0.1
 
 
@@ -128,10 +128,10 @@ class TestCornell:
         assert np.all(np.isfinite(color))
         # interior is lit by the area light only
         assert color.mean() > 0.005
-        # Image x is flipped vs world x (View.cs basis): the red wall at
-        # world -x lands on high columns, the green wall at +x on low ones.
-        green_side = color[20:28, 2:8]
-        red_side = color[20:28, 40:46]
+        # Shirley right-handed basis: world -x (red wall) lands on low
+        # columns, +x (green wall) on high ones.
+        red_side = color[20:28, 2:8]
+        green_side = color[20:28, 40:46]
         assert red_side[..., 0].mean() > red_side[..., 1].mean()
         assert green_side[..., 1].mean() > green_side[..., 0].mean()
 
