@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="render.png")
     p.add_argument("--save-aovs", action="store_true",
                    help="also save normal/albedo AOV PNGs")
+    p.add_argument("--save-diagnostics", action="store_true",
+                   help="also save ray-count/sample-count/noise-weight "
+                        "buffer views (inferno colormap)")
     p.add_argument("--checkpoint", default=None,
                    help="write progressive state here when stopping")
     p.add_argument("--resume", default=None,
@@ -111,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
         stem = args.output.rsplit(".", 1)[0]
         image_util.write_png(f"{stem}_normal.png", np.asarray(images["normal"]))
         image_util.write_png(f"{stem}_albedo.png", np.asarray(images["albedo"]))
+    if args.save_diagnostics and r.last_metrics is not None:
+        from raytracing_in_one_weekend_tpu.render import diagnostics
+
+        stem = args.output.rsplit(".", 1)[0]
+        for view in diagnostics.VIEWS:
+            image_util.write_png(f"{stem}_{view}.png", r.diagnostic_image(view))
     if not args.quiet:
         print(
             f"done: {r.dispatched_samples_per_pixel} spp dispatched "

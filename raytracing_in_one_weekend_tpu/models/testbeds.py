@@ -313,7 +313,14 @@ def grid_testbed() -> tuple[Scene, CameraSettings]:
     return b.build(), cam
 
 
+def _mesh_showcase():
+    from raytracing_in_one_weekend_tpu.models import meshes
+
+    return meshes.mesh_showcase()
+
+
 SCENES = {
+    "mesh_showcase": _mesh_showcase,
     "diffuse_testbed": diffuse_testbed,
     "metal_roughness": metal_roughness_testbed,
     "refraction": refraction_testbed,

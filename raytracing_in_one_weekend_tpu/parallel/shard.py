@@ -139,15 +139,15 @@ def sharded_render_batch(
         zero = film_mod.zero_accumulators(width * height)
 
         def group(gkey):
-            delta, _ = renderer_mod.render_batch(
+            delta, gmetrics = renderer_mod.render_batch(
                 scene, camera, zero, gkey,
                 width=width, height=height,
                 samples=samples // n_sample_groups,
                 trace_depth=trace_depth, sub_pixel_jitter=sub_pixel_jitter,
             )
-            return delta
+            return delta, gmetrics.pixel_rays
 
-        deltas = jax.vmap(group)(group_keys)
+        deltas, group_pixel_rays = jax.vmap(group)(group_keys)
         deltas = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(SAMPLE_AXIS, TILE_AXIS))
@@ -155,6 +155,7 @@ def sharded_render_batch(
             deltas,
         )
         summed = jax.tree.map(lambda x: jnp.sum(x, axis=0), deltas)
+        pixel_rays = jnp.sum(group_pixel_rays, axis=0)
         new_acc = film_mod.Accumulators(
             color=acc.color + summed.color,
             sample_count=acc.sample_count + summed.sample_count,
@@ -174,12 +175,13 @@ def sharded_render_batch(
         count = new_acc.sample_count
         wps = new_acc.weight / jnp.maximum(count, 1.0)
         metrics = renderer_mod.BatchMetrics(
-            total_rays=jnp.sum(count).astype(jnp.int32),
+            total_rays=jnp.sum(pixel_rays),
             total_samples=jnp.sum(count),
             min_sample_count=jnp.min(count),
             max_sample_count=jnp.max(count),
             weight_min=jnp.min(jnp.where(count > 0, wps, jnp.inf)),
             weight_max=jnp.max(jnp.where(count > 0, wps, -jnp.inf)),
+            pixel_rays=pixel_rays,
         )
         return new_acc, metrics
 

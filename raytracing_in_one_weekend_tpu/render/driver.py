@@ -119,6 +119,7 @@ class ProgressiveRenderer:
         # trace — the reference likewise advances TotalSamplesPerPixel by
         # the scheduled batch size (Raytracer.cs:537-538).
         self._dispatched = [0] * max(s.interlacing, 1)
+        self.last_metrics = None
         self.aborted = False
 
     @property
@@ -190,6 +191,7 @@ class ProgressiveRenderer:
         )
         metrics = jax.block_until_ready(metrics)
         duration = time.perf_counter() - t0
+        self.last_metrics = metrics
 
         self.weight_extrema = jnp.stack(
             [metrics.weight_min, metrics.weight_max]
@@ -256,6 +258,35 @@ class ProgressiveRenderer:
         """PNG save (reference: Raytracer.Editor.cs:22-28 front-buffer save,
         auto-save on completion Raytracer.cs:1057-1059)."""
         image_util.write_png(path, np.asarray(self.images()[channel]))
+
+    def diagnostic_image(self, view: str) -> np.ndarray:
+        """Colormapped diagnostic buffer view (Raytracer.cs:239-250)."""
+        from raytracing_in_one_weekend_tpu.render import diagnostics
+
+        if self.last_metrics is None:
+            raise RuntimeError("no batch rendered yet")
+        s = self.settings
+        return diagnostics.buffer_view(
+            view, self.acc, self.last_metrics, s.width, s.height
+        )
+
+    def debug_path(
+        self, pixel_xy: tuple[int, int] | None = None
+    ) -> dict[str, np.ndarray]:
+        """Bounce polyline of one pixel (PATH_DEBUGGING; defaults to the
+        center pixel like SampleBatchJob.cs:96-101)."""
+        from raytracing_in_one_weekend_tpu.render import diagnostics
+
+        s = self.settings
+        if pixel_xy is None:
+            pixel_xy = (s.width // 2, s.height // 2)
+        key = rng.batch_key(
+            jax.random.PRNGKey(self.seed), max(self.batch_index - 1, 0)
+        )
+        return diagnostics.trace_debug_path(
+            self.scene, self.camera, pixel_xy, s.width, s.height,
+            key, s.trace_depth,
+        )
 
     # --- checkpoint / resume ------------------------------------------------------
 

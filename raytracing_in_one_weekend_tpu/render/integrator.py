@@ -60,6 +60,7 @@ class TraceResult(NamedTuple):
     aov_albedo: jnp.ndarray  # (N, 3)
     events: jnp.ndarray  # (N,)
     ray_count: jnp.ndarray  # () total rays cast (for MRays/s metrics)
+    pixel_rays: jnp.ndarray  # (N,) rays cast per pixel (Diagnostics.RayCount)
 
 
 def trace(
@@ -142,12 +143,14 @@ def trace(
         new_state = _bounce_once(
             scene, state, bkey, bounce_index, packed, sph_records
         )
-        rays_cast = jnp.sum(state.active.astype(jnp.int32))
-        return new_state, rays_cast
+        # Per-pixel ray counting (the reference increments
+        # Diagnostics.RayCount every bounce, SampleBatchJob.cs:203).
+        return new_state, state.active
 
-    state, rays_per_bounce = jax.lax.scan(
+    state, active_per_bounce = jax.lax.scan(
         bounce, state, jnp.arange(trace_depth), unroll=1
     )
+    pixel_rays = jnp.sum(active_per_bounce.astype(jnp.int32), axis=0)
 
     valid = state.valid
     radiance = jnp.where(valid[:, None], state.radiance, 0.0)
@@ -157,7 +160,8 @@ def trace(
         aov_normal=state.aov_normal,
         aov_albedo=state.aov_albedo,
         events=state.events,
-        ray_count=jnp.sum(rays_per_bounce),
+        ray_count=jnp.sum(pixel_rays),
+        pixel_rays=pixel_rays,
     )
 
 

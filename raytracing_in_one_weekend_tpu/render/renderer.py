@@ -31,6 +31,8 @@ class BatchMetrics(NamedTuple):
     max_sample_count: jnp.ndarray  # ()
     weight_min: jnp.ndarray  # () sample-count-weight extrema -> next batch's
     weight_max: jnp.ndarray  # () adaptive sampler normalization
+    pixel_rays: jnp.ndarray  # (P,) int32 rays cast this batch per pixel
+    #   (Diagnostics.RayCount buffer view, Raytracer.cs:239-250)
 
 
 def render_batch(
@@ -118,17 +120,17 @@ def render_batch(
                 acc_c.fallback_albedo,
             ),
         )
-        rays_cast = result.ray_count
-        return new_acc, rays_cast
+        return new_acc, result.pixel_rays
 
-    acc, rays_per_sample = jax.lax.scan(
+    acc, pixel_rays_per_sample = jax.lax.scan(
         one_sample, acc, jnp.arange(samples), unroll=1
     )
+    pixel_rays = jnp.sum(pixel_rays_per_sample, axis=0)
 
     count = acc.sample_count
     weight_per_sample = acc.weight / jnp.maximum(count, 1.0)
     metrics = BatchMetrics(
-        total_rays=jnp.sum(rays_per_sample),
+        total_rays=jnp.sum(pixel_rays),
         total_samples=jnp.sum(count),
         min_sample_count=jnp.min(count),
         max_sample_count=jnp.max(count),
@@ -136,6 +138,7 @@ def render_batch(
             jnp.where(count > 0, weight_per_sample, jnp.inf)
         ),
         weight_max=jnp.max(jnp.where(count > 0, weight_per_sample, -jnp.inf)),
+        pixel_rays=pixel_rays,
     )
     return acc, metrics
 
