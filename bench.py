@@ -29,7 +29,7 @@ REFERENCE_MRAYS = 40.0  # anchor: desktop-CPU Burst path tracer class
 WIDTH = HEIGHT = 512
 SAMPLES_PER_BATCH = 8
 TRACE_DEPTH = 8
-BATCHES = 4  # timed batches (after warmup)
+BATCHES = 7  # timed batches (after warmup); median reported
 GRAD_EVERY = 0  # set >0 to interleave backward passes in the timing loop
 
 
@@ -55,19 +55,22 @@ def main() -> None:
     )
     jax.block_until_ready(acc)
 
-    total_rays = 0
-    t0 = time.perf_counter()
+    # Per-batch synchronized timings; the median rejects transient tunnel
+    # or device-contention spikes (a single pooled timer was observed to
+    # swing 100x under contention).
+    per_batch = []
     for i in range(BATCHES):
+        t0 = time.perf_counter()
         acc, metrics = renderer.render_batch_jit(
             scene, camera, acc, jax.random.fold_in(key, i + 1),
             jnp.asarray(0, jnp.int32),
             width=WIDTH, height=HEIGHT, samples=SAMPLES_PER_BATCH,
             trace_depth=TRACE_DEPTH,
         )
-        total_rays += int(metrics.total_rays)
-    jax.block_until_ready(acc)
-    fwd_elapsed = time.perf_counter() - t0
-    fwd_mrays = total_rays / fwd_elapsed / 1e6
+        rays = int(metrics.total_rays)  # device sync
+        per_batch.append(rays / (time.perf_counter() - t0) / 1e6)
+    per_batch.sort()
+    fwd_mrays = per_batch[len(per_batch) // 2]
 
     # --- forward+backward: gradient of photometric loss -------------------
     target = jax.lax.stop_gradient(
@@ -86,16 +89,18 @@ def main() -> None:
     g = grad_fn(scene.spheres.center, key)  # warmup/compile
     jax.block_until_ready(g)
 
-    grad_iters = 2
-    t0 = time.perf_counter()
+    grad_iters = 3
+    per_iter = []
     for i in range(grad_iters):
+        t0 = time.perf_counter()
         g = grad_fn(scene.spheres.center, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(g)
-    bwd_elapsed = time.perf_counter() - t0
+        jax.block_until_ready(g)
+        per_iter.append(time.perf_counter() - t0)
+    per_iter.sort()
     # rays in fwd+bwd pass: 2 spp, conservatively counted as forward rays
     # only (the adjoint sweep re-traverses each, so true work is ~2x).
-    grad_rays = WIDTH * HEIGHT * 2 * TRACE_DEPTH * grad_iters
-    fwdbwd_mrays = grad_rays / bwd_elapsed / 1e6
+    grad_rays = WIDTH * HEIGHT * 2 * TRACE_DEPTH
+    fwdbwd_mrays = grad_rays / per_iter[len(per_iter) // 2] / 1e6
 
     print(
         json.dumps(

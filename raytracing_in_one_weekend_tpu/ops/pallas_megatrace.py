@@ -1,0 +1,988 @@
+"""Pallas TPU megakernel: the FULL path-trace bounce loop in VMEM.
+
+Reference: SampleBatchJob (Runtime/Jobs/SampleBatchJob.cs:166-401) — the
+reference's Burst megakernel runs the whole bounce loop per pixel with all
+state in registers.  This kernel is its true TPU equivalent: per ray tile,
+the entire depth loop (sphere intersection -> material scatter -> sky
+termination -> throughput/radiance fold -> AOV capture) runs with every
+state row resident in VMEM.  HBM traffic per ray is ~7 input floats and
+~12 output floats for the WHOLE path — versus the wavefront jnp path which
+round-trips ~25 state floats per ray per bounce plus fusion boundaries.
+
+Scope (gated by integrator dispatch): sphere-only scenes, constant
+textures, gradient/none sky, no volumes, no motion — the book cover class.
+Everything else falls back to the wavefront integrator; images agree
+statistically, not bitwise (in-kernel PRNG differs from threefry).
+
+Math parity, per row (all formulas match the jnp library, cited there):
+  * quadratic intersection         ops/geometry.sphere_hit_all
+  * one-hot record fetch on MXU    ops/pallas_sphere._kernel_full
+  * standard/dielectric scatter    core/materials.scatter
+  * cosine-hemisphere / sphere     core/sampling.py
+  * Smith masking, alpha poly      core/microfacet.py
+  * gradient sky                   core/environment.sample_sky
+  * emission/attenuation fold      render/integrator._bounce_once
+
+RNG: pltpu.prng_random_bits seeded per (tile, sample-key) — the kernel
+analog of the reference's per-pixel RandomSource (RandomSource.cs:15-151),
+white-noise flavor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e30
+RAY_TILE = 512
+SPHERE_PAD = 128
+PAD_CENTER = 1e17
+REC_COLS = 16
+OUT_ROWS = 16
+SELF_EPS = 1e-3  # Ray.OffsetTowards epsilon (Ray.cs:19)
+PLASTIC_IOR = 1.5
+METAL_IOR = 1.1
+TWO_PI = 6.283185307179586
+INV_2_24 = 1.0 / 16777216.0
+
+
+def scene_eligible(scene) -> bool:
+    """Static check: can this scene run in the fused megakernel?
+    (sphere-only, constant textures, gradient/none sky, no volumes, no
+    motion — the book-cover scene class; everything else uses the
+    wavefront integrator)."""
+    return (
+        not scene.flags.has_motion
+        and not scene.flags.has_procedural_textures
+        and not scene.flags.has_volumes
+        and scene.flags.sky in (0, 1)
+        and scene.spheres.center.shape[0] > 0
+        and scene.rects.rot.shape[0] == 0
+        and scene.boxes.rot.shape[0] == 0
+        and scene.triangles.vert0.shape[0] == 0
+    )
+
+
+def _bits_to_unit_floats(bits_u32):
+    """uint32 -> U[0,1) with 24 mantissa bits.  Mosaic can't cast
+    uint32->f32; route through int32 (safe: >>8 keeps values < 2^24)."""
+    low24 = pltpu.bitcast(bits_u32 >> jnp.uint32(8), jnp.int32)
+    return low24.astype(jnp.float32) * INV_2_24
+
+
+def _uniforms_hw(shape):
+    """U[0,1) rows from the TPU hardware PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return _bits_to_unit_floats(bits)
+
+
+def _lowbias32(x):
+    """lowbias32 integer hash (public-domain constants), uint32 in/out."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _uniforms_hash(shape, seed, salt, lane_row):
+    """Counter-based U[0,1): hash of (seed, global lane, stream, salt).
+
+    Stateless/portable — used in interpret mode (no hw PRNG on CPU) and as
+    a reproducible fallback; quality is plenty for MC path tracing.
+    lane_row: (1, T) float row of global lane ids (rays row 7)."""
+    streams = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = lane_row.astype(jnp.int32)  # (1, T), broadcasts over streams
+    x = seed + lanes * jnp.int32(9781) + streams * jnp.int32(6271) + salt
+    bits = _lowbias32(pltpu.bitcast(x, jnp.uint32))
+    return _bits_to_unit_floats(bits)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z, eps=1e-12):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+def _basis(nx, ny, nz):
+    """Branchless Duff et al. orthonormal basis (math3.orthonormal_basis)."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    tx, ty, tz = 1.0 + sign * nx * nx * a, sign * b, -sign * nx
+    bx, by, bz = b, sign + ny * ny * a, -ny
+    return (tx, ty, tz), (bx, by, bz)
+
+
+def _cosine_hemisphere(u, v, nx, ny, nz):
+    """sampling.cosine_hemisphere on rows."""
+    r = jnp.sqrt(u)
+    th = v * TWO_PI
+    x = r * jnp.cos(th)
+    z = r * jnp.sin(th)
+    y = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
+    (tx, ty, tz), (bx, by, bz) = _basis(nx, ny, nz)
+    return (
+        x * tx + y * nx + z * bx,
+        x * ty + y * ny + z * by,
+        x * tz + y * nz + z * bz,
+    )
+
+
+def _unit_sphere(u, v):
+    z = u * 2.0 - 1.0
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    th = v * TWO_PI
+    return jnp.cos(th) * r, jnp.sin(th) * r, z
+
+
+def _schlick(cosine, ior):
+    r0 = (1.0 - ior) / (1.0 + ior)
+    r0 = r0 * r0
+    m = jnp.maximum(1.0 - cosine, 0.0)
+    return r0 + (1.0 - r0) * m * m * m * m * m
+
+
+def _roughness_to_alpha(roughness):
+    roughness = jnp.maximum(roughness, 1e-3)
+    x = jnp.log(roughness)
+    return (
+        1.62142
+        + 0.819955 * x
+        + 0.1734 * x * x
+        + 0.0171201 * x * x * x
+        + 0.000640711 * x * x * x * x
+    )
+
+
+def _smith_masking(cos_theta, roughness):
+    """microfacet.smith_masking_shadowing given cos(w, n)."""
+    sq_cos = cos_theta * cos_theta
+    sq_sin = jnp.maximum(0.0, 1.0 - sq_cos)
+    safe = jnp.maximum(sq_cos, 1e-24)
+    sq_tan = sq_sin / safe
+    alpha = _roughness_to_alpha(roughness)
+    lam = (-1.0 + jnp.sqrt(1.0 + alpha * alpha * sq_tan)) / 2.0
+    lam = jnp.where(sq_cos < 1e-24, 0.0, lam)
+    return 1.0 / (1.0 + lam)
+
+
+def _bounce_step(
+    depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
+    sky_on: bool,
+):
+    """One path-tracing bounce over a (1, T) lane tile.
+
+    Shared by the wavefront kernel (_kernel) and the fused sample-batch
+    kernel (_batch_kernel).  carry is the 23-row path state; u is an
+    (8, T) block of U[0,1) uniforms; consts holds the VMEM-resident scene
+    tables and sky colors."""
+    cx, cy, cz, c_sq_minus_r2, rec_ref, sky_b, sky_t = consts
+    s = cx.shape[0]
+
+    (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+     active, valid, anx, any_, anz, aax, aay, aaz,
+     got, events, rays_cast) = carry
+    zero = jnp.zeros_like(ox)
+    t_cols = ox.shape[1]
+
+    ua, ub, uc, ud = u[0:1], u[1:2], u[2:3], u[3:4]
+    u_choice, u_choice2 = u[4:5], u[5:6]
+
+    # ---- intersect all spheres (ops/pallas_sphere._kernel_full_body) --
+    a = dx * dx + dy * dy + dz * dz
+    o_dot_d = ox * dx + oy * dy + oz * dz
+    o_sq = ox * ox + oy * oy + oz * oz
+    # Broadcast (S,1)x(1,T) products: K=3 contractions are useless on the
+    # 128-deep MXU (measured 1.5x SLOWER via dot_general); the VPU form
+    # fuses into the quadratic chain.
+    d_dot_c = dx * cx + dy * cy + dz * cz  # (S, T)
+    o_dot_c = ox * cx + oy * cy + oz * cz
+    b = o_dot_d - d_dot_c
+    c = (o_sq - 2.0 * o_dot_c) + c_sq_minus_r2
+    disc = b * b - a * c
+    has_root = disc > 0.0
+    sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+    inv_a = 1.0 / a
+    t_near = (-b - sq) * inv_a
+    t_far = (-b + sq) * inv_a
+    near_ok = has_root & (t_near > t_min)
+    far_ok = has_root & (t_far > t_min)
+    t_entry = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, BIG))
+
+    best_t = jnp.min(t_entry, axis=0, keepdims=True)  # (1, T)
+    best_idx = jnp.argmin(t_entry, axis=0, keepdims=True).astype(jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, t_cols), 0)
+    one_hot = (row_ids == best_idx).astype(jnp.float32)
+    rec = jax.lax.dot_general(
+        rec_ref[:, :], one_hot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (REC, T)
+
+    hit = best_t < BIG
+    is_active = active > 0.0
+    scatter_mask = is_active & hit
+    miss = is_active & jnp.logical_not(hit)
+
+    # winner attributes
+    t_hit = jnp.where(hit, best_t, 0.0)
+    px = ox + t_hit * dx
+    py = oy + t_hit * dy
+    pz = oz + t_hit * dz
+    inv_r = rec[15:16, :]
+    nx = (px - rec[12:13, :]) * inv_r
+    ny = (py - rec[13:14, :]) * inv_r
+    nz = (pz - rec[14:15, :]) * inv_r
+
+    mtype = rec[0:1, :]
+    alb_r, alb_g, alb_b = rec[1:2, :], rec[2:3, :], rec[3:4, :]
+    em_r, em_g, em_b = rec[4:5, :], rec[5:6, :], rec[6:7, :]
+    gloss = rec[7:8, :]
+    metallic = rec[8:9, :]
+    parameter = rec[9:10, :]
+    perfect_f = rec[10:11, :]  # stays float: bool-valued selects are
+    # unsupported truncations in Mosaic
+
+    # ---- Standard scatter (materials.scatter, Material.cs:75-119) -----
+    roughness = (1.0 - gloss) * (1.0 - gloss)
+    csx, csy, csz = _cosine_hemisphere(ua, ub, nx, ny, nz)
+    rnx = nx + (csx - nx) * roughness
+    rny = ny + (csy - ny) * roughness
+    rnz = nz + (csz - nz) * roughness
+    rnx, rny, rnz = _normalize3(rnx, rny, rnz)
+    rough = roughness > 0.0
+    rnx = jnp.where(rough, rnx, nx)
+    rny = jnp.where(rough, rny, ny)
+    rnz = jnp.where(rough, rnz, nz)
+
+    incident_cos = -_dot3(dx, dy, dz, rnx, rny, rnz)
+    std_ior = PLASTIC_IOR + (METAL_IOR - PLASTIC_IOR) * metallic
+    fresnel = _schlick(incident_cos, std_ior)
+    cos_dn = _dot3(dx, dy, dz, nx, ny, nz)
+    masking = _smith_masking(cos_dn, roughness)
+    refl_chance = jnp.clip(fresnel * gloss * masking, 0.0, 1.0)
+
+    spec_dot = _dot3(dx, dy, dz, rnx, rny, rnz)
+    spx = dx - 2.0 * spec_dot * rnx
+    spy = dy - 2.0 * spec_dot * rny
+    spz = dz - 2.0 * spec_dot * rnz
+    lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
+
+    take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
+    take_metal = (metallic > 0.0) & (u_choice2 < metallic)
+    spec_like = take_spec | take_metal
+    sdx = jnp.where(spec_like, spx, lmx)
+    sdy = jnp.where(spec_like, spy, lmy)
+    sdz = jnp.where(spec_like, spz, lmz)
+    srr = jnp.where(take_spec, 1.0, alb_r)
+    srg = jnp.where(take_spec, 1.0, alb_g)
+    srb = jnp.where(take_spec, 1.0, alb_b)
+    std_events = (
+        jnp.where((refl_chance > 0.0) & (refl_chance < 1.0), 1.0, 0.0)
+        + jnp.where((metallic > 0.0) & (metallic < 1.0), 1.0, 0.0)
+        + roughness * (refl_chance + (1.0 - refl_chance) * metallic)
+        + (1.0 - refl_chance) * (1.0 - metallic)
+    )
+
+    if has_dielectrics:
+        # ---- Dielectric (Material.cs:121-161) --------------------------
+        d_roughness = 1.0 - gloss
+        ssx, ssy, ssz = _unit_sphere(ua, ub)
+        drx = nx + d_roughness * ssx
+        dry = ny + d_roughness * ssy
+        drz = nz + d_roughness * ssz
+        drx, dry, drz = _normalize3(drx, dry, drz)
+        ddot = _dot3(dx, dy, dz, drx, dry, drz)
+        exiting = ddot > 0.0
+        onx = jnp.where(exiting, -drx, drx)
+        ony = jnp.where(exiting, -dry, dry)
+        onz = jnp.where(exiting, -drz, drz)
+        ior = parameter
+        ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
+        cosine = jnp.where(exiting, ior * ddot, -ddot)
+        dt = _dot3(dx, dy, dz, onx, ony, onz)
+        disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
+        can_refract = disc_r > 0.0
+        sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, 0.0))
+        rfx = ni_over_nt * (dx - onx * dt) - onx * sq_r
+        rfy = ni_over_nt * (dy - ony * dt) - ony * sq_r
+        rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
+        refl_prob = _schlick(cosine, ior)
+        do_refract = can_refract & (u_choice > refl_prob)
+        drefl_dot = _dot3(dx, dy, dz, drx, dry, drz)
+        dlx = jnp.where(do_refract, rfx, dx - 2.0 * drefl_dot * drx)
+        dly = jnp.where(do_refract, rfy, dy - 2.0 * drefl_dot * dry)
+        dlz = jnp.where(do_refract, rfz, dz - 2.0 * drefl_dot * drz)
+
+        is_diel = mtype > 0.5
+        sdx = jnp.where(is_diel, dlx, sdx)
+        sdy = jnp.where(is_diel, dly, sdy)
+        sdz = jnp.where(is_diel, dlz, sdz)
+        drr = jnp.where(do_refract, alb_r, 1.0)
+        drg = jnp.where(do_refract, alb_g, 1.0)
+        drb = jnp.where(do_refract, alb_b, 1.0)
+        srr = jnp.where(is_diel, drr, srr)
+        srg = jnp.where(is_diel, drg, srg)
+        srb = jnp.where(is_diel, drb, srb)
+        std_events = jnp.where(is_diel, 1.0 + d_roughness, std_events)
+        perfect_f = jnp.where(is_diel, 1.0, perfect_f)
+
+    # ---- sky (environment.sample_sky gradient branch) ------------------
+    if sky_on:
+        tsky = 0.5 * (dy + 1.0)
+        skr = sky_b[0] + (sky_t[0] - sky_b[0]) * tsky
+        skg = sky_b[1] + (sky_t[1] - sky_b[1]) * tsky
+        skb = sky_b[2] + (sky_t[2] - sky_b[2]) * tsky
+    else:
+        skr = skg = skb = zero
+
+    # ---- fold (integrator._bounce_once) --------------------------------
+    emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
+    emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
+    emb = jnp.where(scatter_mask, em_b, jnp.where(miss, skb, 0.0))
+    rx = rx + thx * emr
+    ry = ry + thy * emg
+    rz = rz + thz * emb
+    thx = jnp.where(scatter_mask, thx * srr, thx)
+    thy = jnp.where(scatter_mask, thy * srg, thy)
+    thz = jnp.where(scatter_mask, thz * srb, thz)
+
+    # ---- AOV capture ----------------------------------------------------
+    got_b = got > 0.5
+    is_depth0 = depth == 0
+    cap0 = scatter_mask & is_depth0 & jnp.logical_not(got_b)
+    first_nonspec = (
+        scatter_mask & jnp.logical_not(got_b) & (perfect_f < 0.5)
+    )
+    capn = cap0 | first_nonspec
+    anx = jnp.where(capn, nx, anx)
+    any_ = jnp.where(capn, ny, any_)
+    anz = jnp.where(capn, nz, anz)
+    aax = jnp.where(first_nonspec, em_r + srr, aax)
+    aay = jnp.where(first_nonspec, em_g + srg, aay)
+    aaz = jnp.where(first_nonspec, em_b + srb, aaz)
+    sky_first = miss & jnp.logical_not(got_b)
+    anx = jnp.where(sky_first, -dx, anx)
+    any_ = jnp.where(sky_first, -dy, any_)
+    anz = jnp.where(sky_first, -dz, anz)
+    aax = jnp.where(sky_first, skr, aax)
+    aay = jnp.where(sky_first, skg, aay)
+    aaz = jnp.where(sky_first, skb, aaz)
+    got = jnp.where(first_nonspec | sky_first, 1.0, got)
+
+    # ---- events + ray count ---------------------------------------------
+    depth_weight = jnp.exp2(-depth.astype(jnp.float32))
+    events = events + jnp.where(scatter_mask, std_events, 0.0) * depth_weight
+    rays_cast = rays_cast + jnp.where(is_active, 1.0, 0.0)
+
+    # ---- advance ---------------------------------------------------------
+    off_sign = jnp.where(
+        _dot3(sdx, sdy, sdz, nx, ny, nz) >= 0.0, 1.0, -1.0
+    )
+    ox = jnp.where(scatter_mask, px + SELF_EPS * off_sign * nx, ox)
+    oy = jnp.where(scatter_mask, py + SELF_EPS * off_sign * ny, oy)
+    oz = jnp.where(scatter_mask, pz + SELF_EPS * off_sign * nz, oz)
+    dx = jnp.where(scatter_mask, sdx, dx)
+    dy = jnp.where(scatter_mask, sdy, dy)
+    dz = jnp.where(scatter_mask, sdz, dz)
+    active = jnp.where(miss, 0.0, active)
+    valid = jnp.where(miss, 1.0, valid)
+
+    return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+            active, valid, anx, any_, anz, aax, aay, aaz,
+            got, events, rays_cast)
+
+
+def _trace_loop(
+    carry0, consts, seed_ref, lane_row, salt_base, *, trace_depth: int,
+    t_min: float, has_dielectrics: bool, sky_on: bool, hw_prng: bool,
+    early_out: bool,
+):
+    """Run the depth loop over _bounce_step with per-bounce uniforms."""
+    t_cols = carry0[0].shape[1]
+
+    def bounce(depth, carry):
+        if hw_prng:
+            u = _uniforms_hw((8, t_cols))
+        else:
+            u = _uniforms_hash(
+                (8, t_cols), seed_ref[0, 0],
+                salt_base + depth * jnp.int32(26699), lane_row,
+            )
+        return _bounce_step(
+            depth, carry, u, consts,
+            t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+        )
+
+    if early_out:
+        def bounce_or_skip(depth, carry):
+            # Whole-tile early-out (the reference's cancellation-token /
+            # sky-termination early exits, SampleBatchJob.cs:61-62,341):
+            # once every lane in a tile has terminated, remaining bounces
+            # are free.
+            return jax.lax.cond(
+                jnp.max(carry[12]) > 0.0, lambda c: bounce(depth, c),
+                lambda c: c, carry,
+            )
+    else:
+        bounce_or_skip = bounce
+
+    return jax.lax.fori_loop(0, trace_depth, bounce_or_skip, carry0)
+
+
+def _kernel(
+    seed_ref, sky_ref, rays_ref, sph_ref, rec_ref, out_ref,
+    *, trace_depth: int, t_min: float, has_dielectrics: bool, sky_on: bool,
+    hw_prng: bool = True, early_out: bool = True,
+):
+    if hw_prng:
+        # decorrelate tiles by the tile's first global lane id (rays row 7)
+        pltpu.prng_seed(seed_ref[0, 0] + rays_ref[7, 0].astype(jnp.int32))
+
+    consts = (
+        sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3], sph_ref[:, 3:4],
+        rec_ref,
+        (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
+        (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
+    )
+    t_shape = rays_ref[0:1, :].shape  # (1, T)
+    zero = jnp.zeros(t_shape, jnp.float32)
+    one = jnp.ones(t_shape, jnp.float32)
+
+    carry0 = (
+        rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :],  # origin
+        rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :],  # direction
+        one, one, one,  # throughput
+        zero, zero, zero,  # radiance
+        rays_ref[6:7, :],  # active (0/1)
+        zero,  # valid
+        zero, zero, zero,  # aov normal
+        zero, zero, zero,  # aov albedo
+        zero,  # got_nonspecular
+        zero,  # events
+        zero,  # pixel rays
+    )
+
+    carry = _trace_loop(
+        carry0, consts, seed_ref, rays_ref[7:8, :], jnp.int32(0),
+        trace_depth=trace_depth, t_min=t_min,
+        has_dielectrics=has_dielectrics, sky_on=sky_on,
+        hw_prng=hw_prng, early_out=early_out,
+    )
+    (_, _, _, _, _, _, _, _, _, rx, ry, rz,
+     _, valid, anx, any_, anz, aax, aay, aaz, _, events, rays_cast) = carry
+
+    out_ref[0:1, :] = jnp.where(valid > 0.5, rx, 0.0)
+    out_ref[1:2, :] = jnp.where(valid > 0.5, ry, 0.0)
+    out_ref[2:3, :] = jnp.where(valid > 0.5, rz, 0.0)
+    out_ref[3:4, :] = valid
+    out_ref[4:5, :] = anx
+    out_ref[5:6, :] = any_
+    out_ref[6:7, :] = anz
+    out_ref[7:8, :] = aax
+    out_ref[8:9, :] = aay
+    out_ref[9:10, :] = aaz
+    out_ref[10:11, :] = events
+    out_ref[11:12, :] = rays_cast
+    out_ref[12:16, :] = jnp.zeros((4, rays_cast.shape[1]), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused sample-batch kernel: the WHOLE SampleBatchJob per pixel tile —
+# camera ray generation + sample loop + bounce loop + accumulation, one
+# pallas_call per batch (reference: SampleBatchJob.Execute,
+# SampleBatchJob.cs:59-164, including the thin-lens View.GetRay at
+# View.cs:38-48 and the per-pixel accumulation at :72-78,159).
+# ---------------------------------------------------------------------------
+
+BATCH_OUT_ROWS = 24
+
+
+def _batch_kernel(
+    seed_ref, cam_ref, sky_ref, pix_ref, sph_ref, rec_ref, out_ref,
+    *, samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
+    sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
+):
+    lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
+    per_pixel = pix_ref[1:2, :]  # samples to take this batch
+    count_in = pix_ref[2:3, :]  # accumulated valid samples before batch
+    pixel = pix_ref[3:4, :]  # pixel index this lane renders (row-major id;
+    # a Morton permutation of lanes keeps each tile a coherent 2D block so
+    # whole tiles terminate together and the early-out reclaims them)
+
+    if hw_prng:
+        pltpu.prng_seed(seed_ref[0, 0] + pix_ref[0, 0].astype(jnp.int32))
+
+    consts = (
+        sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3], sph_ref[:, 3:4],
+        rec_ref,
+        (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
+        (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
+    )
+
+    # camera row: origin, lower_left, horizontal, vertical, right, up,
+    # lens_radius, width, height (View.cs:16-36 basis)
+    co = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    ll = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+    hh = (cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+    vv = (cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11])
+    rr = (cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14])
+    uu = (cam_ref[0, 15], cam_ref[0, 16], cam_ref[0, 17])
+    lens_radius = cam_ref[0, 18]
+    width = cam_ref[0, 19]
+    height = cam_ref[0, 20]
+
+    py_row = jnp.floor(pixel / width)
+    px_row = pixel - py_row * width
+
+    t_shape = lane.shape
+    zero = jnp.zeros(t_shape, jnp.float32)
+    one = jnp.ones(t_shape, jnp.float32)
+
+    # Persistent-lane PATH REGENERATION: each lane traces its per-pixel
+    # samples back-to-back — the moment a path terminates, the next
+    # sample's camera ray starts in the same lane on the next iteration.
+    # A tile thus finishes in ~(total bounces of its busiest lane)
+    # iterations instead of always samples*trace_depth, converting the
+    # reference's per-pixel early exits (sky hit at SampleBatchJob.cs:341,
+    # depth exhaustion :380) into reclaimed TPU lanes.
+    state0 = (
+        # path state
+        zero, zero, zero,  # origin
+        zero, zero, zero,  # direction
+        one, one, one,  # throughput
+        zero, zero, zero,  # radiance
+        zero,  # path_active
+        zero,  # valid (set by a sky miss)
+        zero, zero, zero,  # aov normal
+        zero, zero, zero,  # aov albedo
+        zero,  # got_nonspecular
+        zero,  # events (this path)
+        zero,  # depth counter (this path)
+        zero,  # samples started
+        # per-pixel accumulators
+        zero, zero, zero,  # color sum
+        zero,  # valid count
+        zero, zero, zero,  # normal sum
+        zero, zero, zero,  # albedo sum
+        zero,  # weight sum
+        zero,  # rays
+        zero, zero, zero,  # fallback normal
+        zero, zero, zero,  # fallback albedo
+    )
+
+    def iteration(it, state):
+        (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+         pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
+         depth_ct, started,
+         csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
+         wsum, rays, fnx, fny, fnz, fax, fay, faz) = state
+
+        # ---- regenerate: start the next sample on idle lanes ----------
+        regen = (pactive < 0.5) & (started < per_pixel)
+        if hw_prng:
+            u = _uniforms_hw((8, t_shape[1]))
+        else:
+            u = _uniforms_hash(
+                (8, t_shape[1]), seed_ref[0, 0],
+                it * jnp.int32(1013904223), lane,
+            )
+        if jitter:
+            jx, jy = u[0:1], u[1:2]
+        else:
+            jx = jy = 0.5
+        un = (px_row + jx) / width
+        vn = (py_row + jy) / height
+        # thin-lens defocus (View.cs:38-48; sampling.in_unit_disk)
+        theta = u[2:3] * TWO_PI
+        radius = jnp.sqrt(u[3:4]) * lens_radius
+        rdx = radius * jnp.cos(theta)
+        rdy = radius * jnp.sin(theta)
+        offx = rdx * rr[0] + rdy * uu[0]
+        offy = rdx * rr[1] + rdy * uu[1]
+        offz = rdx * rr[2] + rdy * uu[2]
+        cdx = ll[0] - offx + un * hh[0] + vn * vv[0]
+        cdy = ll[1] - offy + un * hh[1] + vn * vv[1]
+        cdz = ll[2] - offz + un * hh[2] + vn * vv[2]
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+
+        ox = jnp.where(regen, co[0] + offx, ox)
+        oy = jnp.where(regen, co[1] + offy, oy)
+        oz = jnp.where(regen, co[2] + offz, oz)
+        dx = jnp.where(regen, cdx, dx)
+        dy = jnp.where(regen, cdy, dy)
+        dz = jnp.where(regen, cdz, dz)
+        thx = jnp.where(regen, 1.0, thx)
+        thy = jnp.where(regen, 1.0, thy)
+        thz = jnp.where(regen, 1.0, thz)
+        rx = jnp.where(regen, 0.0, rx)
+        ry = jnp.where(regen, 0.0, ry)
+        rz = jnp.where(regen, 0.0, rz)
+        anx = jnp.where(regen, 0.0, anx)
+        any_ = jnp.where(regen, 0.0, any_)
+        anz = jnp.where(regen, 0.0, anz)
+        aax = jnp.where(regen, 0.0, aax)
+        aay = jnp.where(regen, 0.0, aay)
+        aaz = jnp.where(regen, 0.0, aaz)
+        got = jnp.where(regen, 0.0, got)
+        events = jnp.where(regen, 0.0, events)
+        depth_ct = jnp.where(regen, 0.0, depth_ct)
+        valid = jnp.where(regen, 0.0, valid)
+        pactive = jnp.where(regen, 1.0, pactive)
+        started = started + jnp.where(regen, 1.0, 0.0)
+
+        was_active = pactive > 0.5
+
+        # ---- one bounce ------------------------------------------------
+        carry = (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+                 pactive, valid, anx, any_, anz, aax, aay, aaz,
+                 got, events, zero)
+        if hw_prng:
+            ub = _uniforms_hw((8, t_shape[1]))
+        else:
+            ub = _uniforms_hash(
+                (8, t_shape[1]), seed_ref[0, 0],
+                it * jnp.int32(1013904223) + jnp.int32(7919), lane,
+            )
+        carry = _bounce_step(
+            depth_ct, carry, ub, consts,
+            t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+        )
+        (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+         pactive, valid, anx, any_, anz, aax, aay, aaz,
+         got, events, _) = carry
+
+        depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
+        rays = rays + jnp.where(was_active, 1.0, 0.0)
+
+        # depth exhaustion fails the sample (SampleBatchJob.cs:380-381)
+        exhausted = (pactive > 0.5) & (depth_ct > trace_depth - 0.5)
+        pactive = jnp.where(exhausted, 0.0, pactive)
+
+        # ---- commit terminated paths ------------------------------------
+        terminated = was_active & (pactive < 0.5)
+        ok = terminated & (valid > 0.5)
+        csx_ = csx_ + jnp.where(ok, rx, 0.0)
+        csy_ = csy_ + jnp.where(ok, ry, 0.0)
+        csz_ = csz_ + jnp.where(ok, rz, 0.0)
+        nsx = nsx + jnp.where(ok, anx, 0.0)
+        nsy = nsy + jnp.where(ok, any_, 0.0)
+        nsz = nsz + jnp.where(ok, anz, 0.0)
+        asx = asx + jnp.where(ok, aax, 0.0)
+        asy = asy + jnp.where(ok, aay, 0.0)
+        asz = asz + jnp.where(ok, aaz, 0.0)
+        wsum = wsum + jnp.where(ok, events, 0.0)
+
+        # fallback AOVs while the pixel has no valid sample yet
+        # (SampleBatchJob.cs:146-151; captured valid or not)
+        is_first_ever = terminated & ((count_in + cnt) < 0.5)
+        fnx = jnp.where(is_first_ever, anx, fnx)
+        fny = jnp.where(is_first_ever, any_, fny)
+        fnz = jnp.where(is_first_ever, anz, fnz)
+        fax = jnp.where(is_first_ever, aax, fax)
+        fay = jnp.where(is_first_ever, aay, fay)
+        faz = jnp.where(is_first_ever, aaz, faz)
+
+        cnt = cnt + jnp.where(ok, 1.0, 0.0)
+
+        return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+                pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
+                depth_ct, started,
+                csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
+                wsum, rays, fnx, fny, fnz, fax, fay, faz)
+
+    if early_out:
+        def iteration_or_skip(it, state):
+            # tile done: no live path and every lane exhausted its samples
+            live = jnp.max(
+                state[12] + jnp.where(state[23] < per_pixel, 1.0, 0.0)
+            )
+            return jax.lax.cond(
+                live > 0.0, lambda s: iteration(it, s), lambda s: s, state
+            )
+    else:
+        iteration_or_skip = iteration
+
+    state = jax.lax.fori_loop(
+        0, samples * trace_depth, iteration_or_skip, state0
+    )
+    acc = state[24:]
+
+    for i, row in enumerate(acc):
+        out_ref[i : i + 1, :] = row
+    out_ref[18:BATCH_OUT_ROWS, :] = jnp.zeros(
+        (BATCH_OUT_ROWS - 18, t_shape[1]), jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("samples", "trace_depth", "t_min", "has_dielectrics",
+                     "sky_on", "hw_prng", "early_out", "jitter", "interpret"),
+)
+def sample_batch(
+    lane_count: jnp.ndarray,  # (N,) per-pixel samples to take (int or float)
+    count_in: jnp.ndarray,  # (N,) accumulated valid samples before batch
+    camera_row: jnp.ndarray,  # (24,) packed thin-lens camera (see kernel)
+    centers: jnp.ndarray,  # (S, 3)
+    radii: jnp.ndarray,  # (S,)
+    records: jnp.ndarray,  # (S, 11) packed material rows
+    sky_bottom: jnp.ndarray,  # (3,)
+    sky_top: jnp.ndarray,  # (3,)
+    seed: jnp.ndarray,  # () int32
+    pixel_index: jnp.ndarray | None = None,  # (N,) pixel id per lane
+    *,
+    samples: int,
+    trace_depth: int,
+    t_min: float = 0.0,
+    has_dielectrics: bool = True,
+    sky_on: bool = True,
+    hw_prng: bool | None = None,
+    early_out: bool = True,
+    jitter: bool = True,
+    interpret: bool = False,
+):
+    """Fused SampleBatchJob: per-pixel accumulation DELTAS for one batch.
+
+    Returns dict of flat (N,) / (N, 3) deltas in LANE order: color, count,
+    normal, albedo, weight, rays, fallback_normal, fallback_albedo.  When
+    `pixel_index` permutes lanes (Morton order), `lane_count`/`count_in`
+    must arrive pre-permuted and the caller un-permutes the deltas.
+    """
+    if hw_prng is None:
+        hw_prng = not interpret
+    n = lane_count.shape[0]
+    s = centers.shape[0]
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
+
+    pix = jnp.zeros((8, n_pad), jnp.float32)
+    pix = pix.at[0, :].set(jnp.arange(n_pad, dtype=jnp.float32))
+    pix = pix.at[1, :n].set(lane_count.astype(jnp.float32))
+    pix = pix.at[2, :n].set(count_in.astype(jnp.float32))
+    if pixel_index is None:
+        pix = pix.at[3, :].set(jnp.arange(n_pad, dtype=jnp.float32))
+    else:
+        pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
+
+    sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
+    sph = sph.at[:s, 0:3].set(centers)
+    c_sq = jnp.sum(centers * centers, axis=-1)
+    sph = sph.at[:s, 3].set(c_sq - radii * radii)
+    sph = sph.at[s:, 3].set(jnp.inf)
+
+    safe_r = jnp.where(radii == 0.0, 1.0, radii)
+    rec_t = jnp.zeros((REC_COLS, s_pad), jnp.float32)
+    rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
+    rec_t = rec_t.at[12:15, :s].set(centers.T)
+    rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
+
+    sky = jnp.concatenate(
+        [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
+    ).astype(jnp.float32).reshape(1, 8)
+    cam = camera_row.astype(jnp.float32).reshape(1, 24)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
+
+    grid = (n_pad // RAY_TILE,)
+    out = pl.pallas_call(
+        functools.partial(
+            _batch_kernel,
+            samples=samples,
+            trace_depth=trace_depth,
+            t_min=t_min,
+            has_dielectrics=has_dielectrics,
+            sky_on=sky_on,
+            hw_prng=hw_prng,
+            early_out=early_out,
+            jitter=jitter,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (REC_COLS, s_pad), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BATCH_OUT_ROWS, RAY_TILE), lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((BATCH_OUT_ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(seed_arr, cam, sky, pix, sph, rec_t)
+
+    return {
+        "color": out[0:3, :n].T,
+        "count": out[3, :n],
+        "normal": out[4:7, :n].T,
+        "albedo": out[7:10, :n].T,
+        "weight": out[10, :n],
+        "rays": out[11, :n].astype(jnp.int32),
+        "fallback_normal": out[12:15, :n].T,
+        "fallback_albedo": out[15:18, :n].T,
+    }
+
+
+@functools.lru_cache(maxsize=8)
+def morton_order(width: int, height: int):
+    """(order, rank): lane->pixel Z-order permutation and its inverse.
+
+    Z-order makes each RAY_TILE of lanes a compact 2D pixel block, so sky
+    blocks terminate as whole tiles and the kernel's early-out reclaims
+    them (host-side, cached per resolution)."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
+        return v
+
+    code = (spread(xs) | (spread(ys) << np.uint64(1))).ravel()
+    order = np.argsort(code, kind="stable").astype(np.int32)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size, dtype=np.int32)
+    return order, rank
+
+
+def pack_camera_row(camera, width: int, height: int) -> jnp.ndarray:
+    """Pack a core.camera.Camera into the kernel's (24,) SMEM row."""
+    return jnp.concatenate([
+        camera.origin,
+        camera.lower_left_corner,
+        camera.horizontal,
+        camera.vertical,
+        camera.right,
+        camera.up,
+        jnp.stack([
+            camera.lens_radius,
+            jnp.asarray(width, jnp.float32),
+            jnp.asarray(height, jnp.float32),
+        ]),
+        jnp.zeros((3,), jnp.float32),
+    ]).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("trace_depth", "t_min", "has_dielectrics", "sky_on",
+                     "hw_prng", "early_out", "interpret"),
+)
+def megatrace(
+    origin: jnp.ndarray,  # (N, 3)
+    direction: jnp.ndarray,  # (N, 3)
+    active: jnp.ndarray,  # (N,) bool
+    centers: jnp.ndarray,  # (S, 3)
+    radii: jnp.ndarray,  # (S,)
+    records: jnp.ndarray,  # (S, 11) packed material rows
+    sky_bottom: jnp.ndarray,  # (3,)
+    sky_top: jnp.ndarray,  # (3,)
+    seed: jnp.ndarray,  # () int32
+    *,
+    trace_depth: int,
+    t_min: float = 0.0,
+    has_dielectrics: bool = True,
+    sky_on: bool = True,
+    hw_prng: bool | None = None,
+    early_out: bool = True,
+    interpret: bool = False,
+):
+    """Full fused path trace; returns dict of flat per-ray outputs."""
+    if hw_prng is None:
+        hw_prng = not interpret  # no hardware PRNG in CPU interpret mode
+    n = origin.shape[0]
+    s = centers.shape[0]
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
+
+    rays = jnp.zeros((8, n_pad), jnp.float32)
+    rays = rays.at[0:3, :n].set(origin.T)
+    rays = rays.at[3:6, :n].set(direction.T)
+    rays = rays.at[6, :n].set(active.astype(jnp.float32))
+    # row 7: global lane id (exact in f32 below 2^24) for RNG decorrelation
+    rays = rays.at[7, :].set(jnp.arange(n_pad, dtype=jnp.float32))
+    if n_pad != n:
+        rays = rays.at[5, n:].set(1.0)
+
+    sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
+    sph = sph.at[:s, 0:3].set(centers)
+    c_sq = jnp.sum(centers * centers, axis=-1)
+    sph = sph.at[:s, 3].set(c_sq - radii * radii)
+    sph = sph.at[s:, 3].set(jnp.inf)
+
+    safe_r = jnp.where(radii == 0.0, 1.0, radii)
+    rec_t = jnp.zeros((REC_COLS, s_pad), jnp.float32)
+    rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
+    rec_t = rec_t.at[12:15, :s].set(centers.T)
+    rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
+
+    sky = jnp.concatenate(
+        [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
+    ).astype(jnp.float32).reshape(1, 8)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
+
+    grid = (n_pad // RAY_TILE,)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            trace_depth=trace_depth,
+            t_min=t_min,
+            has_dielectrics=has_dielectrics,
+            sky_on=sky_on,
+            hw_prng=hw_prng,
+            early_out=early_out,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (REC_COLS, s_pad), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (OUT_ROWS, RAY_TILE), lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(seed_arr, sky, rays, sph, rec_t)
+
+    return {
+        "radiance": out[0:3, :n].T,
+        "valid": out[3, :n] > 0.5,
+        "aov_normal": out[4:7, :n].T,
+        "aov_albedo": out[7:10, :n].T,
+        "events": out[10, :n],
+        "pixel_rays": out[11, :n].astype(jnp.int32),
+    }

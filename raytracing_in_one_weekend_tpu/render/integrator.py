@@ -85,6 +85,46 @@ def trace(
     """
     n = rays.origin.shape[0]
 
+    # --- fully fused megakernel dispatch (ops/pallas_megatrace.py): the
+    # entire bounce loop in one VMEM-resident Pallas kernel for the
+    # sphere-only / constant-texture / gradient-sky scene class.
+    from raytracing_in_one_weekend_tpu.ops import pallas_megatrace, pallas_sphere
+
+    mega = (
+        not differentiable
+        and pallas_sphere.use_pallas()
+        and pallas_megatrace.scene_eligible(scene)
+    )
+    if mega:
+        packed0 = materials.pack_materials(scene)
+        records = packed0[scene.spheres.material][:, :11]
+        seed = jax.random.randint(
+            rng.purpose_key(key, rng.Purpose.SCATTER_A), (), 0, 2**31 - 1
+        ).astype(jnp.int32)
+        out = pallas_megatrace.megatrace(
+            rays.origin,
+            rays.direction,
+            jnp.ones((n,), jnp.bool_) if active is None else active,
+            scene.spheres.center,
+            scene.spheres.radius,
+            records,
+            scene.environment.sky_bottom,
+            scene.environment.sky_top,
+            seed,
+            trace_depth=trace_depth,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=scene.flags.sky == 1,
+        )
+        return TraceResult(
+            radiance=out["radiance"],
+            valid=out["valid"],
+            aov_normal=out["aov_normal"],
+            aov_albedo=out["aov_albedo"],
+            events=out["events"],
+            ray_count=jnp.sum(out["pixel_rays"]),
+            pixel_rays=out["pixel_rays"],
+        )
+
     if scene.flags.has_volumes:
         inside0 = intersect.point_inside_volume(scene, rays.origin)
     else:

@@ -84,6 +84,73 @@ def render_batch(
     else:
         per_pixel = jnp.full((n,), samples, jnp.int32)
 
+    # --- fused SampleBatchJob kernel (ops/pallas_megatrace.sample_batch):
+    # camera raygen + sample loop + bounce loop + accumulation, one
+    # pallas_call per batch, all state VMEM-resident.
+    from raytracing_in_one_weekend_tpu.core import materials
+    from raytracing_in_one_weekend_tpu.ops import pallas_megatrace, pallas_sphere
+
+    if (
+        not differentiable
+        and pallas_sphere.use_pallas()
+        and pallas_megatrace.scene_eligible(scene)
+    ):
+        lane_count = jnp.where(row_active, per_pixel, 0)
+        packed = materials.pack_materials(scene)
+        records = packed[scene.spheres.material][:, :11]
+        seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
+        # NOTE: lanes map to pixels row-major (identity).  A Morton lane
+        # permutation (pallas_megatrace.morton_order) was measured 5%
+        # SLOWER end-to-end on the cover scene — the un-permute gathers
+        # cost more than the extra tile-coherence buys; 512-lane row tiles
+        # are already spatially coherent.
+        d = pallas_megatrace.sample_batch(
+            lane_count,
+            acc.sample_count,
+            pallas_megatrace.pack_camera_row(camera, width, height),
+            scene.spheres.center,
+            scene.spheres.radius,
+            records,
+            scene.environment.sky_bottom,
+            scene.environment.sky_top,
+            seed,
+            samples=samples,
+            trace_depth=trace_depth,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=scene.flags.sky == 1,
+            jitter=sub_pixel_jitter,
+        )
+        fb_new = ((acc.sample_count == 0) & (lane_count > 0))[:, None]
+        acc = film.Accumulators(
+            color=acc.color + d["color"],
+            sample_count=acc.sample_count + d["count"],
+            normal=acc.normal + d["normal"],
+            albedo=acc.albedo + d["albedo"],
+            weight=acc.weight + d["weight"],
+            fallback_normal=jnp.where(
+                fb_new, d["fallback_normal"], acc.fallback_normal
+            ),
+            fallback_albedo=jnp.where(
+                fb_new, d["fallback_albedo"], acc.fallback_albedo
+            ),
+        )
+        count = acc.sample_count
+        weight_per_sample = acc.weight / jnp.maximum(count, 1.0)
+        metrics = BatchMetrics(
+            total_rays=jnp.sum(d["rays"]),
+            total_samples=jnp.sum(count),
+            min_sample_count=jnp.min(count),
+            max_sample_count=jnp.max(count),
+            weight_min=jnp.min(
+                jnp.where(count > 0, weight_per_sample, jnp.inf)
+            ),
+            weight_max=jnp.max(
+                jnp.where(count > 0, weight_per_sample, -jnp.inf)
+            ),
+            pixel_rays=d["rays"],
+        )
+        return acc, metrics
+
     def one_sample(carry, sample_index):
         acc_c = carry
         skey = rng.sample_key(key, sample_index)

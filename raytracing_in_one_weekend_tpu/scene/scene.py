@@ -121,6 +121,9 @@ class SceneFlags:
     # any CHECKER / PERLIN / IMAGE texture: forces the full per-ray texture
     # sampling path; constant-only scenes use the packed material records
     has_procedural_textures: bool = False
+    # static sky kind (int(SkyType)); jit-specializes the sky branch and
+    # gates the fused megakernel (gradient sky evaluates in-kernel)
+    sky: int = 1
 
 
 class Scene(NamedTuple):
@@ -570,6 +573,7 @@ class SceneBuilder:
                            TextureType.IMAGE)
                 for t in self._textures
             ),
+            sky=int(sky_type),
         )
         return Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=triangles,

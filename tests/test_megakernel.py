@@ -1,0 +1,139 @@
+"""Fused Pallas megakernel tests (CPU interpret mode).
+
+Oracle: statistical agreement with the wavefront integrator — same scene,
+same camera, independent RNG streams — on every accumulator channel.
+(The TPU-compiled kernel is exercised by bench.py on hardware.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+from raytracing_in_one_weekend_tpu.core import materials
+from raytracing_in_one_weekend_tpu.models import book_scenes
+from raytracing_in_one_weekend_tpu.ops import pallas_megatrace
+from raytracing_in_one_weekend_tpu.render import film, renderer
+
+
+def _setup(scene_fn, w=32, h=32):
+    scene, cs = scene_fn()
+    camera = camera_mod.make_camera(
+        cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+        aperture=cs.aperture, focus_distance=cs.focus_distance,
+    )
+    return scene, camera
+
+
+def _records(scene):
+    packed = materials.pack_materials(scene)
+    return packed[scene.spheres.material][:, :11]
+
+
+class TestEligibility:
+    def test_cover_eligible(self):
+        scene, _ = book_scenes.cover_scene(grid=2)
+        assert pallas_megatrace.scene_eligible(scene)
+
+    def test_volume_scene_not_eligible(self):
+        scene, _ = book_scenes.volume_test()
+        assert not pallas_megatrace.scene_eligible(scene)
+
+    def test_rect_scene_not_eligible(self):
+        scene, _ = book_scenes.cornell_box()
+        assert not pallas_megatrace.scene_eligible(scene)
+
+
+class TestSampleBatchKernel:
+    @pytest.mark.parametrize("scene_fn", [
+        book_scenes.three_spheres, book_scenes.single_sphere,
+    ])
+    def test_matches_wavefront_statistically(self, scene_fn):
+        w = h = 32
+        s, d = 4, 6
+        scene, camera = _setup(scene_fn, w, h)
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32),
+            jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(7), samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        # independent RNG streams: compare channel means, not pixels
+        def close(a, b, rel):
+            assert float(a) == pytest.approx(float(b), rel=rel), (a, b)
+
+        close(jnp.mean(out["count"]), jnp.mean(ref.sample_count), 0.05)
+        close(jnp.mean(out["color"]), jnp.mean(ref.color), 0.05)
+        close(jnp.mean(jnp.abs(out["normal"])),
+              jnp.mean(jnp.abs(ref.normal)), 0.05)
+        close(jnp.mean(out["albedo"]), jnp.mean(ref.albedo), 0.05)
+        close(jnp.mean(out["weight"]), jnp.mean(ref.weight), 0.08)
+        close(jnp.sum(out["rays"]), mref.total_rays, 0.05)
+
+    def test_adaptive_lane_counts_respected(self):
+        w = h = 16
+        scene, camera = _setup(book_scenes.single_sphere, w, h)
+        lane_count = jnp.arange(w * h, dtype=jnp.int32) % 4  # 0..3 samples
+        out = pallas_megatrace.sample_batch(
+            lane_count, jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(3), samples=4, trace_depth=6,
+            has_dielectrics=False, sky_on=True, interpret=True,
+        )
+        count = np.asarray(out["count"])
+        assert np.all(count <= np.asarray(lane_count))
+        # zero-sample lanes contribute nothing at all
+        zero_lanes = np.asarray(lane_count) == 0
+        assert np.all(count[zero_lanes] == 0)
+        assert np.all(np.asarray(out["rays"])[zero_lanes] == 0)
+
+    def test_fallback_aovs_captured_once_pixel_has_none(self):
+        w = h = 8
+        scene, camera = _setup(book_scenes.single_sphere, w, h)
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), 2, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(5), samples=2, trace_depth=4,
+            has_dielectrics=False, sky_on=True, interpret=True,
+        )
+        fbn = np.asarray(out["fallback_normal"])
+        assert np.abs(fbn).max() > 0.5  # something was captured
+
+        # with count_in > 0 everywhere, fallback rows stay zero
+        out2 = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), 2, jnp.int32), jnp.ones((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(5), samples=2, trace_depth=4,
+            has_dielectrics=False, sky_on=True, interpret=True,
+        )
+        assert np.abs(np.asarray(out2["fallback_normal"])).max() == 0.0
+
+
+class TestMortonOrder:
+    def test_permutation_and_inverse(self):
+        order, rank = pallas_megatrace.morton_order(16, 8)
+        assert sorted(order.tolist()) == list(range(128))
+        np.testing.assert_array_equal(order[rank], np.arange(128))
+
+    def test_first_tile_is_compact_block(self):
+        order, _ = pallas_megatrace.morton_order(64, 64)
+        first = order[:256]
+        xs, ys = first % 64, first // 64
+        # Z-order: first 256 pixels form a 16x16 block
+        assert xs.max() - xs.min() <= 15
+        assert ys.max() - ys.min() <= 15
