@@ -102,15 +102,19 @@ def main() -> None:
     grad_rays = WIDTH * HEIGHT * 2 * TRACE_DEPTH
     fwdbwd_mrays = grad_rays / per_iter[len(per_iter) // 2] / 1e6
 
+    # Headline = the reference's own metric: forward MillionRaysPerSecond
+    # (Raytracer.cs:109,540).  The reference has no gradients; the
+    # differentiable fwd+bwd figure is this framework's extension and is
+    # reported alongside.
     print(
         json.dumps(
             {
-                "metric": "cover_scene_fwd_bwd_mrays_per_sec",
-                "value": round(fwdbwd_mrays, 3),
+                "metric": "cover_scene_mrays_per_sec",
+                "value": round(fwd_mrays, 3),
                 "unit": "MRays/s",
-                "vs_baseline": round(fwdbwd_mrays / REFERENCE_MRAYS, 3),
+                "vs_baseline": round(fwd_mrays / REFERENCE_MRAYS, 3),
                 "extra": {
-                    "fwd_mrays_per_sec": round(fwd_mrays, 3),
+                    "fwd_bwd_mrays_per_sec": round(fwdbwd_mrays, 3),
                     "width": WIDTH,
                     "height": HEIGHT,
                     "trace_depth": TRACE_DEPTH,

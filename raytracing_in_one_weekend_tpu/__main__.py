@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided a-trous denoise of the final image")
     p.add_argument("--tonemap", choices=("gamma", "aces"), default="gamma")
+    p.add_argument("--noise", choices=("white", "blue", "stbn"),
+                   default="white",
+                   help="sampler flavor for jitter/lens draws "
+                        "(RandomSource NoiseColor analog)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-duration", type=float, default=None,
                    help="stop after this many seconds")
@@ -73,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     from raytracing_in_one_weekend_tpu.utils import image as image_util
     from raytracing_in_one_weekend_tpu.utils.config import (
         DenoiseMode,
+        NoiseColor,
         RenderSettings,
     )
 
@@ -86,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         adaptive_sampling=not args.no_adaptive,
         interlacing=args.interlacing,
         denoise_mode=DenoiseMode.ATROUS if args.denoise else DenoiseMode.NONE,
+        noise_color={
+            "white": NoiseColor.WHITE,
+            "blue": NoiseColor.BLUE,
+            "stbn": NoiseColor.SPATIO_TEMPORAL_BLUE,
+        }[args.noise],
     )
     r = driver_mod.ProgressiveRenderer(
         scene, camera_settings, settings, seed=args.seed

@@ -84,16 +84,26 @@ def make_camera(
 
 
 def generate_rays(
-    camera: Camera, normalized_coords: jnp.ndarray, key: jax.Array
+    camera: Camera,
+    normalized_coords: jnp.ndarray,
+    key: jax.Array,
+    lens_uv: jnp.ndarray | None = None,
 ) -> Rays:
     """Primary rays for normalized pixel coords (N, 2) in [0,1)^2
     (reference: View.cs:38-48 GetRay).
 
     The defocus offset is `lens_radius * sample_in_unit_disk` projected on
-    the camera right/up axes; the shutter time is U[0,1).
+    the camera right/up axes; the shutter time is U[0,1).  `lens_uv`
+    optionally supplies the (N, 2) disk uniforms (blue-noise sampler,
+    RandomSource.cs InUnitDisk slot); default is white noise.
     """
     n = normalized_coords.shape[0]
-    u1, u2 = jax.random.uniform(rng.purpose_key(key, rng.Purpose.LENS), (2, n))
+    if lens_uv is not None:
+        u1, u2 = lens_uv[:, 0], lens_uv[:, 1]
+    else:
+        u1, u2 = jax.random.uniform(
+            rng.purpose_key(key, rng.Purpose.LENS), (2, n)
+        )
     disk = sampling.in_unit_disk(u1, u2)
     rd = camera.lens_radius * disk
     offset = rd[:, 0:1] * camera.right + rd[:, 1:2] * camera.up
@@ -113,16 +123,26 @@ def generate_rays(
 
 
 def pixel_coords(
-    width: int, height: int, key: jax.Array | None, sub_pixel_jitter: bool
+    width: int,
+    height: int,
+    key: jax.Array | None,
+    sub_pixel_jitter: bool,
+    jitter_uv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Normalized sample coordinates for the full pixel grid, row-major
     (N, 2) with N = width*height.  Jitter follows the reference
-    (SampleBatchJob.cs:134: coords + jitter-or-0.5, divided by size)."""
+    (SampleBatchJob.cs:134: coords + jitter-or-0.5, divided by size);
+    `jitter_uv` optionally supplies (N, 2) jitter uniforms (blue-noise
+    sampler slot)."""
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
     coords = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (N, 2)
-    if sub_pixel_jitter and key is not None:
+    if not sub_pixel_jitter:
+        jitter = 0.5
+    elif jitter_uv is not None:
+        jitter = jitter_uv
+    elif key is not None:
         jitter = jax.random.uniform(
             rng.purpose_key(key, rng.Purpose.PIXEL_JITTER), coords.shape
         )

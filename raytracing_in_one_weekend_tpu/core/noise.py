@@ -113,13 +113,15 @@ def make_blue_noise_tile(size: int = 64, channels: int = 4, seed: int = 7):
     64x64 HDR textures).  Returns (size, size, channels) float32 in [0,1)."""
     rng = np.random.default_rng(seed)
     out = np.empty((size, size, channels), np.float32)
-    # Gaussian kernel in Fourier space for toroidal blur.
+    # Gaussian kernel in Fourier space for toroidal blur; sharpness 1.0 /
+    # 64 iterations measured the bluest spectrum (neighbor-delta 1.34x
+    # white's, vs 1.10x at the previous 1.9/24 setting).
     fy = np.fft.fftfreq(size)[:, None]
     fx = np.fft.fftfreq(size)[None, :]
-    gauss = np.exp(-((fx**2 + fy**2) * (2.0 * np.pi * 1.9) ** 2) / 2.0)
+    gauss = np.exp(-((fx**2 + fy**2) * (2.0 * np.pi * 1.0) ** 2) / 2.0)
     for c in range(channels):
         vals = rng.random((size, size)).astype(np.float32)
-        for _ in range(24):
+        for _ in range(64):
             blurred = np.real(np.fft.ifft2(np.fft.fft2(vals) * gauss))
             highpass = vals - blurred
             order = np.argsort(highpass.ravel())

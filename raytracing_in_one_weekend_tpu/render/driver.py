@@ -101,6 +101,12 @@ class ProgressiveRenderer:
         self._interlace_order = ordering.space_filling_series(
             settings.interlacing
         )
+        # Sampler flavor tables (RandomSource NoiseColor; None = white).
+        from raytracing_in_one_weekend_tpu.core import randomsource
+
+        self.noise_state = randomsource.make_noise_state(
+            settings.noise_color, seed=seed + 7
+        )
         self.reset()
 
     # --- progressive state -------------------------------------------------
@@ -188,6 +194,9 @@ class ProgressiveRenderer:
             slice_divider=max(s.interlacing, 1),
             sample_range=sample_range,
             weight_extrema=extrema,
+            noise_color=int(s.noise_color),
+            noise_state=self.noise_state,
+            draw_base=jnp.asarray(self.batch_index * max_lanes, jnp.int32),
         )
         metrics = jax.block_until_ready(metrics)
         duration = time.perf_counter() - t0

@@ -50,6 +50,9 @@ def render_batch(
     differentiable: bool = True,
     sample_range: tuple[int, int] | None = None,
     weight_extrema: jnp.ndarray | None = None,
+    noise_color: int = 0,
+    noise_state=None,
+    draw_base: jnp.ndarray | int = 0,
 ) -> tuple[film.Accumulators, BatchMetrics]:
     """Accumulate up to `samples` new samples per pixel.
 
@@ -92,6 +95,7 @@ def render_batch(
 
     if (
         not differentiable
+        and noise_color == 0  # blue/STBN samplers use the wavefront path
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(scene)
     ):
@@ -154,10 +158,26 @@ def render_batch(
     def one_sample(carry, sample_index):
         acc_c = carry
         skey = rng.sample_key(key, sample_index)
-        coords = camera_mod.pixel_coords(
-            width, height, skey if sub_pixel_jitter else None, sub_pixel_jitter
-        )
-        rays = camera_mod.generate_rays(camera, coords, skey)
+        if noise_color != 0 and noise_state is not None:
+            # Pixel-correlated sampler flavors (RandomSource.cs NoiseColor):
+            # blue / spatio-temporal blue drive jitter + lens draws.
+            from raytracing_in_one_weekend_tpu.core import randomsource
+
+            u4 = randomsource.pixel_uniforms(
+                noise_state, draw_base + sample_index, width, height
+            )
+            coords = camera_mod.pixel_coords(
+                width, height, None, sub_pixel_jitter, jitter_uv=u4[:, 0:2]
+            )
+            rays = camera_mod.generate_rays(
+                camera, coords, skey, lens_uv=u4[:, 2:4]
+            )
+        else:
+            coords = camera_mod.pixel_coords(
+                width, height, skey if sub_pixel_jitter else None,
+                sub_pixel_jitter,
+            )
+            rays = camera_mod.generate_rays(camera, coords, skey)
         lane_active = row_active & (sample_index < per_pixel)
         result = integrator.trace(
             scene, rays, skey, trace_depth, differentiable=differentiable,
@@ -214,7 +234,7 @@ def render_batch(
     jax.jit,
     static_argnames=(
         "width", "height", "samples", "trace_depth", "sub_pixel_jitter",
-        "slice_divider", "differentiable", "sample_range",
+        "slice_divider", "differentiable", "sample_range", "noise_color",
     ),
     donate_argnames=("acc",),
 )
@@ -234,6 +254,9 @@ def render_batch_jit(
     differentiable: bool = False,
     sample_range: tuple[int, int] | None = None,
     weight_extrema: jnp.ndarray | None = None,
+    noise_color: int = 0,
+    noise_state=None,
+    draw_base: jnp.ndarray | int = 0,
 ):
     """Donated-accumulator jitted batch step — the analog of the reference's
     pooled-buffer double-buffering (Raytracer.cs:798-802), which collapses
@@ -250,6 +273,9 @@ def render_batch_jit(
         differentiable=differentiable,
         sample_range=sample_range,
         weight_extrema=weight_extrema,
+        noise_color=noise_color,
+        noise_state=noise_state,
+        draw_base=draw_base,
     )
 
 
