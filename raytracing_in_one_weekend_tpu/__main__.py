@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write progressive state here when stopping")
     p.add_argument("--resume", default=None,
                    help="restore progressive state from this checkpoint")
+    p.add_argument("--frames", type=int, default=1,
+                   help="render an animation: N frames with the camera "
+                        "orbiting look_at (BASELINE config-5 shape)")
+    p.add_argument("--orbit-degrees", type=float, default=360.0,
+                   help="total orbit sweep across --frames")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -97,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
             "stbn": NoiseColor.SPATIO_TEMPORAL_BLUE,
         }[args.noise],
     )
+    if args.frames > 1:
+        return _render_animation(args, scene, camera_settings, settings)
+
     r = driver_mod.ProgressiveRenderer(
         scene, camera_settings, settings, seed=args.seed
     )
@@ -137,6 +145,50 @@ def main(argv: list[str] | None = None) -> int:
             f"avg {r.avg_mrays_per_second:.2f} MRays/s -> {args.output}",
             file=sys.stderr,
         )
+    return 0
+
+
+def _render_animation(args, scene, camera_settings, settings) -> int:
+    """Orbit-camera animation: one progressive trace per frame (the
+    reference's CameraControl fly-orbit, Unity/CameraControl.cs:13-116,
+    as a batch renderer)."""
+    import math
+    import sys as _sys
+
+    import numpy as np
+
+    from raytracing_in_one_weekend_tpu.render import driver as driver_mod
+    from raytracing_in_one_weekend_tpu.utils import image as image_util
+    from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+    stem = args.output.rsplit(".", 1)[0]
+    origin = np.asarray(camera_settings.origin, np.float64)
+    target = np.asarray(camera_settings.look_at, np.float64)
+    rel = origin - target
+    for f in range(args.frames):
+        angle = math.radians(args.orbit_degrees) * f / args.frames
+        c, s = math.cos(angle), math.sin(angle)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        cs_f = CameraSettings(
+            origin=tuple(target + rot @ rel),
+            look_at=camera_settings.look_at,
+            up=camera_settings.up,
+            vertical_fov=camera_settings.vertical_fov,
+            aperture=camera_settings.aperture,
+            focus_distance=camera_settings.focus_distance,
+        )
+        r = driver_mod.ProgressiveRenderer(
+            scene, cs_f, settings, seed=args.seed + f
+        )
+        r.run(max_duration_seconds=args.max_duration)
+        path = f"{stem}_{f:04d}.png"
+        r.save(path)
+        if not args.quiet:
+            print(
+                f"frame {f + 1}/{args.frames} -> {path} "
+                f"({r.avg_mrays_per_second:.1f} MRays/s)",
+                file=_sys.stderr,
+            )
     return 0
 
 
