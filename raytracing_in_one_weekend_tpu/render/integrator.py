@@ -173,11 +173,16 @@ def trace(
     else:
         sph_records = None
 
-    # Remat the bounce body: the adjoint recomputes the (N, S) intersection
-    # tensors instead of saving them per bounce — without this, backward
-    # through the scan stores O(depth * N * S) residuals and blows HBM
-    # (jax.checkpoint = the reference's "stacks fit in registers" analog).
-    @jax.checkpoint
+    # Remat policy: on the CPU/brute-force path the adjoint would store
+    # O(depth * N * S) intersection residuals per bounce — remat
+    # (jax.checkpoint) trades that for recompute.  On TPU the Pallas
+    # selection kernel already reduces residuals to O(N)-sized winner
+    # attributes, where remat only doubles work: grad measured 1.5x faster
+    # without it (235ms -> 159ms, cover scene 262k rays x depth 8).
+    use_remat = not (
+        pallas_sphere.use_pallas() and not scene.flags.has_motion
+    )
+
     def bounce(state: PathState, bounce_index):
         bkey = rng.bounce_key(key, bounce_index)
         new_state = _bounce_once(
@@ -186,6 +191,9 @@ def trace(
         # Per-pixel ray counting (the reference increments
         # Diagnostics.RayCount every bounce, SampleBatchJob.cs:203).
         return new_state, state.active
+
+    if use_remat:
+        bounce = jax.checkpoint(bounce)
 
     state, active_per_bounce = jax.lax.scan(
         bounce, state, jnp.arange(trace_depth), unroll=1
