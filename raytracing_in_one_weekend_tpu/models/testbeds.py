@@ -313,6 +313,66 @@ def grid_testbed() -> tuple[Scene, CameraSettings]:
     return b.build(), cam
 
 
+def final_scene_book2(seed: int = 9) -> tuple[Scene, CameraSettings]:
+    """Final Scene (Book 2).asset analog: the everything-at-once composite —
+    box-grid ground, motion-blurred sphere, glass + metal spheres, image-
+    textured 'earth', Perlin sphere, fog volumes, and a cube of small
+    spheres. Exercises every entity kind, motion, volumes and all texture
+    types in ONE scene."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+
+    ground = b.lambert((0.48, 0.83, 0.53))
+    n = 8
+    for i in range(n):
+        for j in range(n):
+            w = 100.0 / n
+            x0 = -50.0 + i * w
+            z0 = -50.0 + j * w
+            y1 = float(rng.uniform(1.0, 8.0))
+            b.add_box(
+                (x0 + w / 2, y1 / 2, z0 + w / 2), (w, y1, w), ground
+            )
+
+    light = b.emissive((7.0, 7.0, 7.0))
+    b.add_rect((273.0 / 100, 5.54, 2.795), (3.0, 2.65), light,
+               rotation=axis_angle_quat((1, 0, 0), 90.0))
+
+    moving = b.lambert((0.7, 0.3, 0.1))
+    b.add_sphere((4.0, 4.0, 2.0), 0.5, moving, move_offset=(0.3, 0.0, 0.0))
+    b.add_sphere((2.6, 1.5, 0.45), 0.5, b.dielectric(1.5))
+    b.add_sphere((0.0, 1.5, 1.45), 0.5, b.metal((0.8, 0.8, 0.9), 0.0))
+
+    # subsurface blue sphere: glass shell + interior volume
+    boundary_mat = b.dielectric(1.5)
+    b.add_sphere((3.6, 1.5, 1.45), 0.7, boundary_mat)
+    b.add_sphere((3.6, 1.5, 1.45), 0.69, b.volume(2.0, (0.2, 0.4, 0.9)))
+
+    # earth + perlin spheres
+    h, w2 = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w2].astype(np.float32)
+    land = (np.sin(xx * 0.3) * np.cos(yy * 0.25)) > 0.2
+    img = np.where(
+        land[..., None], np.array([0.2, 0.5, 0.2], np.float32),
+        np.array([0.1, 0.2, 0.55], np.float32),
+    ).astype(np.float32)
+    b.add_sphere((4.0, 2.0, 4.0), 1.0, b.lambert(b.add_image("earth2", img)))
+    b.add_sphere((2.2, 2.8, 3.0), 0.8, b.lambert(perlin((1, 1, 1), 2.0)))
+
+    # cube of small diffuse spheres
+    white = b.lambert((0.73, 0.73, 0.73))
+    for _ in range(64):
+        p = rng.uniform(0.0, 1.65, 3) + np.array([-1.0, 2.7, 2.95])
+        b.add_sphere(tuple(p), 0.1, white)
+
+    b.set_no_sky()
+    cam = CameraSettings(
+        origin=(4.78, 2.78, -6.0), look_at=(2.78, 2.78, 0.0),
+        vertical_fov=40.0,
+    )
+    return b.build(), cam
+
+
 def _mesh_showcase():
     from raytracing_in_one_weekend_tpu.models import meshes
 
@@ -320,6 +380,7 @@ def _mesh_showcase():
 
 
 SCENES = {
+    "final_book2": final_scene_book2,
     "mesh_showcase": _mesh_showcase,
     "diffuse_testbed": diffuse_testbed,
     "metal_roughness": metal_roughness_testbed,

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
-RAY_TILE = 512
+RAY_TILE = 1024
 SPHERE_PAD = 128
 PAD_CENTER = 1e17
 REC_COLS = 16

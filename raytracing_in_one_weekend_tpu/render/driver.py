@@ -83,7 +83,18 @@ class ProgressiveRenderer:
         camera_settings: CameraSettings,
         settings: RenderSettings,
         seed: int = 0,
+        use_bvh: bool | None = None,
     ):
+        # Auto-BVH for triangle-heavy scenes (the reference always builds
+        # one, Raytracer.cs:1306-1351; here brute force wins below ~a few
+        # hundred primitives, so attach only when meshes make O(N*T)
+        # dominate). use_bvh=True/False overrides.
+        if use_bvh is None:
+            use_bvh = int(scene.triangles.vert0.shape[0]) > 256
+        if use_bvh and scene.bvh is None:
+            from raytracing_in_one_weekend_tpu.scene import bvh as bvh_mod
+
+            scene = bvh_mod.attach_bvh(scene, max_depth=settings.max_bvh_depth)
         self.scene = scene
         self.settings = settings
         self.camera_settings = camera_settings

@@ -211,3 +211,25 @@ class TestTestbedScenes:
         arr = np.asarray(img.color)
         assert np.isfinite(arr).all()
         assert arr.max() > 0.01  # something is visible
+
+
+class TestBvhAutoAttach:
+    def test_mesh_scene_gets_bvh(self):
+        from raytracing_in_one_weekend_tpu.models import meshes
+
+        scene, cs = meshes.mesh_showcase()
+        r = driver.ProgressiveRenderer(scene, cs, _settings(width=8, height=8))
+        assert r.scene.bvh is not None
+        r.step()  # renders through the BVH traversal path
+
+    def test_sphere_scene_stays_brute_force(self):
+        scene, cs = book_scenes.single_sphere()
+        r = driver.ProgressiveRenderer(scene, cs, _settings())
+        assert r.scene.bvh is None
+
+    def test_override(self):
+        scene, cs = book_scenes.single_sphere()
+        r = driver.ProgressiveRenderer(
+            scene, cs, _settings(), use_bvh=True
+        )
+        assert r.scene.bvh is not None
