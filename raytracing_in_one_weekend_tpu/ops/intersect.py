@@ -135,12 +135,33 @@ def nearest_hit(scene: Scene, rays: Rays, t_min: float = 0.0) -> Hit:
 
     tri = scene.triangles
     if tri.vert0.shape[0] > 0:
-        t_all, _, _ = geometry.triangle_hit_all(
-            rays.origin, rays.direction,
-            tri.edge_a, tri.edge_b, tri.vert0, tri.normals, tri.uvs, t_min,
-        )
-        idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
-        t = jnp.take_along_axis(t_all, idx[:, None], axis=1)[:, 0]
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere, pallas_triangle
+
+        if pallas_sphere.use_pallas() and pallas_triangle.fits_vmem(
+            tri.vert0.shape[0]
+        ):
+            # Fused VMEM Moller-Trumbore selection + differentiable
+            # (N,)-sized re-evaluation of the winner.
+            _, idx = pallas_triangle.triangle_select(
+                jax.lax.stop_gradient(rays.origin),
+                jax.lax.stop_gradient(rays.direction),
+                jax.lax.stop_gradient(tri.edge_a),
+                jax.lax.stop_gradient(tri.edge_b),
+                jax.lax.stop_gradient(tri.vert0),
+                t_min=t_min,
+            )
+            t = geometry.triangle_hit_single(
+                rays.origin, rays.direction,
+                tri.edge_a[idx], tri.edge_b[idx], tri.vert0[idx], t_min,
+            )
+        else:
+            t_all, _, _ = geometry.triangle_hit_all(
+                rays.origin, rays.direction,
+                tri.edge_a, tri.edge_b, tri.vert0, tri.normals, tri.uvs,
+                t_min,
+            )
+            idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+            t = jnp.take_along_axis(t_all, idx[:, None], axis=1)[:, 0]
         closer = t < best_t
         best_t = jnp.where(closer, t, best_t)
         best_kind = jnp.where(closer, EntityKind.TRIANGLE, best_kind)

@@ -85,12 +85,14 @@ class ProgressiveRenderer:
         seed: int = 0,
         use_bvh: bool | None = None,
     ):
-        # Auto-BVH for triangle-heavy scenes (the reference always builds
-        # one, Raytracer.cs:1306-1351; here brute force wins below ~a few
-        # hundred primitives, so attach only when meshes make O(N*T)
-        # dominate). use_bvh=True/False overrides.
+        # Auto-BVH only when brute force stops being viable (the dense
+        # (rays x triangles) pass would exhaust memory).  Measured on TPU:
+        # the gather-heavy wavefront traversal is ~15x SLOWER than the
+        # dense VMEM triangle pass at ~1k triangles — lanes are cheap,
+        # gathers are not — so the crossover is set by memory, not FLOPs.
+        # use_bvh=True/False overrides.
         if use_bvh is None:
-            use_bvh = int(scene.triangles.vert0.shape[0]) > 256
+            use_bvh = int(scene.triangles.vert0.shape[0]) > 16384
         if use_bvh and scene.bvh is None:
             from raytracing_in_one_weekend_tpu.scene import bvh as bvh_mod
 

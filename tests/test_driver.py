@@ -214,11 +214,23 @@ class TestTestbedScenes:
 
 
 class TestBvhAutoAttach:
-    def test_mesh_scene_gets_bvh(self):
+    def test_mesh_scene_stays_dense_below_memory_bound(self):
+        # dense (rays x triangles) beats gather-bound traversal on TPU up
+        # to the VMEM/HBM bound (driver auto-BVH note); ~900 tris = dense
         from raytracing_in_one_weekend_tpu.models import meshes
 
         scene, cs = meshes.mesh_showcase()
         r = driver.ProgressiveRenderer(scene, cs, _settings(width=8, height=8))
+        assert r.scene.bvh is None
+        r.step()
+
+    def test_explicit_bvh_renders(self):
+        from raytracing_in_one_weekend_tpu.models import meshes
+
+        scene, cs = meshes.mesh_showcase()
+        r = driver.ProgressiveRenderer(
+            scene, cs, _settings(width=8, height=8), use_bvh=True
+        )
         assert r.scene.bvh is not None
         r.step()  # renders through the BVH traversal path
 

@@ -86,3 +86,57 @@ class TestSphereSelectFull:
         )
         assert np.all(np.asarray(t) >= pallas_sphere.BIG)
         assert np.all(np.asarray(rec)[:, :12] == 0.0)
+
+
+class TestTriangleSelect:
+    """Fused dense triangle selection kernel (ops/pallas_triangle.py),
+    interpret mode vs the dense jnp reference."""
+
+    def test_matches_dense_argmin(self):
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.ops import geometry, pallas_triangle
+
+        scene, _ = meshes.mesh_showcase()
+        tri = scene.triangles
+        k = jax.random.PRNGKey(3)
+        n = 512
+        o = jax.random.uniform(k, (n, 3), minval=-3, maxval=3) + jnp.asarray(
+            [0.0, 2.0, 6.0]
+        )
+        d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        t_sel, idx_sel = pallas_triangle.triangle_select(
+            o, d, tri.edge_a, tri.edge_b, tri.vert0, interpret=True
+        )
+        t_all, _, _ = geometry.triangle_hit_all(
+            o, d, tri.edge_a, tri.edge_b, tri.vert0, tri.normals, tri.uvs
+        )
+        idx_ref = jnp.argmin(t_all, axis=1)
+        t_ref = jnp.take_along_axis(t_all, idx_ref[:, None], axis=1)[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(t_sel), np.asarray(t_ref), rtol=2e-3, atol=1e-3
+        )
+        hit = np.asarray(t_ref) < 1e29
+        assert (np.asarray(idx_sel)[hit] == np.asarray(idx_ref)[hit]).all()
+
+    def test_inactive_tiles_skip(self):
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.ops import pallas_triangle
+
+        scene, _ = meshes.mesh_showcase()
+        tri = scene.triangles
+        n = 300
+        o = jnp.zeros((n, 3))
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        t_sel, _ = pallas_triangle.triangle_select(
+            o, d, tri.edge_a, tri.edge_b, tri.vert0,
+            active=jnp.zeros((n,), jnp.bool_), interpret=True,
+        )
+        assert (np.asarray(t_sel) >= 1e29).all()
+
+    def test_fits_vmem_bound(self):
+        from raytracing_in_one_weekend_tpu.ops import pallas_triangle
+
+        assert pallas_triangle.fits_vmem(900)
+        assert not pallas_triangle.fits_vmem(10_000)
