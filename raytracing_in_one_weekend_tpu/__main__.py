@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "orbiting look_at (BASELINE config-5 shape)")
     p.add_argument("--orbit-degrees", type=float, default=360.0,
                    help="total orbit sweep across --frames")
+    p.add_argument("--optimize", choices=("albedo", "position"), default=None,
+                   help="inverse-rendering demo (BASELINE config 4): "
+                        "perturb the chosen parameter class, recover it "
+                        "from a rendered target image by gradient descent")
+    p.add_argument("--opt-steps", type=int, default=60)
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -102,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
             "stbn": NoiseColor.SPATIO_TEMPORAL_BLUE,
         }[args.noise],
     )
+    if args.optimize:
+        return _run_inverse_demo(args, scene, camera_settings, settings)
     if args.frames > 1:
         return _render_animation(args, scene, camera_settings, settings)
 
@@ -146,6 +153,85 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
     return 0
+
+
+def _run_inverse_demo(args, scene, camera_settings, settings) -> int:
+    """Inverse-rendering demo: perturb parameters, recover them from a
+    target render by backprop through the path tracer (diff/inverse.py)."""
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.diff import inverse, params as params_mod
+    from raytracing_in_one_weekend_tpu.render import renderer
+    from raytracing_in_one_weekend_tpu.utils import image as image_util
+    from raytracing_in_one_weekend_tpu.render import driver as driver_mod
+
+    w, h = args.width, args.height
+    cam = camera_mod.make_camera(
+        camera_settings.origin, camera_settings.look_at, camera_settings.up,
+        camera_settings.vertical_fov, w / h,
+        aperture=camera_settings.aperture,
+        focus_distance=driver_mod.autofocus(scene, camera_settings),
+    )
+    key = jax.random.PRNGKey(args.seed)
+    cfg = inverse.InverseRenderConfig(
+        width=w, height=h, samples_per_pixel=max(args.spp, 4),
+        trace_depth=args.depth, steps=args.opt_steps,
+        use_boundary=args.optimize == "position",
+        learning_rate=2e-2 if args.optimize == "albedo" else 1e-2,
+    )
+
+    target = renderer.render_image(
+        scene, cam, key, width=w, height=h,
+        samples_per_pixel=cfg.samples_per_pixel * 4,
+        trace_depth=cfg.trace_depth,
+    ).color
+
+    name = {
+        "albedo": "texture_colors", "position": "sphere_centers"
+    }[args.optimize]
+    true_params = params_mod.extract_params(scene, (name,))
+    noise = 0.25 * jax.random.normal(
+        jax.random.fold_in(key, 1), true_params[name].shape
+    )
+    init = {name: true_params[name] + noise}
+
+    def report(i, params, loss):
+        if not args.quiet and i % 10 == 0:
+            err = float(jnp.mean(jnp.abs(params[name] - true_params[name])))
+            print(f"step {i:4d}  loss {loss:.6f}  param-MAE {err:.4f}",
+                  file=_sys.stderr)
+
+    final, losses = inverse.optimize(
+        scene, cam, target, init, cfg, seed=args.seed, callback=report
+    )
+
+    stem = args.output.rsplit(".", 1)[0]
+    for label, p in (("target", None), ("init", init), ("final", final)):
+        s = scene if p is None else params_mod.apply_params(scene, p)
+        img = renderer.render_image(
+            s, cam, key, width=w, height=h,
+            samples_per_pixel=cfg.samples_per_pixel * 4,
+            trace_depth=cfg.trace_depth,
+        )
+        from raytracing_in_one_weekend_tpu.render import film
+
+        ldr = film.finalize(img, w, h)["color"]
+        image_util.write_png(f"{stem}_{label}.png", np.asarray(ldr))
+
+    err0 = float(jnp.mean(jnp.abs(init[name] - true_params[name])))
+    err1 = float(jnp.mean(jnp.abs(final[name] - true_params[name])))
+    if not args.quiet:
+        print(
+            f"recovered {name}: MAE {err0:.4f} -> {err1:.4f}; "
+            f"loss {losses[0]:.5f} -> {losses[-1]:.5f} -> {stem}_*.png",
+            file=_sys.stderr,
+        )
+    return 0 if err1 < err0 else 1
 
 
 def _render_animation(args, scene, camera_settings, settings) -> int:

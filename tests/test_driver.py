@@ -245,3 +245,18 @@ class TestBvhAutoAttach:
             scene, cs, _settings(), use_bvh=True
         )
         assert r.scene.bvh is not None
+
+
+class TestInverseCli:
+    def test_optimize_albedo_improves(self, tmp_path):
+        from raytracing_in_one_weekend_tpu.__main__ import main
+
+        out = str(tmp_path / "inv.png")
+        rc = main([
+            "--scene", "three_spheres", "--width", "20", "--height", "20",
+            "--spp", "4", "--depth", "4", "--optimize", "albedo",
+            "--opt-steps", "15", "--output", out, "--quiet",
+        ])
+        assert rc == 0  # parameter MAE decreased
+        for label in ("target", "init", "final"):
+            assert os.path.getsize(str(tmp_path / f"inv_{label}.png")) > 100
