@@ -196,7 +196,7 @@ def trace(
         bounce = jax.checkpoint(bounce)
 
     state, active_per_bounce = jax.lax.scan(
-        bounce, state, jnp.arange(trace_depth), unroll=1
+        bounce, state, jnp.arange(trace_depth), unroll=2
     )
     pixel_rays = jnp.sum(active_per_bounce.astype(jnp.int32), axis=0)
 
