@@ -507,6 +507,33 @@ def _kernel(
 BATCH_OUT_ROWS = 24
 
 
+def _pack_scene_tables(centers, radii, records):
+    """Pad sphere + material-record tables into the kernels' VMEM layout
+    (shared by megatrace and sample_batch — ONE definition so the two
+    kernels can never disagree on the packed layout)."""
+    s = centers.shape[0]
+    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
+
+    sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
+    sph = sph.at[:s, 0:3].set(centers)
+    c_sq = jnp.sum(centers * centers, axis=-1)
+    sph = sph.at[:s, 3].set(c_sq - radii * radii)
+    sph = sph.at[s:, 3].set(jnp.inf)  # pad rows can never hit
+
+    safe_r = jnp.where(radii == 0.0, 1.0, radii)
+    rec_t = jnp.zeros((REC_COLS, s_pad), jnp.float32)
+    rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
+    rec_t = rec_t.at[12:15, :s].set(centers.T)
+    rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
+    return sph, rec_t, s_pad
+
+
+def _pack_sky_row(sky_bottom, sky_top):
+    return jnp.concatenate(
+        [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
+    ).astype(jnp.float32).reshape(1, 8)
+
+
 def _batch_kernel(
     seed_ref, cam_ref, sky_ref, pix_ref, sph_ref, rec_ref, out_ref,
     *, samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
@@ -774,21 +801,8 @@ def sample_batch(
     else:
         pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
 
-    sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
-    sph = sph.at[:s, 0:3].set(centers)
-    c_sq = jnp.sum(centers * centers, axis=-1)
-    sph = sph.at[:s, 3].set(c_sq - radii * radii)
-    sph = sph.at[s:, 3].set(jnp.inf)
-
-    safe_r = jnp.where(radii == 0.0, 1.0, radii)
-    rec_t = jnp.zeros((REC_COLS, s_pad), jnp.float32)
-    rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
-    rec_t = rec_t.at[12:15, :s].set(centers.T)
-    rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
-
-    sky = jnp.concatenate(
-        [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
-    ).astype(jnp.float32).reshape(1, 8)
+    sph, rec_t, _ = _pack_scene_tables(centers, radii, records)
+    sky = _pack_sky_row(sky_bottom, sky_top)
     cam = camera_row.astype(jnp.float32).reshape(1, 24)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
 
@@ -927,21 +941,8 @@ def megatrace(
     if n_pad != n:
         rays = rays.at[5, n:].set(1.0)
 
-    sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
-    sph = sph.at[:s, 0:3].set(centers)
-    c_sq = jnp.sum(centers * centers, axis=-1)
-    sph = sph.at[:s, 3].set(c_sq - radii * radii)
-    sph = sph.at[s:, 3].set(jnp.inf)
-
-    safe_r = jnp.where(radii == 0.0, 1.0, radii)
-    rec_t = jnp.zeros((REC_COLS, s_pad), jnp.float32)
-    rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
-    rec_t = rec_t.at[12:15, :s].set(centers.T)
-    rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
-
-    sky = jnp.concatenate(
-        [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
-    ).astype(jnp.float32).reshape(1, 8)
+    sph, rec_t, _ = _pack_scene_tables(centers, radii, records)
+    sky = _pack_sky_row(sky_bottom, sky_top)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
 
     grid = (n_pad // RAY_TILE,)

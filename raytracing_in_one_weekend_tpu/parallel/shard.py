@@ -172,18 +172,7 @@ def sharded_render_batch(
             ),
         )
         new_acc = constrain_pixels(mesh, new_acc)
-        count = new_acc.sample_count
-        wps = new_acc.weight / jnp.maximum(count, 1.0)
-        metrics = renderer_mod.BatchMetrics(
-            total_rays=jnp.sum(pixel_rays),
-            total_samples=jnp.sum(count),
-            min_sample_count=jnp.min(count),
-            max_sample_count=jnp.max(count),
-            weight_min=jnp.min(jnp.where(count > 0, wps, jnp.inf)),
-            weight_max=jnp.max(jnp.where(count > 0, wps, -jnp.inf)),
-            pixel_rays=pixel_rays,
-        )
-        return new_acc, metrics
+        return new_acc, renderer_mod._reduce_metrics(new_acc, pixel_rays)
 
     return jax.jit(step, donate_argnums=(2,))(scene, camera, acc, key)
 

@@ -320,6 +320,7 @@ class ProgressiveRenderer:
             path,
             seed=self.seed,
             batch_index=self.batch_index,
+            interlacing=self.settings.interlacing,
             dispatched=np.asarray(self._dispatched, np.int64),
             weight_extrema=np.asarray(self.weight_extrema),
             **{f"acc_{k}": np.asarray(v) for k, v in self.acc._asdict().items()},
@@ -335,10 +336,27 @@ class ProgressiveRenderer:
                 f"{self.settings.height} ({self.settings.pixel_count}); "
                 "resume with the original resolution"
             )
+        saved_interlacing = (
+            int(data["interlacing"]) if "interlacing" in data
+            else len(data["dispatched"])
+        )
+        if saved_interlacing != max(self.settings.interlacing, 1):
+            raise ValueError(
+                f"checkpoint {path!r} was written with interlacing="
+                f"{saved_interlacing} but the render settings use "
+                f"{self.settings.interlacing}; resume with the original "
+                "interlacing"
+            )
         self.seed = int(data["seed"])
         self.batch_index = int(data["batch_index"])
         self._dispatched = [int(x) for x in data["dispatched"]]
         self.weight_extrema = jnp.asarray(data["weight_extrema"])
+        # noise tables derive from the seed; rebuild for the restored one
+        from raytracing_in_one_weekend_tpu.core import randomsource
+
+        self.noise_state = randomsource.make_noise_state(
+            self.settings.noise_color, seed=self.seed + 7
+        )
         self.acc = film.Accumulators(
             **{
                 k: jnp.asarray(data[f"acc_{k}"])

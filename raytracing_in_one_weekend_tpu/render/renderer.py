@@ -25,7 +25,8 @@ from raytracing_in_one_weekend_tpu.scene.scene import Scene
 class BatchMetrics(NamedTuple):
     """Per-batch reduced metrics (reference: Jobs/ReduceMetricsJob.cs:22-47)."""
 
-    total_rays: jnp.ndarray  # () int32
+    total_rays: jnp.ndarray  # () float32 — summed in float so huge batches
+    #   (>2^31 rays at 4K x high spp) cannot wrap an int32 reduction
     total_samples: jnp.ndarray  # () float
     min_sample_count: jnp.ndarray  # ()
     max_sample_count: jnp.ndarray  # ()
@@ -138,22 +139,7 @@ def render_batch(
                 fb_new, d["fallback_albedo"], acc.fallback_albedo
             ),
         )
-        count = acc.sample_count
-        weight_per_sample = acc.weight / jnp.maximum(count, 1.0)
-        metrics = BatchMetrics(
-            total_rays=jnp.sum(d["rays"]),
-            total_samples=jnp.sum(count),
-            min_sample_count=jnp.min(count),
-            max_sample_count=jnp.max(count),
-            weight_min=jnp.min(
-                jnp.where(count > 0, weight_per_sample, jnp.inf)
-            ),
-            weight_max=jnp.max(
-                jnp.where(count > 0, weight_per_sample, -jnp.inf)
-            ),
-            pixel_rays=d["rays"],
-        )
-        return acc, metrics
+        return acc, _reduce_metrics(acc, d["rays"])
 
     def one_sample(carry, sample_index):
         acc_c = carry
@@ -214,20 +200,24 @@ def render_batch(
     )
     pixel_rays = jnp.sum(pixel_rays_per_sample, axis=0)
 
+    return acc, _reduce_metrics(acc, pixel_rays)
+
+
+def _reduce_metrics(acc: film.Accumulators, pixel_rays) -> BatchMetrics:
+    """Shared batch-metric reduction (ReduceMetricsJob.cs:22-47) for the
+    fused-kernel and wavefront paths — one definition so the adaptive
+    sampler's feedback signals can't diverge between them."""
     count = acc.sample_count
     weight_per_sample = acc.weight / jnp.maximum(count, 1.0)
-    metrics = BatchMetrics(
-        total_rays=jnp.sum(pixel_rays),
+    return BatchMetrics(
+        total_rays=jnp.sum(pixel_rays.astype(jnp.float32)),
         total_samples=jnp.sum(count),
         min_sample_count=jnp.min(count),
         max_sample_count=jnp.max(count),
-        weight_min=jnp.min(
-            jnp.where(count > 0, weight_per_sample, jnp.inf)
-        ),
+        weight_min=jnp.min(jnp.where(count > 0, weight_per_sample, jnp.inf)),
         weight_max=jnp.max(jnp.where(count > 0, weight_per_sample, -jnp.inf)),
         pixel_rays=pixel_rays,
     )
-    return acc, metrics
 
 
 @functools.partial(
