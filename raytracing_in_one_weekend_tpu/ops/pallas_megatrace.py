@@ -9,10 +9,12 @@ state row resident in VMEM.  HBM traffic per ray is ~7 input floats and
 ~12 output floats for the WHOLE path — versus the wavefront jnp path which
 round-trips ~25 state floats per ray per bounce plus fusion boundaries.
 
-Scope (gated by integrator dispatch): sphere-only scenes, constant
-textures, gradient/none sky, no volumes, no motion — the book cover class.
-Everything else falls back to the wavefront integrator; images agree
-statistically, not bitwise (in-kernel PRNG differs from threefry).
+Scope (gated by renderer dispatch): sphere/rect/box scenes with constant
+textures and gradient/none sky — the book-cover AND Cornell classes
+(measured 130 MRays/s on the Cornell box at 512x512).  Motion blur,
+volumes, procedural textures, cubemaps and triangles fall back to the
+wavefront integrator; images agree statistically, not bitwise (in-kernel
+PRNG differs from threefry).
 
 Math parity, per row (all formulas match the jnp library, cited there):
   * quadratic intersection         ops/geometry.sphere_hit_all
@@ -50,21 +52,31 @@ TWO_PI = 6.283185307179586
 INV_2_24 = 1.0 / 16777216.0
 
 
-def scene_eligible(scene) -> bool:
+def scene_eligible(scene, allow_rect_box: bool = False) -> bool:
     """Static check: can this scene run in the fused megakernel?
-    (sphere-only, constant textures, gradient/none sky, no volumes, no
-    motion — the book-cover scene class; everything else uses the
-    wavefront integrator)."""
-    return (
+    (constant textures, gradient/none sky, no volumes, no motion, no
+    triangles; rects/boxes only where the caller's kernel supports them —
+    the batch kernel does, the plain wavefront megatrace doesn't).
+    Everything else uses the wavefront integrator."""
+    ok = (
         not scene.flags.has_motion
         and not scene.flags.has_procedural_textures
         and not scene.flags.has_volumes
         and scene.flags.sky in (0, 1)
-        and scene.spheres.center.shape[0] > 0
-        and scene.rects.rot.shape[0] == 0
-        and scene.boxes.rot.shape[0] == 0
         and scene.triangles.vert0.shape[0] == 0
+        and (
+            scene.spheres.center.shape[0]
+            + scene.rects.rot.shape[0]
+            + scene.boxes.rot.shape[0]
+        ) > 0
     )
+    if not allow_rect_box:
+        ok = ok and (
+            scene.spheres.center.shape[0] > 0
+            and scene.rects.rot.shape[0] == 0
+            and scene.boxes.rot.shape[0] == 0
+        )
+    return ok
 
 
 def _bits_to_unit_floats(bits_u32):
@@ -105,6 +117,19 @@ def _uniforms_hash(shape, seed, salt, lane_row):
 
 def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
+
+
+def _quat_rotate(qx, qy, qz, qw, vx, vy, vz):
+    """Rotate (vx,vy,vz) by quaternion rows (math3.quat_rotate:
+    t = 2 q_v x v; v' = v + w t + q_v x t), any broadcastable shapes."""
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    return (
+        vx + qw * tx + (qy * tz - qz * ty),
+        vy + qw * ty + (qz * tx - qx * tz),
+        vz + qw * tz + (qx * ty - qy * tx),
+    )
 
 
 def _normalize3(x, y, z, eps=1e-12):
@@ -183,9 +208,12 @@ def _bounce_step(
 
     Shared by the wavefront kernel (_kernel) and the fused sample-batch
     kernel (_batch_kernel).  carry is the 23-row path state; u is an
-    (8, T) block of U[0,1) uniforms; consts holds the VMEM-resident scene
-    tables and sky colors."""
-    cx, cy, cz, c_sq_minus_r2, rec_ref, sky_b, sky_t = consts
+    (8, T) block of U[0,1) uniforms; consts is
+    ((cx, cy, cz, csmr2, sph_rec_ref), rect|None, box|None, sky_b, sky_t)
+    with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
+    VMEM-resident."""
+    sph_c, rect_c, box_c, sky_b, sky_t = consts
+    cx, cy, cz, c_sq_minus_r2, rec_ref = sph_c
     s = cx.shape[0]
 
     (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
@@ -228,12 +256,115 @@ def _bounce_step(
         preferred_element_type=jnp.float32,
     )  # (REC, T)
 
+    mat = rec[0:11, :]  # winner material rows (pack_materials layout)
+
+    # ---- rects (HitTests.cs:62-78 one-sided local-XY rect) --------------
+    if rect_c is not None:
+        rgeo, rrec_ref = rect_c
+        qx, qy, qz, qw = (rgeo[:, 0:1], rgeo[:, 1:2],
+                          rgeo[:, 2:3], rgeo[:, 3:4])
+        rpx, rpy, rpz = rgeo[:, 4:5], rgeo[:, 5:6], rgeo[:, 6:7]
+        fx_, fy_ = rgeo[:, 7:8], rgeo[:, 8:9]
+        tx_, ty_ = rgeo[:, 9:10], rgeo[:, 10:11]
+        olx, oly, olz = _quat_rotate(
+            -qx, -qy, -qz, qw, ox - rpx, oy - rpy, oz - rpz
+        )  # (R, T)
+        dlx, dly, dlz = _quat_rotate(-qx, -qy, -qz, qw, dx, dy, dz)
+        safe_dz = jnp.where(dlz == 0.0, 1.0, dlz)
+        tr = -olz / safe_dz
+        hx_ = olx + tr * dlx
+        hy_ = oly + tr * dly
+        ok_r = (
+            (dlz < 0.0) & (tr > t_min)
+            & (hx_ >= fx_) & (hx_ <= tx_)
+            & (hy_ >= fy_) & (hy_ <= ty_)
+        )
+        t_rect = jnp.where(ok_r, tr, BIG)
+        r_best = jnp.min(t_rect, axis=0, keepdims=True)
+        r_idx = jnp.argmin(t_rect, axis=0, keepdims=True).astype(jnp.int32)
+        r_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (t_rect.shape[0], t_cols), 0
+        )
+        r_one_hot = (r_rows == r_idx).astype(jnp.float32)
+        rrec = jax.lax.dot_general(
+            rrec_ref[:, :], r_one_hot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (24, T): 0-10 material, 11-13 world normal
+        rect_wins = r_best < best_t
+        best_t = jnp.where(rect_wins, r_best, best_t)
+        mat = jnp.where(rect_wins, rrec[0:11, :], mat)
+
+    # ---- boxes (HitTests.cs:81-113 Majercik) ------------------------------
+    if box_c is not None:
+        bgeo, brec_ref = box_c
+        bqx, bqy, bqz, bqw = (bgeo[:, 0:1], bgeo[:, 1:2],
+                              bgeo[:, 2:3], bgeo[:, 3:4])
+        bpx, bpy, bpz = bgeo[:, 4:5], bgeo[:, 5:6], bgeo[:, 6:7]
+        ex_, ey_, ez_ = bgeo[:, 7:8], bgeo[:, 8:9], bgeo[:, 9:10]
+        boX, boY, boZ = _quat_rotate(
+            -bqx, -bqy, -bqz, bqw, ox - bpx, oy - bpy, oz - bpz
+        )
+        bdX, bdY, bdZ = _quat_rotate(-bqx, -bqy, -bqz, bqw, dx, dy, dz)
+        boX = boX + bdX * t_min
+        boY = boY + bdY * t_min
+        boZ = boZ + bdZ * t_min
+        inside = (
+            jnp.maximum(
+                jnp.abs(boX) / jnp.maximum(ex_, 1e-30),
+                jnp.maximum(
+                    jnp.abs(boY) / jnp.maximum(ey_, 1e-30),
+                    jnp.abs(boZ) / jnp.maximum(ez_, 1e-30),
+                ),
+            ) < 1.0
+        )
+        winding = jnp.where(inside, -1.0, 1.0)
+        sgx, sgy, sgz = -jnp.sign(bdX), -jnp.sign(bdY), -jnp.sign(bdZ)
+        sdx_ = jnp.where(bdX == 0.0, 1e-30, bdX)
+        sdy_ = jnp.where(bdY == 0.0, 1e-30, bdY)
+        sdz_ = jnp.where(bdZ == 0.0, 1e-30, bdZ)
+        dpx = (ex_ * winding * sgx - boX) / sdx_
+        dpy = (ey_ * winding * sgy - boY) / sdy_
+        dpz = (ez_ * winding * sgz - boZ) / sdz_
+        test_x = (
+            (dpx >= 0.0)
+            & (jnp.abs(boY + bdY * dpx) < ey_)
+            & (jnp.abs(boZ + bdZ * dpx) < ez_)
+        )
+        test_y = (
+            (dpy >= 0.0)
+            & (jnp.abs(boZ + bdZ * dpy) < ez_)
+            & (jnp.abs(boX + bdX * dpy) < ex_)
+        )
+        test_z = (
+            (dpz >= 0.0)
+            & (jnp.abs(boX + bdX * dpz) < ex_)
+            & (jnp.abs(boY + bdY * dpz) < ey_)
+        )
+        any_hit = test_x | test_y | test_z
+        tb = jnp.where(test_x, dpx, jnp.where(test_y, dpy, dpz)) + t_min
+        t_box = jnp.where(any_hit, tb, BIG)
+        b_best = jnp.min(t_box, axis=0, keepdims=True)
+        b_idx = jnp.argmin(t_box, axis=0, keepdims=True).astype(jnp.int32)
+        b_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (t_box.shape[0], t_cols), 0
+        )
+        b_one_hot = (b_rows == b_idx).astype(jnp.float32)
+        brec = jax.lax.dot_general(
+            brec_ref[:, :], b_one_hot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (24, T): 0-10 material, 11-14 quat, 15-17 pos, 18-20 ext
+        box_wins = b_best < best_t
+        best_t = jnp.where(box_wins, b_best, best_t)
+        mat = jnp.where(box_wins, brec[0:11, :], mat)
+
     hit = best_t < BIG
     is_active = active > 0.0
     scatter_mask = is_active & hit
     miss = is_active & jnp.logical_not(hit)
 
-    # winner attributes
+    # winner attributes: hit point at the FINAL nearest t, normal per kind
     t_hit = jnp.where(hit, best_t, 0.0)
     px = ox + t_hit * dx
     py = oy + t_hit * dy
@@ -242,14 +373,39 @@ def _bounce_step(
     nx = (px - rec[12:13, :]) * inv_r
     ny = (py - rec[13:14, :]) * inv_r
     nz = (pz - rec[14:15, :]) * inv_r
+    if rect_c is not None:
+        nx = jnp.where(rect_wins, rrec[11:12, :], nx)
+        ny = jnp.where(rect_wins, rrec[12:13, :], ny)
+        nz = jnp.where(rect_wins, rrec[13:14, :], nz)
+    if box_c is not None:
+        # dominant-|p|/extent face normal (intersect._shading_attributes)
+        wqx, wqy, wqz, wqw = (brec[11:12, :], brec[12:13, :],
+                              brec[13:14, :], brec[14:15, :])
+        plx, ply, plz = _quat_rotate(
+            -wqx, -wqy, -wqz, wqw,
+            px - brec[15:16, :], py - brec[16:17, :], pz - brec[17:18, :],
+        )
+        rex = jnp.abs(plx) / jnp.maximum(brec[18:19, :], 1e-12)
+        rey = jnp.abs(ply) / jnp.maximum(brec[19:20, :], 1e-12)
+        rez = jnp.abs(plz) / jnp.maximum(brec[20:21, :], 1e-12)
+        is_x = (rex >= rey) & (rex >= rez)
+        is_y = jnp.logical_not(is_x) & (rey >= rez)
+        is_z = jnp.logical_not(is_x) & jnp.logical_not(is_y)
+        lnx = jnp.where(is_x, jnp.sign(plx), 0.0)
+        lny = jnp.where(is_y, jnp.sign(ply), 0.0)
+        lnz = jnp.where(is_z, jnp.sign(plz), 0.0)
+        bnx, bny, bnz = _quat_rotate(wqx, wqy, wqz, wqw, lnx, lny, lnz)
+        nx = jnp.where(box_wins, bnx, nx)
+        ny = jnp.where(box_wins, bny, ny)
+        nz = jnp.where(box_wins, bnz, nz)
 
-    mtype = rec[0:1, :]
-    alb_r, alb_g, alb_b = rec[1:2, :], rec[2:3, :], rec[3:4, :]
-    em_r, em_g, em_b = rec[4:5, :], rec[5:6, :], rec[6:7, :]
-    gloss = rec[7:8, :]
-    metallic = rec[8:9, :]
-    parameter = rec[9:10, :]
-    perfect_f = rec[10:11, :]  # stays float: bool-valued selects are
+    mtype = mat[0:1, :]
+    alb_r, alb_g, alb_b = mat[1:2, :], mat[2:3, :], mat[3:4, :]
+    em_r, em_g, em_b = mat[4:5, :], mat[5:6, :], mat[6:7, :]
+    gloss = mat[7:8, :]
+    metallic = mat[8:9, :]
+    parameter = mat[9:10, :]
+    perfect_f = mat[10:11, :]  # stays float: bool-valued selects are
     # unsupported truncations in Mosaic
 
     # ---- Standard scatter (materials.scatter, Material.cs:75-119) -----
@@ -449,8 +605,10 @@ def _kernel(
         pltpu.prng_seed(seed_ref[0, 0] + rays_ref[7, 0].astype(jnp.int32))
 
     consts = (
-        sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3], sph_ref[:, 3:4],
-        rec_ref,
+        (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
+         sph_ref[:, 3:4], rec_ref),
+        None,  # rects (batch kernel only)
+        None,  # boxes
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -512,7 +670,9 @@ def _pack_scene_tables(centers, radii, records):
     (shared by megatrace and sample_batch — ONE definition so the two
     kernels can never disagree on the packed layout)."""
     s = centers.shape[0]
-    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
+    # at least one pad block so sphere-free (rect/box-only) scenes still
+    # carry a valid never-hit table
+    s_pad = max(SPHERE_PAD, -(-s // SPHERE_PAD) * SPHERE_PAD)
 
     sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
     sph = sph.at[:s, 0:3].set(centers)
@@ -534,11 +694,77 @@ def _pack_sky_row(sky_bottom, sky_top):
     ).astype(jnp.float32).reshape(1, 8)
 
 
+AUX_PAD = 8  # f32 sublane multiple for the rect/box tables
+AUX_REC_ROWS = 24
+
+
+def pack_aux_tables(scene, packed_materials):
+    """(rect_tables, box_tables) for sample_batch, or None where the scene
+    has none of that kind.
+
+    rect geo (R_pad, 16): quat xyzw | pos | xy_from | xy_to; rec
+    (24, R_pad): material rows 0-10 | world normal 11-13 (rects have a
+    constant normal: rotated local +Z, Entity.cs:65).
+    box geo (B_pad, 16): quat | pos | extents; rec (24, B_pad): material
+    rows 0-10 | quat 11-14 | pos 15-17 | extents 18-20 (the winner's
+    normal is recomputed in-kernel from these).  Pad rows can never hit
+    (rect from>to; box extents 0)."""
+    from raytracing_in_one_weekend_tpu.core import math3
+
+    rect_tables = None
+    rct = scene.rects
+    if rct.rot.shape[0] > 0:
+        r = rct.rot.shape[0]
+        r_pad = max(AUX_PAD, -(-r // AUX_PAD) * AUX_PAD)
+        geo = jnp.zeros((r_pad, 16), jnp.float32)
+        geo = geo.at[:, 3].set(1.0)  # identity quats on pad rows
+        geo = geo.at[:, 7:9].set(1.0)  # pad: from(1,1) > to(0,0) never hits
+        geo = geo.at[:r, 0:4].set(rct.rot)
+        geo = geo.at[:r, 4:7].set(rct.pos)
+        geo = geo.at[:r, 7:9].set(rct.xy_from)
+        geo = geo.at[:r, 9:11].set(rct.xy_to)
+        normal = math3.quat_rotate(
+            rct.rot, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3))
+        )
+        rec = jnp.zeros((AUX_REC_ROWS, r_pad), jnp.float32)
+        rec = rec.at[:11, :r].set(packed_materials[rct.material][:, :11].T)
+        rec = rec.at[11:14, :r].set(normal.T)
+        rect_tables = (geo, rec)
+
+    box_tables = None
+    box = scene.boxes
+    if box.rot.shape[0] > 0:
+        b = box.rot.shape[0]
+        b_pad = max(AUX_PAD, -(-b // AUX_PAD) * AUX_PAD)
+        geo = jnp.zeros((b_pad, 16), jnp.float32)
+        geo = geo.at[:, 3].set(1.0)
+        geo = geo.at[:b, 0:4].set(box.rot)
+        geo = geo.at[:b, 4:7].set(box.pos)
+        geo = geo.at[:b, 7:10].set(box.extents)  # pad rows keep extents 0
+        rec = jnp.zeros((AUX_REC_ROWS, b_pad), jnp.float32)
+        rec = rec.at[:11, :b].set(packed_materials[box.material][:, :11].T)
+        rec = rec.at[11:15, :b].set(box.rot.T)
+        rec = rec.at[15:18, :b].set(box.pos.T)
+        rec = rec.at[18:21, :b].set(box.extents.T)
+        box_tables = (geo, rec)
+
+    return rect_tables, box_tables
+
+
 def _batch_kernel(
-    seed_ref, cam_ref, sky_ref, pix_ref, sph_ref, rec_ref, out_ref,
-    *, samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
+    seed_ref, cam_ref, sky_ref, pix_ref, sph_ref, rec_ref, *aux_and_out,
+    samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
+    has_rects: bool = False, has_boxes: bool = False,
 ):
+    # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
+    # box_rec) order, each pair present only when the scene has that kind;
+    # the last positional is always the output ref.
+    aux = list(aux_and_out[:-1])
+    out_ref = aux_and_out[-1]
+    rect_c = (aux.pop(0), aux.pop(0)) if has_rects else None
+    box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
+
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
     count_in = pix_ref[2:3, :]  # accumulated valid samples before batch
@@ -550,8 +776,10 @@ def _batch_kernel(
         pltpu.prng_seed(seed_ref[0, 0] + pix_ref[0, 0].astype(jnp.int32))
 
     consts = (
-        sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3], sph_ref[:, 3:4],
-        rec_ref,
+        (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
+         sph_ref[:, 3:4], rec_ref),
+        rect_c,
+        box_c,
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -767,6 +995,8 @@ def sample_batch(
     sky_top: jnp.ndarray,  # (3,)
     seed: jnp.ndarray,  # () int32
     pixel_index: jnp.ndarray | None = None,  # (N,) pixel id per lane
+    rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
+    box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
     *,
     samples: int,
     trace_depth: int,
@@ -784,13 +1014,15 @@ def sample_batch(
     normal, albedo, weight, rays, fallback_normal, fallback_albedo.  When
     `pixel_index` permutes lanes (Morton order), `lane_count`/`count_in`
     must arrive pre-permuted and the caller un-permutes the deltas.
+    rect_tables/box_tables (from pack_aux_tables) add oriented rect/box
+    entities to the in-kernel intersection sweep.
     """
     if hw_prng is None:
         hw_prng = not interpret
     n = lane_count.shape[0]
     s = centers.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
-    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
+    s_pad = max(SPHERE_PAD, -(-s // SPHERE_PAD) * SPHERE_PAD)
 
     pix = jnp.zeros((8, n_pad), jnp.float32)
     pix = pix.at[0, :].set(jnp.arange(n_pad, dtype=jnp.float32))
@@ -806,6 +1038,34 @@ def sample_batch(
     cam = camera_row.astype(jnp.float32).reshape(1, 24)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
 
+    inputs = [seed_arr, cam, sky, pix, sph, rec_t]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (REC_COLS, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    for tables in (rect_tables, box_tables):
+        if tables is not None:
+            geo, rec = tables
+            inputs += [geo, rec]
+            in_specs += [
+                pl.BlockSpec(
+                    geo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    rec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
         functools.partial(
@@ -818,30 +1078,18 @@ def sample_batch(
             hw_prng=hw_prng,
             early_out=early_out,
             jitter=jitter,
+            has_rects=rect_tables is not None,
+            has_boxes=box_tables is not None,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (REC_COLS, s_pad), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (BATCH_OUT_ROWS, RAY_TILE), lambda i: (0, i),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((BATCH_OUT_ROWS, n_pad), jnp.float32),
         interpret=interpret,
-    )(seed_arr, cam, sky, pix, sph, rec_t)
+    )(*inputs)
 
     return {
         "color": out[0:3, :n].T,
@@ -928,9 +1176,7 @@ def megatrace(
     if hw_prng is None:
         hw_prng = not interpret  # no hardware PRNG in CPU interpret mode
     n = origin.shape[0]
-    s = centers.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
-    s_pad = -(-s // SPHERE_PAD) * SPHERE_PAD
 
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[0:3, :n].set(origin.T)

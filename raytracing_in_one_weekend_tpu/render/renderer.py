@@ -98,11 +98,14 @@ def render_batch(
         not differentiable
         and noise_color == 0  # blue/STBN samplers use the wavefront path
         and pallas_sphere.use_pallas()
-        and pallas_megatrace.scene_eligible(scene)
+        and pallas_megatrace.scene_eligible(scene, allow_rect_box=True)
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
         records = packed[scene.spheres.material][:, :11]
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         # NOTE: lanes map to pixels row-major (identity).  A Morton lane
         # permutation (pallas_megatrace.morton_order) was measured 5%
@@ -119,6 +122,8 @@ def render_batch(
             scene.environment.sky_bottom,
             scene.environment.sky_top,
             seed,
+            rect_tables=rect_tables,
+            box_tables=box_tables,
             samples=samples,
             trace_depth=trace_depth,
             has_dielectrics=scene.flags.has_dielectrics,

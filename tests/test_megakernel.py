@@ -137,3 +137,65 @@ class TestMortonOrder:
         # Z-order: first 256 pixels form a 16x16 block
         assert xs.max() - xs.min() <= 15
         assert ys.max() - ys.min() <= 15
+
+
+class TestRectBoxKernel:
+    """Oriented rects + boxes in the fused batch kernel (Cornell class)."""
+
+    def test_cornell_matches_wavefront(self):
+        from raytracing_in_one_weekend_tpu.core import materials
+
+        w = h = 24
+        s, d = 16, 8
+        scene, camera = _setup(book_scenes.cornell_box, w, h)
+        assert pallas_megatrace.scene_eligible(scene, allow_rect_box=True)
+        assert not pallas_megatrace.scene_eligible(scene)  # wavefront-mega no
+
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32),
+            jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(11), rect_tables=rect_tables, box_tables=box_tables,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=False,
+            interpret=True,
+        )
+
+        def close(a, b, rel):
+            assert float(a) == pytest.approx(float(b), rel=rel), (a, b)
+
+        close(jnp.mean(out["count"]), jnp.mean(ref.sample_count), 0.05)
+        close(jnp.mean(jnp.abs(out["normal"])),
+              jnp.mean(jnp.abs(ref.normal)), 0.05)
+        close(jnp.sum(out["rays"]), mref.total_rays, 0.05)
+        # emissive scenes are high-variance at this size: looser color tol
+        close(jnp.mean(out["color"]), jnp.mean(ref.color), 0.25)
+
+    def test_renderer_dispatches_cornell_on_tpu_only(self):
+        # on CPU use_pallas() is False: render_batch must keep using the
+        # wavefront path (covered implicitly by render tests); here just
+        # sanity-check the table packer's pad rows can never hit.
+        from raytracing_in_one_weekend_tpu.core import materials
+
+        scene, _ = _setup(book_scenes.cornell_box)
+        packed = materials.pack_materials(scene)
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )
+        rgeo = np.asarray(rect_tables[0])
+        r = scene.rects.rot.shape[0]
+        assert (rgeo[r:, 7:9] >= rgeo[r:, 9:11] + 1).all()  # from > to
+        bgeo = np.asarray(box_tables[0])
+        b = scene.boxes.rot.shape[0]
+        assert (bgeo[b:, 7:10] == 0).all()  # zero extents
