@@ -10,11 +10,14 @@ state row resident in VMEM.  HBM traffic per ray is ~7 input floats and
 round-trips ~25 state floats per ray per bounce plus fusion boundaries.
 
 Scope (gated by renderer dispatch): sphere/rect/box scenes with constant
-textures and gradient/none sky — the book-cover AND Cornell classes
-(measured 130 MRays/s on the Cornell box at 512x512).  Motion blur,
-volumes, procedural textures, cubemaps and triangles fall back to the
+textures, gradient/none sky, and convex-hull probabilistic volumes — the
+book-cover, Cornell AND volume classes (measured 130 MRays/s on the
+Cornell box, 65 on volume_test, 118 on cornell_volumes at 512x512).
+Motion blur, procedural textures, cubemaps and triangles fall back to the
 wavefront integrator; images agree statistically, not bitwise (in-kernel
-PRNG differs from threefry).
+PRNG differs from threefry).  Deviation: the initial medium (camera inside
+a volume) is resolved once for the shared camera origin, not per lens
+sample (camera_containment_row).
 
 Math parity, per row (all formulas match the jnp library, cited there):
   * quadratic intersection         ops/geometry.sphere_hit_all
@@ -52,16 +55,17 @@ TWO_PI = 6.283185307179586
 INV_2_24 = 1.0 / 16777216.0
 
 
-def scene_eligible(scene, allow_rect_box: bool = False) -> bool:
+def scene_eligible(
+    scene, allow_rect_box: bool = False, allow_volumes: bool = False
+) -> bool:
     """Static check: can this scene run in the fused megakernel?
-    (constant textures, gradient/none sky, no volumes, no motion, no
-    triangles; rects/boxes only where the caller's kernel supports them —
-    the batch kernel does, the plain wavefront megatrace doesn't).
+    (constant textures, gradient/none sky, no motion, no triangles;
+    rects/boxes and convex volumes only where the caller's kernel supports
+    them — the batch kernel does, the plain wavefront megatrace doesn't).
     Everything else uses the wavefront integrator."""
     ok = (
         not scene.flags.has_motion
         and not scene.flags.has_procedural_textures
-        and not scene.flags.has_volumes
         and scene.flags.sky in (0, 1)
         and scene.triangles.vert0.shape[0] == 0
         and (
@@ -70,6 +74,10 @@ def scene_eligible(scene, allow_rect_box: bool = False) -> bool:
             + scene.boxes.rot.shape[0]
         ) > 0
     )
+    if allow_volumes:
+        ok = ok and not scene.flags.has_nonconvex_volumes
+    else:
+        ok = ok and not scene.flags.has_volumes
     if not allow_rect_box:
         ok = ok and (
             scene.spheres.center.shape[0] > 0
@@ -202,7 +210,7 @@ def _smith_masking(cos_theta, roughness):
 
 def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
-    sky_on: bool,
+    sky_on: bool, has_volumes: bool = False,
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -218,7 +226,8 @@ def _bounce_step(
 
     (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
      active, valid, anx, any_, anz, aax, aay, aaz,
-     got, events, rays_cast) = carry
+     got, events, rays_cast,
+     in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = carry
     zero = jnp.zeros_like(ox)
     t_cols = ox.shape[1]
 
@@ -257,6 +266,13 @@ def _bounce_step(
     )  # (REC, T)
 
     mat = rec[0:11, :]  # winner material rows (pack_materials layout)
+    mat_id = rec[11:12, :]  # winner material index (volume bookkeeping)
+    if has_volumes:
+        # winner exit root for the convex volume walk (sphere far root;
+        # FindHits exit-hit injection, SampleBatchJob.cs:462-470)
+        t_exit_s = jnp.where(far_ok, t_far, BIG)
+        t_exit = jnp.sum(one_hot * t_exit_s, axis=0, keepdims=True)
+        t_exit = jnp.where(best_t < BIG, t_exit, BIG)
 
     # ---- rects (HitTests.cs:62-78 one-sided local-XY rect) --------------
     if rect_c is not None:
@@ -294,6 +310,9 @@ def _bounce_step(
         rect_wins = r_best < best_t
         best_t = jnp.where(rect_wins, r_best, best_t)
         mat = jnp.where(rect_wins, rrec[0:11, :], mat)
+        mat_id = jnp.where(rect_wins, rrec[14:15, :], mat_id)
+        if has_volumes:
+            t_exit = jnp.where(rect_wins, BIG, t_exit)  # rects: no interior
 
     # ---- boxes (HitTests.cs:81-113 Majercik) ------------------------------
     if box_c is not None:
@@ -358,6 +377,32 @@ def _bounce_step(
         box_wins = b_best < best_t
         best_t = jnp.where(box_wins, b_best, best_t)
         mat = jnp.where(box_wins, brec[0:11, :], mat)
+        mat_id = jnp.where(box_wins, brec[21:22, :], mat_id)
+        if has_volumes:
+            # slab exit for the convex walk (geometry.box_hit_single)
+            ibx = jnp.where(bdX == 0.0, jnp.inf, 1.0 / sdx_)
+            iby = jnp.where(bdY == 0.0, jnp.inf, 1.0 / sdy_)
+            ibz = jnp.where(bdZ == 0.0, jnp.inf, 1.0 / sdz_)
+            tx0 = (-ex_ - boX) * ibx
+            tx1 = (ex_ - boX) * ibx
+            ty0 = (-ey_ - boY) * iby
+            ty1 = (ey_ - boY) * iby
+            tz0 = (-ez_ - boZ) * ibz
+            tz1 = (ez_ - boZ) * ibz
+            b_far = jnp.minimum(
+                jnp.maximum(tx0, tx1),
+                jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+            ) + t_min
+            b_near = jnp.maximum(
+                jnp.minimum(tx0, tx1),
+                jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+            ) + t_min
+            exit_ok = (b_far > t_min) & (b_near < b_far)
+            b_exit_all = jnp.where(exit_ok, b_far, BIG)
+            b_exit = jnp.sum(b_one_hot * b_exit_all, axis=0, keepdims=True)
+            t_exit = jnp.where(
+                box_wins, jnp.where(b_best < BIG, b_exit, BIG), t_exit
+            )
 
     hit = best_t < BIG
     is_active = active > 0.0
@@ -407,6 +452,55 @@ def _bounce_step(
     parameter = mat[9:10, :]
     perfect_f = mat[10:11, :]  # stays float: bool-valued selects are
     # unsupported truncations in Mosaic
+
+    # ---- probabilistic volume walk (integrator._bounce_once;
+    #      SampleBatchJob.cs:212-303 entry/exit pairing + Beer-Lambert) ----
+    if has_volumes:
+        in_vol = in_id >= 0.0
+        hit_is_vol = hit & (mtype > 1.5)  # PROBABILISTIC_VOLUME == 2
+        entering = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+        # current medium record: carried rows while inside, else the hit
+        # volume's own rows at an entry boundary
+        v_den = jnp.where(in_vol, in_den, parameter)
+        v_ar = jnp.where(in_vol, in_ar, alb_r)
+        v_ag = jnp.where(in_vol, in_ag, alb_g)
+        v_ab = jnp.where(in_vol, in_ab, alb_b)
+        v_er = jnp.where(in_vol, in_er, em_r)
+        v_eg = jnp.where(in_vol, in_eg, em_g)
+        v_eb = jnp.where(in_vol, in_eb, em_b)
+        v_id = jnp.where(in_vol, in_id, mat_id)
+        # free path d = -1/density * ln(u)  (Material.cs:49-65)
+        u_free = jnp.maximum(u[6:7], 1e-12)
+        free_path = -jnp.log(u_free) / jnp.maximum(v_den, 1e-12)
+        seg_len = jnp.where(in_vol, best_t, t_exit - best_t)
+        vol_candidate = hit & (in_vol | (hit_is_vol & entering))
+        vol_scatter = vol_candidate & (free_path < seg_len)
+        vol_t = jnp.where(in_vol, free_path, best_t + free_path)
+        pass_through = (
+            hit & jnp.logical_not(in_vol) & hit_is_vol & entering
+            & jnp.logical_not(vol_scatter)
+        )
+        exits_own = (
+            in_vol & hit & hit_is_vol & jnp.logical_not(entering)
+            & jnp.logical_not(vol_scatter)
+            & (jnp.abs(mat_id - in_id) < 0.5)
+        )
+        skip = pass_through | exits_own
+        skip_t = jnp.where(pass_through, t_exit, best_t)
+
+        scatter_mask = scatter_mask & jnp.logical_not(skip)
+        # effective hit record (vol scatter replaces the surface hit)
+        eff_t = jnp.where(vol_scatter, vol_t, t_hit)
+        px = ox + eff_t * dx
+        py = oy + eff_t * dy
+        pz = oz + eff_t * dz
+        nx = jnp.where(vol_scatter, -dx, nx)
+        ny = jnp.where(vol_scatter, -dy, ny)
+        nz = jnp.where(vol_scatter, -dz, nz)
+        em_r = jnp.where(vol_scatter, v_er, em_r)
+        em_g = jnp.where(vol_scatter, v_eg, em_g)
+        em_b = jnp.where(vol_scatter, v_eb, em_b)
+        perfect_f = jnp.where(vol_scatter, 0.0, perfect_f)
 
     # ---- Standard scatter (materials.scatter, Material.cs:75-119) -----
     roughness = (1.0 - gloss) * (1.0 - gloss)
@@ -492,6 +586,18 @@ def _bounce_step(
         std_events = jnp.where(is_diel, 1.0 + d_roughness, std_events)
         perfect_f = jnp.where(is_diel, 1.0, perfect_f)
 
+    if has_volumes:
+        # isotropic in-medium scatter (Material.cs:163-168): unit-sphere
+        # direction, medium albedo as reflectance, 2 random events
+        vsx, vsy, vsz = _unit_sphere(uc, ud)
+        sdx = jnp.where(vol_scatter, vsx, sdx)
+        sdy = jnp.where(vol_scatter, vsy, sdy)
+        sdz = jnp.where(vol_scatter, vsz, sdz)
+        srr = jnp.where(vol_scatter, v_ar, srr)
+        srg = jnp.where(vol_scatter, v_ag, srg)
+        srb = jnp.where(vol_scatter, v_ab, srb)
+        std_events = jnp.where(vol_scatter, 2.0, std_events)
+
     # ---- sky (environment.sample_sky gradient branch) ------------------
     if sky_on:
         tsky = 0.5 * (dy + 1.0)
@@ -537,7 +643,13 @@ def _bounce_step(
 
     # ---- events + ray count ---------------------------------------------
     depth_weight = jnp.exp2(-depth.astype(jnp.float32))
-    events = events + jnp.where(scatter_mask, std_events, 0.0) * depth_weight
+    step_events = jnp.where(scatter_mask, std_events, 0.0)
+    if has_volumes:
+        # ProbabilisticHit costs one event (SampleBatchJob.cs:332)
+        step_events = step_events + jnp.where(
+            is_active & vol_candidate, 1.0, 0.0
+        )
+    events = events + step_events * depth_weight
     rays_cast = rays_cast + jnp.where(is_active, 1.0, 0.0)
 
     # ---- advance ---------------------------------------------------------
@@ -550,18 +662,38 @@ def _bounce_step(
     dx = jnp.where(scatter_mask, sdx, dx)
     dy = jnp.where(scatter_mask, sdy, dy)
     dz = jnp.where(scatter_mask, sdz, dz)
+    if has_volumes:
+        # pass-through / own-exit lanes advance past the boundary without
+        # scattering (one bounce iteration, integrator deviation note)
+        adv = is_active & skip
+        ox = jnp.where(adv, ox + (skip_t + SELF_EPS) * dx, ox)
+        oy = jnp.where(adv, oy + (skip_t + SELF_EPS) * dy, oy)
+        oz = jnp.where(adv, oz + (skip_t + SELF_EPS) * dz, oz)
+        # medium bookkeeping: enter on scatter, leave on skip, keep when
+        # scattering off a solid while inside
+        take = is_active & vol_scatter
+        leave = is_active & skip
+        in_id = jnp.where(take, v_id, jnp.where(leave, -1.0, in_id))
+        in_den = jnp.where(take, v_den, in_den)
+        in_ar = jnp.where(take, v_ar, in_ar)
+        in_ag = jnp.where(take, v_ag, in_ag)
+        in_ab = jnp.where(take, v_ab, in_ab)
+        in_er = jnp.where(take, v_er, in_er)
+        in_eg = jnp.where(take, v_eg, in_eg)
+        in_eb = jnp.where(take, v_eb, in_eb)
     active = jnp.where(miss, 0.0, active)
     valid = jnp.where(miss, 1.0, valid)
 
     return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
             active, valid, anx, any_, anz, aax, aay, aaz,
-            got, events, rays_cast)
+            got, events, rays_cast,
+            in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
 
 
 def _trace_loop(
     carry0, consts, seed_ref, lane_row, salt_base, *, trace_depth: int,
     t_min: float, has_dielectrics: bool, sky_on: bool, hw_prng: bool,
-    early_out: bool,
+    early_out: bool, has_volumes: bool = False,
 ):
     """Run the depth loop over _bounce_step with per-bounce uniforms."""
     t_cols = carry0[0].shape[1]
@@ -577,6 +709,7 @@ def _trace_loop(
         return _bounce_step(
             depth, carry, u, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+            has_volumes=has_volumes,
         )
 
     if early_out:
@@ -628,6 +761,8 @@ def _kernel(
         zero,  # got_nonspecular
         zero,  # events
         zero,  # pixel rays
+        -one,  # inside-volume material id (-1 = none)
+        zero, zero, zero, zero, zero, zero, zero,  # medium record rows
     )
 
     carry = _trace_loop(
@@ -637,7 +772,8 @@ def _kernel(
         hw_prng=hw_prng, early_out=early_out,
     )
     (_, _, _, _, _, _, _, _, _, rx, ry, rz,
-     _, valid, anx, any_, anz, aax, aay, aaz, _, events, rays_cast) = carry
+     _, valid, anx, any_, anz, aax, aay, aaz, _, events, rays_cast,
+     *_vol) = carry
 
     out_ref[0:1, :] = jnp.where(valid > 0.5, rx, 0.0)
     out_ref[1:2, :] = jnp.where(valid > 0.5, ry, 0.0)
@@ -729,6 +865,7 @@ def pack_aux_tables(scene, packed_materials):
         rec = jnp.zeros((AUX_REC_ROWS, r_pad), jnp.float32)
         rec = rec.at[:11, :r].set(packed_materials[rct.material][:, :11].T)
         rec = rec.at[11:14, :r].set(normal.T)
+        rec = rec.at[14, :r].set(rct.material.astype(jnp.float32))
         rect_tables = (geo, rec)
 
     box_tables = None
@@ -746,16 +883,19 @@ def pack_aux_tables(scene, packed_materials):
         rec = rec.at[11:15, :b].set(box.rot.T)
         rec = rec.at[15:18, :b].set(box.pos.T)
         rec = rec.at[18:21, :b].set(box.extents.T)
+        rec = rec.at[21, :b].set(box.material.astype(jnp.float32))
         box_tables = (geo, rec)
 
     return rect_tables, box_tables
 
 
 def _batch_kernel(
-    seed_ref, cam_ref, sky_ref, pix_ref, sph_ref, rec_ref, *aux_and_out,
+    seed_ref, cam_ref, sky_ref, vol0_ref, pix_ref, sph_ref, rec_ref,
+    *aux_and_out,
     samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
     has_rects: bool = False, has_boxes: bool = False,
+    has_volumes: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
@@ -833,6 +973,8 @@ def _batch_kernel(
         zero,  # rays
         zero, zero, zero,  # fallback normal
         zero, zero, zero,  # fallback albedo
+        # inside-volume medium state (id -1 = vacuum) + its record rows
+        -one, zero, zero, zero, zero, zero, zero, zero,
     )
 
     def iteration(it, state):
@@ -840,7 +982,8 @@ def _batch_kernel(
          pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
          depth_ct, started,
          csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
-         wsum, rays, fnx, fny, fnz, fax, fay, faz) = state
+         wsum, rays, fnx, fny, fnz, fax, fay, faz,
+         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = state
 
         # ---- regenerate: start the next sample on idle lanes ----------
         regen = (pactive < 0.5) & (started < per_pixel)
@@ -894,13 +1037,25 @@ def _batch_kernel(
         valid = jnp.where(regen, 0.0, valid)
         pactive = jnp.where(regen, 1.0, pactive)
         started = started + jnp.where(regen, 1.0, 0.0)
+        if has_volumes:
+            # camera containment (DetermineVolumeContainment analog,
+            # computed host-side once for the shared camera origin)
+            in_id = jnp.where(regen, vol0_ref[0, 0], in_id)
+            in_den = jnp.where(regen, vol0_ref[0, 1], in_den)
+            in_ar = jnp.where(regen, vol0_ref[0, 2], in_ar)
+            in_ag = jnp.where(regen, vol0_ref[0, 3], in_ag)
+            in_ab = jnp.where(regen, vol0_ref[0, 4], in_ab)
+            in_er = jnp.where(regen, vol0_ref[0, 5], in_er)
+            in_eg = jnp.where(regen, vol0_ref[0, 6], in_eg)
+            in_eb = jnp.where(regen, vol0_ref[0, 7], in_eb)
 
         was_active = pactive > 0.5
 
         # ---- one bounce ------------------------------------------------
         carry = (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
                  pactive, valid, anx, any_, anz, aax, aay, aaz,
-                 got, events, zero)
+                 got, events, zero,
+                 in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
         if hw_prng:
             ub = _uniforms_hw((8, t_shape[1]))
         else:
@@ -911,10 +1066,12 @@ def _batch_kernel(
         carry = _bounce_step(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+            has_volumes=has_volumes,
         )
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz,
-         got, events, _) = carry
+         got, events, _,
+         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = carry
 
         depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
         rays = rays + jnp.where(was_active, 1.0, 0.0)
@@ -953,7 +1110,8 @@ def _batch_kernel(
                 pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
                 depth_ct, started,
                 csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
-                wsum, rays, fnx, fny, fnz, fax, fay, faz)
+                wsum, rays, fnx, fny, fnz, fax, fay, faz,
+                in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
 
     if early_out:
         def iteration_or_skip(it, state):
@@ -970,13 +1128,33 @@ def _batch_kernel(
     state = jax.lax.fori_loop(
         0, samples * trace_depth, iteration_or_skip, state0
     )
-    acc = state[24:]
+    acc = state[24:42]
 
     for i, row in enumerate(acc):
         out_ref[i : i + 1, :] = row
     out_ref[18:BATCH_OUT_ROWS, :] = jnp.zeros(
         (BATCH_OUT_ROWS - 18, t_shape[1]), jnp.float32
     )
+
+
+def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
+    """(8,) SMEM row [volume material id or -1, density, albedo rgb,
+    emission rgb] for the camera origin — the megakernel's initial medium
+    state (DetermineVolumeContainment, SampleBatchJob.cs:477-508; one
+    shared origin stands in for the per-ray test since lens offsets are
+    tiny relative to volume extents)."""
+    from raytracing_in_one_weekend_tpu.ops import intersect
+
+    mat = intersect.point_inside_volume(scene, jnp.asarray(origin)[None])[0]
+    safe = jnp.maximum(mat, 0)
+    row = packed_materials[safe]
+    inside = (mat >= 0).astype(jnp.float32)
+    return jnp.stack([
+        jnp.where(mat >= 0, mat.astype(jnp.float32), -1.0),
+        row[9] * inside,  # density
+        row[1] * inside, row[2] * inside, row[3] * inside,
+        row[4] * inside, row[5] * inside, row[6] * inside,
+    ])
 
 
 @functools.partial(
@@ -997,6 +1175,8 @@ def sample_batch(
     pixel_index: jnp.ndarray | None = None,  # (N,) pixel id per lane
     rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
+    vol0: jnp.ndarray | None = None,  # (8,) camera_containment_row: enables
+    #   the in-kernel convex volume walk
     *,
     samples: int,
     trace_depth: int,
@@ -1038,10 +1218,18 @@ def sample_batch(
     cam = camera_row.astype(jnp.float32).reshape(1, 24)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
 
-    inputs = [seed_arr, cam, sky, pix, sph, rec_t]
+    if vol0 is None:
+        vol0_row = jnp.asarray(
+            [-1.0, 0, 0, 0, 0, 0, 0, 0], jnp.float32
+        ).reshape(1, 8)
+    else:
+        vol0_row = vol0.astype(jnp.float32).reshape(1, 8)
+
+    inputs = [seed_arr, cam, sky, vol0_row, pix, sph, rec_t]
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(
             (8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1080,6 +1268,7 @@ def sample_batch(
             jitter=jitter,
             has_rects=rect_tables is not None,
             has_boxes=box_tables is not None,
+            has_volumes=vol0 is not None,
         ),
         grid=grid,
         in_specs=in_specs,

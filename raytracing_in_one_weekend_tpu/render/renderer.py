@@ -98,13 +98,28 @@ def render_batch(
         not differentiable
         and noise_color == 0  # blue/STBN samplers use the wavefront path
         and pallas_sphere.use_pallas()
-        and pallas_megatrace.scene_eligible(scene, allow_rect_box=True)
+        and pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True
+        )
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
-        records = packed[scene.spheres.material][:, :11]
+        records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
+        )
+        vol0 = (
+            pallas_megatrace.camera_containment_row(
+                scene, packed, camera.origin
+            )
+            if scene.flags.has_volumes
+            else None
         )
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         # NOTE: lanes map to pixels row-major (identity).  A Morton lane
@@ -124,6 +139,7 @@ def render_batch(
             seed,
             rect_tables=rect_tables,
             box_tables=box_tables,
+            vol0=vol0,
             samples=samples,
             trace_depth=trace_depth,
             has_dielectrics=scene.flags.has_dielectrics,

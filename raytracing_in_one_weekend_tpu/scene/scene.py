@@ -124,6 +124,10 @@ class SceneFlags:
     # static sky kind (int(SkyType)); jit-specializes the sky branch and
     # gates the fused megakernel (gradient sky evaluates in-kernel)
     sky: int = 1
+    # volume material on a non-convex entity (rect/triangle): the convex
+    # entry/exit volume walk (Entity.cs:24 IsConvexHull) can't represent
+    # it — forces the wavefront path (which also treats those as inert)
+    has_nonconvex_volumes: bool = False
 
 
 class Scene(NamedTuple):
@@ -560,6 +564,13 @@ class SceneBuilder:
         )
 
         mat_types = [m["type"] for m in mats]
+        vol_ids = {
+            i for i, t in enumerate(mat_types)
+            if t == int(MaterialType.PROBABILISTIC_VOLUME)
+        }
+        nonconvex_volumes = any(
+            r[4] in vol_ids for r in self._rects
+        ) or any(t[5] in vol_ids for t in self._triangles)
         flags = SceneFlags(
             has_volumes=int(MaterialType.PROBABILISTIC_VOLUME) in mat_types,
             has_dielectrics=int(MaterialType.DIELECTRIC) in mat_types,
@@ -574,6 +585,7 @@ class SceneBuilder:
                 for t in self._textures
             ),
             sky=int(sky_type),
+            has_nonconvex_volumes=nonconvex_volumes,
         )
         return Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=triangles,

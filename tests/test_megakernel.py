@@ -199,3 +199,120 @@ class TestRectBoxKernel:
         bgeo = np.asarray(box_tables[0])
         b = scene.boxes.rot.shape[0]
         assert (bgeo[b:, 7:10] == 0).all()  # zero extents
+
+
+class TestVolumeKernel:
+    """Convex-hull probabilistic volumes in the fused batch kernel."""
+
+    def _fused(self, scene, camera, w, h, s, d, seed=17):
+        packed = materials.pack_materials(scene)
+        records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )
+        vol0 = pallas_megatrace.camera_containment_row(
+            scene, packed, camera.origin
+        )
+        return pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(seed), rect_tables=rect_tables, box_tables=box_tables,
+            vol0=vol0, samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=scene.flags.sky == 1, interpret=True,
+        )
+
+    def test_volume_scene_matches_wavefront(self):
+        w = h = 24
+        s, d = 16, 16
+        scene, camera = _setup(book_scenes.volume_test, w, h)
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        out = self._fused(scene, camera, w, h, s, d)
+
+        def close(a, b, rel):
+            assert float(a) == pytest.approx(float(b), rel=rel), (a, b)
+
+        close(jnp.mean(out["count"]), jnp.mean(ref.sample_count), 0.03)
+        close(jnp.mean(out["color"]), jnp.mean(ref.color), 0.05)
+        close(jnp.sum(out["rays"]), mref.total_rays, 0.05)
+        close(jnp.mean(out["weight"]), jnp.mean(ref.weight), 0.1)
+
+    def test_camera_inside_volume(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        b = SceneBuilder()
+        fog = b.volume(0.8, (0.9, 0.9, 0.9))
+        b.add_sphere((0.0, 0.0, 0.0), 3.0, fog)  # camera sits inside
+        b.add_sphere((0.0, 0.0, -2.0), 0.5, b.lambert((0.8, 0.2, 0.2)))
+        b.set_gradient_sky()
+        scene = b.build()
+        cs = CameraSettings(origin=(0, 0, 0), look_at=(0, 0, -1),
+                            vertical_fov=60.0, focus_distance=2.0)
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        vol0 = np.asarray(
+            pallas_megatrace.camera_containment_row(scene, packed, cam.origin)
+        )
+        assert vol0[0] == 0.0  # fog material id
+        assert vol0[1] == pytest.approx(0.8)  # density
+
+        w = h = 16
+        s, d = 8, 16
+        out = self._fused(scene, cam, w, h, s, d)
+        acc0 = film.zero_accumulators(w * h)
+        ref, _ = renderer.render_batch(
+            scene, cam, acc0, jax.random.PRNGKey(1),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        a = float(jnp.mean(out["color"]))
+        b_ = float(jnp.mean(ref.color))
+        assert a == pytest.approx(b_, rel=0.1), (a, b_)
+
+    def test_cornell_volumes_matches_wavefront(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        w = h = 16
+        s, d = 16, 20
+        scene, cs = testbeds.cornell_with_volumes()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            focus_distance=cs.focus_distance,
+        )
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        out = self._fused(scene, camera, w, h, s, d)
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.05
+        )
+        assert float(jnp.sum(out["rays"])) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
+        # emissive + volumes at tiny res: loose photometric agreement
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.3
+        )
