@@ -10,14 +10,15 @@ state row resident in VMEM.  HBM traffic per ray is ~7 input floats and
 round-trips ~25 state floats per ray per bounce plus fusion boundaries.
 
 Scope (gated by renderer dispatch): sphere/rect/box scenes with constant
-textures, gradient/none sky, and convex-hull probabilistic volumes — the
-book-cover, Cornell AND volume classes (measured 130 MRays/s on the
-Cornell box, 65 on volume_test, 118 on cornell_volumes at 512x512).
-Motion blur, procedural textures, cubemaps and triangles fall back to the
-wavefront integrator; images agree statistically, not bitwise (in-kernel
-PRNG differs from threefry).  Deviation: the initial medium (camera inside
-a volume) is resolved once for the shared camera origin, not per lens
-sample (camera_containment_row).
+textures, gradient/none sky, convex-hull probabilistic volumes, and
+unit-shutter sphere motion blur — the book-cover, Cornell, volume AND
+motion classes (measured at 512x512: cover 53, Cornell 130, volume_test
+65, cornell_volumes 118, cover_motion 41 MRays/s).  Procedural textures,
+cubemaps and triangles fall back to the wavefront integrator; images
+agree statistically, not bitwise (in-kernel PRNG differs from threefry).
+Deviations: the initial medium (camera inside a volume) is resolved once
+for the shared camera origin (camera_containment_row); motion requires
+the default (0,1) time range (SceneFlags.motion_unit_time).
 
 Math parity, per row (all formulas match the jnp library, cited there):
   * quadratic intersection         ops/geometry.sphere_hit_all
@@ -46,7 +47,7 @@ BIG = 1e30
 RAY_TILE = 1024
 SPHERE_PAD = 128
 PAD_CENTER = 1e17
-REC_COLS = 16
+REC_COLS = 24  # 0-10 material | 11 material id | 12-14 center | 15 1/r | 16-18 move offset
 OUT_ROWS = 16
 SELF_EPS = 1e-3  # Ray.OffsetTowards epsilon (Ray.cs:19)
 PLASTIC_IOR = 1.5
@@ -56,7 +57,8 @@ INV_2_24 = 1.0 / 16777216.0
 
 
 def scene_eligible(
-    scene, allow_rect_box: bool = False, allow_volumes: bool = False
+    scene, allow_rect_box: bool = False, allow_volumes: bool = False,
+    allow_motion: bool = False,
 ) -> bool:
     """Static check: can this scene run in the fused megakernel?
     (constant textures, gradient/none sky, no motion, no triangles;
@@ -64,8 +66,7 @@ def scene_eligible(
     them — the batch kernel does, the plain wavefront megatrace doesn't).
     Everything else uses the wavefront integrator."""
     ok = (
-        not scene.flags.has_motion
-        and not scene.flags.has_procedural_textures
+        not scene.flags.has_procedural_textures
         and scene.flags.sky in (0, 1)
         and scene.triangles.vert0.shape[0] == 0
         and (
@@ -78,6 +79,10 @@ def scene_eligible(
         ok = ok and not scene.flags.has_nonconvex_volumes
     else:
         ok = ok and not scene.flags.has_volumes
+    if allow_motion:
+        ok = ok and scene.flags.motion_unit_time
+    else:
+        ok = ok and not scene.flags.has_motion
     if not allow_rect_box:
         ok = ok and (
             scene.spheres.center.shape[0] > 0
@@ -210,7 +215,7 @@ def _smith_masking(cos_theta, roughness):
 
 def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
-    sky_on: bool, has_volumes: bool = False,
+    sky_on: bool, has_volumes: bool = False, has_motion: bool = False,
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -221,13 +226,14 @@ def _bounce_step(
     with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
     VMEM-resident."""
     sph_c, rect_c, box_c, sky_b, sky_t = consts
-    cx, cy, cz, c_sq_minus_r2, rec_ref = sph_c
+    cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
     s = cx.shape[0]
 
     (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
      active, valid, anx, any_, anz, aax, aay, aaz,
      got, events, rays_cast,
-     in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = carry
+     in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+     ptime) = carry
     zero = jnp.zeros_like(ox)
     t_cols = ox.shape[1]
 
@@ -241,10 +247,24 @@ def _bounce_step(
     # Broadcast (S,1)x(1,T) products: K=3 contractions are useless on the
     # 128-deep MXU (measured 1.5x SLOWER via dot_general); the VPU form
     # fuses into the quadratic chain.
-    d_dot_c = dx * cx + dy * cy + dz * cz  # (S, T)
-    o_dot_c = ox * cx + oy * cy + oz * cz
-    b = o_dot_d - d_dot_c
-    c = (o_sq - 2.0 * o_dot_c) + c_sq_minus_r2
+    if has_motion:
+        # TransformAtTime with the unit shutter range: w == rayTime
+        # (Entity.cs:124-127; gated by SceneFlags.motion_unit_time)
+        mx, my, mz = sph_mov
+        cx_t = cx + mx * ptime  # (S, T)
+        cy_t = cy + my * ptime
+        cz_t = cz + mz * ptime
+        d_dot_c = dx * cx_t + dy * cy_t + dz * cz_t
+        o_dot_c = ox * cx_t + oy * cy_t + oz * cz_t
+        c_t_sq = cx_t * cx_t + cy_t * cy_t + cz_t * cz_t
+        b = o_dot_d - d_dot_c
+        # sph col 3 holds -r^2 in motion mode (|c_t|^2 is ray-dependent)
+        c = (o_sq - 2.0 * o_dot_c) + c_t_sq + c_sq_minus_r2
+    else:
+        d_dot_c = dx * cx + dy * cy + dz * cz  # (S, T)
+        o_dot_c = ox * cx + oy * cy + oz * cz
+        b = o_dot_d - d_dot_c
+        c = (o_sq - 2.0 * o_dot_c) + c_sq_minus_r2
     disc = b * b - a * c
     has_root = disc > 0.0
     sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
@@ -415,9 +435,14 @@ def _bounce_step(
     py = oy + t_hit * dy
     pz = oz + t_hit * dz
     inv_r = rec[15:16, :]
-    nx = (px - rec[12:13, :]) * inv_r
-    ny = (py - rec[13:14, :]) * inv_r
-    nz = (pz - rec[14:15, :]) * inv_r
+    if has_motion:
+        nx = (px - (rec[12:13, :] + rec[16:17, :] * ptime)) * inv_r
+        ny = (py - (rec[13:14, :] + rec[17:18, :] * ptime)) * inv_r
+        nz = (pz - (rec[14:15, :] + rec[18:19, :] * ptime)) * inv_r
+    else:
+        nx = (px - rec[12:13, :]) * inv_r
+        ny = (py - rec[13:14, :]) * inv_r
+        nz = (pz - rec[14:15, :]) * inv_r
     if rect_c is not None:
         nx = jnp.where(rect_wins, rrec[11:12, :], nx)
         ny = jnp.where(rect_wins, rrec[12:13, :], ny)
@@ -687,13 +712,14 @@ def _bounce_step(
     return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
             active, valid, anx, any_, anz, aax, aay, aaz,
             got, events, rays_cast,
-            in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
+            in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+            ptime)
 
 
 def _trace_loop(
     carry0, consts, seed_ref, lane_row, salt_base, *, trace_depth: int,
     t_min: float, has_dielectrics: bool, sky_on: bool, hw_prng: bool,
-    early_out: bool, has_volumes: bool = False,
+    early_out: bool, has_volumes: bool = False, has_motion: bool = False,
 ):
     """Run the depth loop over _bounce_step with per-bounce uniforms."""
     t_cols = carry0[0].shape[1]
@@ -709,7 +735,7 @@ def _trace_loop(
         return _bounce_step(
             depth, carry, u, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
-            has_volumes=has_volumes,
+            has_volumes=has_volumes, has_motion=has_motion,
         )
 
     if early_out:
@@ -739,7 +765,7 @@ def _kernel(
 
     consts = (
         (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
-         sph_ref[:, 3:4], rec_ref),
+         sph_ref[:, 3:4], rec_ref, None),
         None,  # rects (batch kernel only)
         None,  # boxes
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
@@ -763,6 +789,7 @@ def _kernel(
         zero,  # pixel rays
         -one,  # inside-volume material id (-1 = none)
         zero, zero, zero, zero, zero, zero, zero,  # medium record rows
+        zero,  # shutter time (static scenes)
     )
 
     carry = _trace_loop(
@@ -801,10 +828,15 @@ def _kernel(
 BATCH_OUT_ROWS = 24
 
 
-def _pack_scene_tables(centers, radii, records):
+def _pack_scene_tables(centers, radii, records, move_offsets=None):
     """Pad sphere + material-record tables into the kernels' VMEM layout
     (shared by megatrace and sample_batch — ONE definition so the two
-    kernels can never disagree on the packed layout)."""
+    kernels can never disagree on the packed layout).
+
+    Static scenes: sph col 3 = |c|^2 - r^2.  Moving scenes
+    (move_offsets given): col 3 = -r^2 (|c(t)|^2 is ray-dependent and
+    computed in-kernel), cols 4-6 = move offset; rec rows 16-18 mirror the
+    offsets for winner-normal recomputation."""
     s = centers.shape[0]
     # at least one pad block so sphere-free (rect/box-only) scenes still
     # carry a valid never-hit table
@@ -812,8 +844,13 @@ def _pack_scene_tables(centers, radii, records):
 
     sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
     sph = sph.at[:s, 0:3].set(centers)
-    c_sq = jnp.sum(centers * centers, axis=-1)
-    sph = sph.at[:s, 3].set(c_sq - radii * radii)
+    if move_offsets is None:
+        c_sq = jnp.sum(centers * centers, axis=-1)
+        sph = sph.at[:s, 3].set(c_sq - radii * radii)
+    else:
+        sph = sph.at[:s, 3].set(-radii * radii)
+        sph = sph.at[:, 4:7].set(0.0)
+        sph = sph.at[:s, 4:7].set(move_offsets)
     sph = sph.at[s:, 3].set(jnp.inf)  # pad rows can never hit
 
     safe_r = jnp.where(radii == 0.0, 1.0, radii)
@@ -821,6 +858,8 @@ def _pack_scene_tables(centers, radii, records):
     rec_t = rec_t.at[: records.shape[1], :s].set(records.T)
     rec_t = rec_t.at[12:15, :s].set(centers.T)
     rec_t = rec_t.at[15, :s].set(1.0 / safe_r)
+    if move_offsets is not None:
+        rec_t = rec_t.at[16:19, :s].set(move_offsets.T)
     return sph, rec_t, s_pad
 
 
@@ -895,7 +934,7 @@ def _batch_kernel(
     samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
     has_rects: bool = False, has_boxes: bool = False,
-    has_volumes: bool = False,
+    has_volumes: bool = False, has_motion: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
@@ -917,7 +956,9 @@ def _batch_kernel(
 
     consts = (
         (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
-         sph_ref[:, 3:4], rec_ref),
+         sph_ref[:, 3:4], rec_ref,
+         (sph_ref[:, 4:5], sph_ref[:, 5:6], sph_ref[:, 6:7])
+         if has_motion else None),
         rect_c,
         box_c,
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
@@ -975,6 +1016,7 @@ def _batch_kernel(
         zero, zero, zero,  # fallback albedo
         # inside-volume medium state (id -1 = vacuum) + its record rows
         -one, zero, zero, zero, zero, zero, zero, zero,
+        zero,  # shutter time of the current path
     )
 
     def iteration(it, state):
@@ -983,7 +1025,8 @@ def _batch_kernel(
          depth_ct, started,
          csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
          wsum, rays, fnx, fny, fnz, fax, fay, faz,
-         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = state
+         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+         ptime) = state
 
         # ---- regenerate: start the next sample on idle lanes ----------
         regen = (pactive < 0.5) & (started < per_pixel)
@@ -1048,6 +1091,8 @@ def _batch_kernel(
             in_er = jnp.where(regen, vol0_ref[0, 5], in_er)
             in_eg = jnp.where(regen, vol0_ref[0, 6], in_eg)
             in_eb = jnp.where(regen, vol0_ref[0, 7], in_eb)
+        if has_motion:
+            ptime = jnp.where(regen, u[7:8], ptime)
 
         was_active = pactive > 0.5
 
@@ -1055,7 +1100,8 @@ def _batch_kernel(
         carry = (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
                  pactive, valid, anx, any_, anz, aax, aay, aaz,
                  got, events, zero,
-                 in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
+                 in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+                 ptime)
         if hw_prng:
             ub = _uniforms_hw((8, t_shape[1]))
         else:
@@ -1066,12 +1112,13 @@ def _batch_kernel(
         carry = _bounce_step(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
-            has_volumes=has_volumes,
+            has_volumes=has_volumes, has_motion=has_motion,
         )
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz,
          got, events, _,
-         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb) = carry
+         in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+         ptime) = carry
 
         depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
         rays = rays + jnp.where(was_active, 1.0, 0.0)
@@ -1111,7 +1158,8 @@ def _batch_kernel(
                 depth_ct, started,
                 csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
                 wsum, rays, fnx, fny, fnz, fax, fay, faz,
-                in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb)
+                in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+                ptime)
 
     if early_out:
         def iteration_or_skip(it, state):
@@ -1177,6 +1225,8 @@ def sample_batch(
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
     vol0: jnp.ndarray | None = None,  # (8,) camera_containment_row: enables
     #   the in-kernel convex volume walk
+    move_offsets: jnp.ndarray | None = None,  # (S, 3) sphere motion (unit
+    #   shutter range): enables the in-kernel motion-blur path
     *,
     samples: int,
     trace_depth: int,
@@ -1213,7 +1263,7 @@ def sample_batch(
     else:
         pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
 
-    sph, rec_t, _ = _pack_scene_tables(centers, radii, records)
+    sph, rec_t, _ = _pack_scene_tables(centers, radii, records, move_offsets)
     sky = _pack_sky_row(sky_bottom, sky_top)
     cam = camera_row.astype(jnp.float32).reshape(1, 24)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
@@ -1269,6 +1319,7 @@ def sample_batch(
             has_rects=rect_tables is not None,
             has_boxes=box_tables is not None,
             has_volumes=vol0 is not None,
+            has_motion=move_offsets is not None,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -99,7 +99,8 @@ def render_batch(
         and noise_color == 0  # blue/STBN samplers use the wavefront path
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(
-            scene, allow_rect_box=True, allow_volumes=True
+            scene, allow_rect_box=True, allow_volumes=True,
+            allow_motion=True,
         )
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
@@ -140,6 +141,10 @@ def render_batch(
             rect_tables=rect_tables,
             box_tables=box_tables,
             vol0=vol0,
+            move_offsets=(
+                scene.spheres.move_offset
+                if scene.flags.has_motion else None
+            ),
             samples=samples,
             trace_depth=trace_depth,
             has_dielectrics=scene.flags.has_dielectrics,

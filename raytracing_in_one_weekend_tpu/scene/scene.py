@@ -128,6 +128,9 @@ class SceneFlags:
     # entry/exit volume walk (Entity.cs:24 IsConvexHull) can't represent
     # it — forces the wavefront path (which also treats those as inert)
     has_nonconvex_volumes: bool = False
+    # every moving sphere uses the default (0,1) shutter range: the fused
+    # megakernel's motion path assumes w == rayTime and is gated on this
+    motion_unit_time: bool = True
 
 
 class Scene(NamedTuple):
@@ -586,6 +589,11 @@ class SceneBuilder:
             ),
             sky=int(sky_type),
             has_nonconvex_volumes=nonconvex_volumes,
+            motion_unit_time=all(
+                (not has_motion)
+                or (float(s[4][0]) == 0.0 and float(s[4][1]) == 1.0)
+                for s in self._spheres
+            ),
         )
         return Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=triangles,

@@ -316,3 +316,63 @@ class TestVolumeKernel:
         assert float(jnp.mean(out["color"])) == pytest.approx(
             float(jnp.mean(ref.color)), rel=0.3
         )
+
+
+class TestMotionKernel:
+    def test_motion_blur_matches_wavefront(self):
+        w = h = 24
+        s, d = 8, 6
+        scene, cs = book_scenes.cover_scene(grid=3, motion_blur=True)
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True, allow_motion=True
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(23), move_offsets=scene.spheres.move_offset,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(jnp.sum(out["rays"])) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
+
+    def test_nonunit_time_range_not_eligible(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        m = b.lambert((0.5, 0.5, 0.5))
+        b.add_sphere((0, 0, -1), 0.5, m, move_offset=(0, 0.3, 0),
+                     time_range=(0.2, 0.8))
+        b.set_gradient_sky()
+        scene = b.build()
+        assert not scene.flags.motion_unit_time
+        assert not pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True, allow_motion=True
+        )
