@@ -10,15 +10,17 @@ state row resident in VMEM.  HBM traffic per ray is ~7 input floats and
 round-trips ~25 state floats per ray per bounce plus fusion boundaries.
 
 Scope (gated by renderer dispatch): sphere/rect/box scenes with constant
-textures, gradient/none sky, convex-hull probabilistic volumes, and
-unit-shutter sphere motion blur — the book-cover, Cornell, volume AND
-motion classes (measured at 512x512: cover 53, Cornell 130, volume_test
-65, cornell_volumes 118, cover_motion 41 MRays/s).  Procedural textures,
-cubemaps and triangles fall back to the wavefront integrator; images
-agree statistically, not bitwise (in-kernel PRNG differs from threefry).
-Deviations: the initial medium (camera inside a volume) is resolved once
-for the shared camera origin (camera_containment_row); motion requires
-the default (0,1) time range (SceneFlags.motion_unit_time).
+textures, gradient/none sky, convex-hull probabilistic volumes,
+unit-shutter sphere motion blur, and meshes up to TRI_MAX triangles
+(chunked dense Möller–Trumbore sweep) — the book-cover, Cornell, volume,
+motion AND mesh classes (measured at 512x512: cover 53, Cornell 130,
+volume_test 65, cornell_volumes 118, cover_motion 41, mesh_showcase 24
+MRays/s).  Procedural textures, cubemaps and TRI_MAX+ meshes fall back
+to the wavefront integrator; images agree statistically, not bitwise
+(in-kernel PRNG differs from threefry).  Deviations: the initial medium
+(camera inside a volume) is resolved once for the shared camera origin
+(camera_containment_row); motion requires the default (0,1) time range
+(SceneFlags.motion_unit_time).
 
 Math parity, per row (all formulas match the jnp library, cited there):
   * quadratic intersection         ops/geometry.sphere_hit_all
@@ -58,23 +60,31 @@ INV_2_24 = 1.0 / 16777216.0
 
 def scene_eligible(
     scene, allow_rect_box: bool = False, allow_volumes: bool = False,
-    allow_motion: bool = False,
+    allow_motion: bool = False, allow_triangles: bool = False,
 ) -> bool:
     """Static check: can this scene run in the fused megakernel?
-    (constant textures, gradient/none sky, no motion, no triangles;
-    rects/boxes and convex volumes only where the caller's kernel supports
-    them — the batch kernel does, the plain wavefront megatrace doesn't).
+    (constant textures, gradient/none sky; motion, triangles, rects/boxes
+    and convex volumes only where the caller's kernel supports them — the
+    batch kernel does, the plain wavefront megatrace doesn't).
     Everything else uses the wavefront integrator."""
+    tri_count = scene.triangles.vert0.shape[0]
     ok = (
         not scene.flags.has_procedural_textures
         and scene.flags.sky in (0, 1)
-        and scene.triangles.vert0.shape[0] == 0
         and (
             scene.spheres.center.shape[0]
             + scene.rects.rot.shape[0]
             + scene.boxes.rot.shape[0]
+            + tri_count
         ) > 0
     )
+    if allow_triangles:
+        # beyond TRI_MAX the dense in-kernel sweep loses to the BVH
+        # wavefront; volume-material triangles already trip
+        # has_nonconvex_volumes below.
+        ok = ok and tri_count <= TRI_MAX
+    else:
+        ok = ok and tri_count == 0
     if allow_volumes:
         ok = ok and not scene.flags.has_nonconvex_volumes
     else:
@@ -90,6 +100,14 @@ def scene_eligible(
             and scene.boxes.rot.shape[0] == 0
         )
     return ok
+
+
+TRI_PAD = 128
+TRI_BLOCK = 192  # triangle rows per unrolled MT chunk: Möller–Trumbore
+# keeps ~8 (TRI_BLOCK, RAY_TILE) f32 temporaries live, so chunking bounds
+# the peak well under the 16MB scoped-vmem limit (256 rows measured OOM
+# by 932KB at RAY_TILE=1024)
+TRI_MAX = 4096  # beyond this the dense sweep loses to the BVH wavefront
 
 
 def _bits_to_unit_floats(bits_u32):
@@ -225,7 +243,7 @@ def _bounce_step(
     ((cx, cy, cz, csmr2, sph_rec_ref), rect|None, box|None, sky_b, sky_t)
     with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
     VMEM-resident."""
-    sph_c, rect_c, box_c, sky_b, sky_t = consts
+    sph_c, rect_c, box_c, tri_c, sky_b, sky_t = consts
     cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
     s = cx.shape[0]
 
@@ -424,6 +442,70 @@ def _bounce_step(
                 box_wins, jnp.where(b_best < BIG, b_exit, BIG), t_exit
             )
 
+    # ---- triangles (HitTests.cs:116-150 Möller–Trumbore, chunked) --------
+    if tri_c is not None:
+        tgeo, trec_ref = tri_c
+        t_rows = tgeo.shape[0]
+        tri_best = jnp.full((1, t_cols), BIG, jnp.float32)
+        tri_u = zero
+        tri_v = zero
+        trec = jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32)
+        for st in range(0, t_rows, TRI_BLOCK):
+            en = min(st + TRI_BLOCK, t_rows)
+            eax, eay, eaz = (tgeo[st:en, 0:1], tgeo[st:en, 1:2],
+                             tgeo[st:en, 2:3])
+            ebx, eby, ebz = (tgeo[st:en, 3:4], tgeo[st:en, 4:5],
+                             tgeo[st:en, 5:6])
+            v0x, v0y, v0z = (tgeo[st:en, 6:7], tgeo[st:en, 7:8],
+                             tgeo[st:en, 8:9])
+            pvx = dy * eaz - dz * eay  # (TB, T)
+            pvy = dz * eax - dx * eaz
+            pvz = dx * eay - dy * eax
+            det = ebx * pvx + eby * pvy + ebz * pvz
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * ebz - tvz * eby
+            qvy = tvz * ebx - tvx * ebz
+            qvz = tvx * eby - tvy * ebx
+            bv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t_mt = (eax * qvx + eay * qvy + eaz * qvz) * inv_det
+            ok_t = (
+                (det != 0.0)
+                & (bu >= 0.0) & (bu <= 1.0)
+                & (bv >= 0.0) & ((bu + bv) <= 1.0)
+                & (t_mt > t_min)
+            )
+            tt = jnp.where(ok_t, t_mt, BIG)
+            blk_best = jnp.min(tt, axis=0, keepdims=True)
+            blk_idx = jnp.argmin(tt, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+            blk_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (en - st, t_cols), 0
+            )
+            blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
+            blk_rec = jax.lax.dot_general(
+                trec_ref[:, st:en], blk_hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (24, T): 0-10 material | 11 id | 12-20 vertex normals
+            blk_u = jnp.sum(blk_hot * bu, axis=0, keepdims=True)
+            blk_v = jnp.sum(blk_hot * bv, axis=0, keepdims=True)
+            blk_wins = blk_best < tri_best
+            tri_best = jnp.where(blk_wins, blk_best, tri_best)
+            tri_u = jnp.where(blk_wins, blk_u, tri_u)
+            tri_v = jnp.where(blk_wins, blk_v, tri_v)
+            trec = jnp.where(blk_wins, blk_rec, trec)
+        tri_wins = tri_best < best_t
+        best_t = jnp.where(tri_wins, tri_best, best_t)
+        mat = jnp.where(tri_wins, trec[0:11, :], mat)
+        mat_id = jnp.where(tri_wins, trec[11:12, :], mat_id)
+        if has_volumes:
+            t_exit = jnp.where(tri_wins, BIG, t_exit)  # no interior
+
     hit = best_t < BIG
     is_active = active > 0.0
     scatter_mask = is_active & hit
@@ -468,6 +550,21 @@ def _bounce_step(
         nx = jnp.where(box_wins, bnx, nx)
         ny = jnp.where(box_wins, bny, ny)
         nz = jnp.where(box_wins, bnz, nz)
+    if tri_c is not None:
+        # barycentric vertex-normal interpolation, normalized after the
+        # lerp (intersect._shading_attributes / Entity.cs:65)
+        w0 = 1.0 - tri_u - tri_v
+        tnx = (trec[12:13, :] * w0 + trec[15:16, :] * tri_u
+               + trec[18:19, :] * tri_v)
+        tny = (trec[13:14, :] * w0 + trec[16:17, :] * tri_u
+               + trec[19:20, :] * tri_v)
+        tnz = (trec[14:15, :] * w0 + trec[17:18, :] * tri_u
+               + trec[20:21, :] * tri_v)
+        tl2 = tnx * tnx + tny * tny + tnz * tnz
+        t_inv = jax.lax.rsqrt(jnp.maximum(tl2, 1e-24))
+        nx = jnp.where(tri_wins, tnx * t_inv, nx)
+        ny = jnp.where(tri_wins, tny * t_inv, ny)
+        nz = jnp.where(tri_wins, tnz * t_inv, nz)
 
     mtype = mat[0:1, :]
     alb_r, alb_g, alb_b = mat[1:2, :], mat[2:3, :], mat[3:4, :]
@@ -768,6 +865,7 @@ def _kernel(
          sph_ref[:, 3:4], rec_ref, None),
         None,  # rects (batch kernel only)
         None,  # boxes
+        None,  # triangles
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -928,12 +1026,39 @@ def pack_aux_tables(scene, packed_materials):
     return rect_tables, box_tables
 
 
+def pack_tri_tables(scene, packed_materials):
+    """Triangle tables for sample_batch, or None when the scene has none.
+
+    geo (T_pad, 16): edge_a xyz | edge_b xyz | vert0 xyz (world-space,
+    Entity.cs:91-97 — triangles skip the entity transform).  rec
+    (24, T_pad): material rows 0-10 | material id 11 | per-vertex normals
+    12-14/15-17/18-20 for the in-kernel barycentric lerp.  Pad rows keep
+    zero edges (det == 0: never hit)."""
+    tri = scene.triangles
+    t = tri.vert0.shape[0]
+    if t == 0:
+        return None
+    t_pad = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
+    geo = jnp.zeros((t_pad, 16), jnp.float32)
+    geo = geo.at[:t, 0:3].set(tri.edge_a)
+    geo = geo.at[:t, 3:6].set(tri.edge_b)
+    geo = geo.at[:t, 6:9].set(tri.vert0)
+    rec = jnp.zeros((AUX_REC_ROWS, t_pad), jnp.float32)
+    rec = rec.at[:11, :t].set(packed_materials[tri.material][:, :11].T)
+    rec = rec.at[11, :t].set(tri.material.astype(jnp.float32))
+    rec = rec.at[12:15, :t].set(tri.normals[:, :, 0].T)
+    rec = rec.at[15:18, :t].set(tri.normals[:, :, 1].T)
+    rec = rec.at[18:21, :t].set(tri.normals[:, :, 2].T)
+    return geo, rec
+
+
 def _batch_kernel(
     seed_ref, cam_ref, sky_ref, vol0_ref, pix_ref, sph_ref, rec_ref,
     *aux_and_out,
     samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
     has_rects: bool = False, has_boxes: bool = False,
+    has_tris: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
@@ -943,6 +1068,7 @@ def _batch_kernel(
     out_ref = aux_and_out[-1]
     rect_c = (aux.pop(0), aux.pop(0)) if has_rects else None
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
+    tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -961,6 +1087,7 @@ def _batch_kernel(
          if has_motion else None),
         rect_c,
         box_c,
+        tri_c,
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -1223,6 +1350,7 @@ def sample_batch(
     pixel_index: jnp.ndarray | None = None,  # (N,) pixel id per lane
     rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
+    tri_tables: tuple | None = None,  # (geo (T,16), rec (24,T)) pre-packed
     vol0: jnp.ndarray | None = None,  # (8,) camera_containment_row: enables
     #   the in-kernel convex volume walk
     move_offsets: jnp.ndarray | None = None,  # (S, 3) sphere motion (unit
@@ -1291,7 +1419,7 @@ def sample_batch(
             (REC_COLS, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
-    for tables in (rect_tables, box_tables):
+    for tables in (rect_tables, box_tables, tri_tables):
         if tables is not None:
             geo, rec = tables
             inputs += [geo, rec]
@@ -1318,6 +1446,7 @@ def sample_batch(
             jitter=jitter,
             has_rects=rect_tables is not None,
             has_boxes=box_tables is not None,
+            has_tris=tri_tables is not None,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
         ),

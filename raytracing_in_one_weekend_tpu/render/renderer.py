@@ -100,7 +100,7 @@ def render_batch(
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True,
-            allow_motion=True,
+            allow_motion=True, allow_triangles=True,
         )
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
@@ -115,6 +115,7 @@ def render_batch(
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
         )
+        tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -140,6 +141,7 @@ def render_batch(
             seed,
             rect_tables=rect_tables,
             box_tables=box_tables,
+            tri_tables=tri_tables,
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

@@ -318,6 +318,79 @@ class TestVolumeKernel:
         )
 
 
+class TestTriangleKernel:
+    def _mesh_scene(self):
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        v, f, n, _ = meshes.icosphere(1)
+        b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+                   normals=n, translation=(-1.2, 1.0, 0.0))
+        v, f, _, _ = meshes.cube()
+        b.add_mesh(v, f, b.lambert((0.8, 0.3, 0.2)),
+                   translation=(1.2, 0.5, 0.0), face_normals=True)
+        b.set_gradient_sky()
+        cam = CameraSettings(
+            origin=(0.0, 2.0, 6.0), look_at=(0.0, 0.7, 0.0),
+            vertical_fov=35.0, focus_distance=6.0,
+        )
+        return b.build(), cam
+
+    def test_mesh_matches_wavefront(self):
+        w = h = 24
+        s, d = 8, 6
+        scene, cs = self._mesh_scene()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True,
+            allow_motion=True, allow_triangles=True,
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(31), tri_tables=tri_tables,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(jnp.mean(jnp.abs(out["normal"]))) == pytest.approx(
+            float(jnp.mean(jnp.abs(ref.normal))), rel=0.05
+        )
+        assert float(jnp.sum(out["rays"])) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
+
+    def test_too_many_triangles_not_eligible(self):
+        scene, _ = self._mesh_scene()
+        scene = scene._replace(triangles=scene.triangles._replace(
+            vert0=jnp.zeros((pallas_megatrace.TRI_MAX + 1, 3))
+        ))
+        assert not pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_triangles=True
+        )
+
+
 class TestMotionKernel:
     def test_motion_blur_matches_wavefront(self):
         w = h = 24
