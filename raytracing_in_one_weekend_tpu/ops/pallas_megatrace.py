@@ -61,15 +61,30 @@ INV_2_24 = 1.0 / 16777216.0
 def scene_eligible(
     scene, allow_rect_box: bool = False, allow_volumes: bool = False,
     allow_motion: bool = False, allow_triangles: bool = False,
+    allow_textures: bool = False,
 ) -> bool:
     """Static check: can this scene run in the fused megakernel?
-    (constant textures, gradient/none sky; motion, triangles, rects/boxes
-    and convex volumes only where the caller's kernel supports them — the
-    batch kernel does, the plain wavefront megatrace doesn't).
+    (gradient/none sky; procedural textures, motion, triangles,
+    rects/boxes and convex volumes only where the caller's kernel supports
+    them — the batch kernel does, the plain wavefront megatrace doesn't).
     Everything else uses the wavefront integrator."""
     tri_count = scene.triangles.vert0.shape[0]
+    if allow_textures:
+        tex_ok = not scene.flags.has_procedural_textures or (
+            scene.flags.procedural_albedo_only
+            and (
+                scene.textures.atlas is None
+                or (
+                    scene.textures.atlas.shape[0]
+                    * scene.textures.atlas.shape[1] <= IMG_AH_MAX
+                    and scene.textures.atlas.shape[2] <= IMG_W_MAX
+                )
+            )
+        )
+    else:
+        tex_ok = not scene.flags.has_procedural_textures
     ok = (
-        not scene.flags.has_procedural_textures
+        tex_ok
         and scene.flags.sky in (0, 1)
         and (
             scene.spheres.center.shape[0]
@@ -108,6 +123,11 @@ TRI_BLOCK = 192  # triangle rows per unrolled MT chunk: Möller–Trumbore
 # the peak well under the 16MB scoped-vmem limit (256 rows measured OOM
 # by 932KB at RAY_TILE=1024)
 TRI_MAX = 4096  # beyond this the dense sweep loses to the BVH wavefront
+TRI_REC_ROWS = 32  # triangle record rows (materials + normals + uvs)
+TEX_ROWS = 16  # per-material texture record rows (pack_texture_tables)
+MAT_PAD = 128
+IMG_AH_MAX = 1024  # atlas rows (images * height) the plane dot can hold
+IMG_W_MAX = 512
 
 
 def _bits_to_unit_floats(bits_u32):
@@ -243,7 +263,7 @@ def _bounce_step(
     ((cx, cy, cz, csmr2, sph_rec_ref), rect|None, box|None, sky_b, sky_t)
     with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
     VMEM-resident."""
-    sph_c, rect_c, box_c, tri_c, sky_b, sky_t = consts
+    sph_c, rect_c, box_c, tri_c, tex_c, sky_b, sky_t = consts
     cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
     s = cx.shape[0]
 
@@ -566,6 +586,24 @@ def _bounce_step(
         ny = jnp.where(tri_wins, tny * t_inv, ny)
         nz = jnp.where(tri_wins, tnz * t_inv, nz)
 
+    # winner UV: baked per-vertex triangle UVs lerped in-kernel; every
+    # other kind carries uv = 0 (intersect._shading_attributes parity —
+    # spheres/rects/boxes have no texcoords there either)
+    uv_u = uv_v = zero
+    if tri_c is not None and tex_c is not None and tex_c[2] is not None:
+        uv_u = jnp.where(
+            tri_wins,
+            trec[21:22, :] * w0 + trec[22:23, :] * tri_u
+            + trec[23:24, :] * tri_v,
+            uv_u,
+        )
+        uv_v = jnp.where(
+            tri_wins,
+            trec[24:25, :] * w0 + trec[25:26, :] * tri_u
+            + trec[26:27, :] * tri_v,
+            uv_v,
+        )
+
     mtype = mat[0:1, :]
     alb_r, alb_g, alb_b = mat[1:2, :], mat[2:3, :], mat[3:4, :]
     em_r, em_g, em_b = mat[4:5, :], mat[5:6, :], mat[6:7, :]
@@ -574,6 +612,14 @@ def _bounce_step(
     parameter = mat[9:10, :]
     perfect_f = mat[10:11, :]  # stays float: bool-valued selects are
     # unsupported truncations in Mosaic
+
+    if tex_c is not None:
+        # procedural albedo override (constant albedo is pre-resolved in
+        # the packed rows; checker/perlin/image evaluate here at the hit)
+        alb_r, alb_g, alb_b = _bounce_textures(
+            tex_c, mat_id, (alb_r, alb_g, alb_b), (nx, ny, nz),
+            (px, py, pz), (uv_u, uv_v), t_cols,
+        )
 
     # ---- probabilistic volume walk (integrator._bounce_once;
     #      SampleBatchJob.cs:212-303 entry/exit pairing + Beer-Lambert) ----
@@ -866,6 +912,7 @@ def _kernel(
         None,  # rects (batch kernel only)
         None,  # boxes
         None,  # triangles
+        None,  # textures
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -1031,9 +1078,10 @@ def pack_tri_tables(scene, packed_materials):
 
     geo (T_pad, 16): edge_a xyz | edge_b xyz | vert0 xyz (world-space,
     Entity.cs:91-97 — triangles skip the entity transform).  rec
-    (24, T_pad): material rows 0-10 | material id 11 | per-vertex normals
-    12-14/15-17/18-20 for the in-kernel barycentric lerp.  Pad rows keep
-    zero edges (det == 0: never hit)."""
+    (TRI_REC_ROWS, T_pad): material rows 0-10 | material id 11 |
+    per-vertex normals 12-14/15-17/18-20 | per-vertex u 21-23 / v 24-26
+    for the in-kernel barycentric lerps.  Pad rows keep zero edges
+    (det == 0: never hit)."""
     tri = scene.triangles
     t = tri.vert0.shape[0]
     if t == 0:
@@ -1043,13 +1091,232 @@ def pack_tri_tables(scene, packed_materials):
     geo = geo.at[:t, 0:3].set(tri.edge_a)
     geo = geo.at[:t, 3:6].set(tri.edge_b)
     geo = geo.at[:t, 6:9].set(tri.vert0)
-    rec = jnp.zeros((AUX_REC_ROWS, t_pad), jnp.float32)
+    rec = jnp.zeros((TRI_REC_ROWS, t_pad), jnp.float32)
     rec = rec.at[:11, :t].set(packed_materials[tri.material][:, :11].T)
     rec = rec.at[11, :t].set(tri.material.astype(jnp.float32))
     rec = rec.at[12:15, :t].set(tri.normals[:, :, 0].T)
     rec = rec.at[15:18, :t].set(tri.normals[:, :, 1].T)
     rec = rec.at[18:21, :t].set(tri.normals[:, :, 2].T)
+    rec = rec.at[21:24, :t].set(tri.uvs[:, 0, :].T)
+    rec = rec.at[24:27, :t].set(tri.uvs[:, 1, :].T)
     return geo, rec
+
+
+def pack_texture_tables(scene):
+    """Per-MATERIAL albedo-texture tables for the in-kernel texture eval,
+    or None when the scene has no procedural textures.
+
+    Returns (texrec (TEX_ROWS, M_pad), perlin (8, 256) | None,
+    img (3*W_pad, AH_pad) | None, (img_w, img_h)).
+
+    texrec rows: 0 albedo TextureType | 1-3 main color | 4-6 secondary |
+    7 parameter (checker/noise frequency) | 8 atlas row base
+    (image_index * H).  perlin rows: 0-2 perm_x/y/z | 3-5 random-vector
+    xyz (PerlinNoiseData.cs tables as f32; values are small ints / unit
+    components, exact in f32).  img: per-channel (W_pad, AH_pad) planes
+    stacked on rows — texel (a, y, x, c) lives at img[c*W_pad + x,
+    a*H + y], fetched by two one-hot contractions (row dot then column
+    mask).  Scope gate: scene_eligible(allow_textures=True) requires
+    SceneFlags.procedural_albedo_only."""
+    if not scene.flags.has_procedural_textures:
+        return None
+    tex = scene.textures
+    mats = scene.materials
+    m = mats.type.shape[0]
+    m_pad = max(MAT_PAD, -(-m // MAT_PAD) * MAT_PAD)
+
+    tid = mats.albedo_tex
+    h = tex.atlas.shape[1] if tex.atlas is not None else 0
+    texrec = jnp.zeros((TEX_ROWS, m_pad), jnp.float32)
+    texrec = texrec.at[0, :m].set(tex.type[tid].astype(jnp.float32))
+    texrec = texrec.at[1:4, :m].set(tex.main_color[tid].T)
+    texrec = texrec.at[4:7, :m].set(tex.secondary_color[tid].T)
+    texrec = texrec.at[7, :m].set(tex.parameter[tid])
+    texrec = texrec.at[8, :m].set(
+        (jnp.clip(tex.image_index[tid], 0, None) * h).astype(jnp.float32)
+    )
+
+    perlin = None
+    if tex.perlin is not None:
+        p = tex.perlin
+        perlin = jnp.zeros((8, 256), jnp.float32)
+        perlin = perlin.at[0, :].set(p.perm_x.astype(jnp.float32))
+        perlin = perlin.at[1, :].set(p.perm_y.astype(jnp.float32))
+        perlin = perlin.at[2, :].set(p.perm_z.astype(jnp.float32))
+        perlin = perlin.at[3:6, :].set(p.random_vectors.T)
+
+    img = None
+    dims = (0, 0)
+    if tex.atlas is not None:
+        a, ih, iw = tex.atlas.shape[0], tex.atlas.shape[1], tex.atlas.shape[2]
+        w_pad = -(-iw // 8) * 8
+        ah_pad = -(-(a * ih) // 128) * 128
+        img = jnp.zeros((3 * w_pad, ah_pad), jnp.float32)
+        # atlas (A, H, W, 3) -> per-channel (W, A*H)
+        flat = tex.atlas.reshape(a * ih, iw, 3)
+        for c in range(3):
+            img = img.at[c * w_pad : c * w_pad + iw, : a * ih].set(
+                flat[:, :, c].T
+            )
+        dims = (iw, ih)
+
+    return texrec, perlin, img, dims
+
+
+def _bounce_textures(
+    tex_c, mat_id, alb, normal, point, uv, t_cols,
+):
+    """In-kernel albedo texture eval (Texture.cs SampleColor semantics,
+    core/textures._sample_all parity): fetch the winner material's texture
+    record by mat-id one-hot, evaluate checker (iq normal-projection) /
+    Perlin marble / atlas image, and select over the packed constant
+    albedo.  Returns (alb_r, alb_g, alb_b)."""
+    texrec_ref, perlin_ref, img_ref, (img_w, img_h) = tex_c
+    alb_r, alb_g, alb_b = alb
+    nx, ny, nz = normal
+    px, py, pz = point
+    uu, vv = uv
+    m_rows = texrec_ref.shape[1]
+
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (m_rows, t_cols), 0)
+    m_hot = (m_iota == mat_id.astype(jnp.int32)).astype(jnp.float32)
+    tx = jax.lax.dot_general(
+        texrec_ref[:, :], m_hot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TEX_ROWS, T)
+    ttype = tx[0:1, :]
+    main_r, main_g, main_b = tx[1:2, :], tx[2:3, :], tx[3:4, :]
+    freq = tx[7:8, :]
+
+    # checker (textures._checker_uv: dominant-normal projection)
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    use_x = (ax > ay) & (ax > az)
+    use_y = jnp.logical_not(use_x) & (ay > ax) & (ay > az)
+    use_z = jnp.logical_not(use_x) & jnp.logical_not(use_y)
+    v0 = jnp.where(use_x, nx, jnp.where(use_y, ny, nz))
+    v1 = jnp.where(use_x, ny, jnp.where(use_y, nz, nx))
+    v2 = jnp.where(use_x, nz, jnp.where(use_y, nx, ny))
+    safe0 = jnp.where(v0 == 0.0, 1.0, v0)
+    cu = 0.5 + 0.5 * (v1 / safe0)
+    cv = 0.5 + 0.5 * (v2 / safe0)
+    sines = jnp.sin(jnp.pi * freq * cu) * jnp.sin(jnp.pi * freq * cv)
+    chk_main = sines < 0.0
+    is_chk = (ttype > 1.5) & (ttype < 2.5)
+    pick_main = is_chk & chk_main
+    pick_sec = is_chk & jnp.logical_not(chk_main)
+    alb_r = jnp.where(pick_main, main_r, jnp.where(pick_sec, tx[4:5, :], alb_r))
+    alb_g = jnp.where(pick_main, main_g, jnp.where(pick_sec, tx[5:6, :], alb_g))
+    alb_b = jnp.where(pick_main, main_b, jnp.where(pick_sec, tx[6:7, :], alb_b))
+
+    if perlin_ref is not None:
+        # marble: 0.5*(1+sin(freq*z + 10*turbulence(p))) * main
+        # (textures._sample_all / Texture.cs:74-78 dead branch)
+        turb = _turbulence_rows(perlin_ref, px, py, pz, t_cols)
+        marble = 0.5 * (1.0 + jnp.sin(freq * pz + 10.0 * turb))
+        is_per = (ttype > 2.5) & (ttype < 3.5)
+        alb_r = jnp.where(is_per, marble * main_r, alb_r)
+        alb_g = jnp.where(is_per, marble * main_g, alb_g)
+        alb_b = jnp.where(is_per, marble * main_b, alb_b)
+
+    if img_ref is not None:
+        # nearest-neighbor atlas fetch (Texture.cs:82-90): row one-hot
+        # contraction then column mask-reduce, per channel plane
+        w_pad = img_ref.shape[0] // 3
+        ah_pad = img_ref.shape[1]
+        cx = jnp.clip(
+            (uu * img_w).astype(jnp.int32), 0, img_w - 1
+        )
+        cy = jnp.clip(
+            (vv * img_h).astype(jnp.int32), 0, img_h - 1
+        )
+        row = tx[8:9, :].astype(jnp.int32) + cy  # (1, T)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (ah_pad, t_cols), 0)
+        r_hot = (r_iota == row).astype(jnp.float32)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (w_pad, t_cols), 0)
+        c_hot = (c_iota == cx).astype(jnp.float32)
+        is_img = ttype > 3.5
+        texel = []
+        for c in range(3):
+            col = jax.lax.dot_general(
+                img_ref[c * w_pad : (c + 1) * w_pad, :], r_hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (W_pad, T)
+            texel.append(jnp.sum(c_hot * col, axis=0, keepdims=True))
+        alb_r = jnp.where(is_img, texel[0] * main_r, alb_r)
+        alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
+        alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
+
+    return alb_r, alb_g, alb_b
+
+
+def _perlin_rows(perlin_ref, px, py, pz, t_cols):
+    """Surflet gradient noise for (1, T) position rows
+    (core/noise.perlin_noise / PerlinNoise.cs:36-52 parity): per-axis perm
+    lookups via 256-one-hot contractions, corner hash = XOR of the three,
+    gradient fetch from the random-vector rows."""
+    i256 = jax.lax.broadcasted_iota(jnp.int32, (256, t_cols), 0)
+
+    def lookup(row0, nrows, idx):
+        hot = (i256 == (idx & 255)).astype(jnp.float32)
+        return jax.lax.dot_general(
+            perlin_ref[row0 : row0 + nrows, :], hot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    cellx = jnp.floor(px)
+    celly = jnp.floor(py)
+    cellz = jnp.floor(pz)
+    cix = cellx.astype(jnp.int32)
+    ciy = celly.astype(jnp.int32)
+    ciz = cellz.astype(jnp.int32)
+
+    def falloff(t):
+        t = jnp.abs(t)
+        return jnp.where(t >= 1.0, 0.0, 1.0 - (3.0 - 2.0 * t) * t * t)
+
+    # per-axis perm values + fractional offsets at cell and cell+1
+    perm = []
+    frac = []
+    fall = []
+    for row, ci, cf, p in (
+        (0, cix, cellx, px), (1, ciy, celly, py), (2, ciz, cellz, pz)
+    ):
+        pv0 = lookup(row, 1, ci).astype(jnp.int32)
+        pv1 = lookup(row, 1, ci + 1).astype(jnp.int32)
+        f0 = p - cf
+        f1 = f0 - 1.0
+        perm.append((pv0, pv1))
+        frac.append((f0, f1))
+        fall.append((falloff(f0), falloff(f1)))
+
+    result = jnp.zeros((1, t_cols), jnp.float32)
+    for dk in (0, 1):
+        for dj in (0, 1):
+            for di in (0, 1):
+                h = perm[0][di] ^ perm[1][dj] ^ perm[2][dk]
+                grad = lookup(3, 3, h)  # (3, T)
+                dot = (
+                    frac[0][di] * grad[0:1, :]
+                    + frac[1][dj] * grad[1:2, :]
+                    + frac[2][dk] * grad[2:3, :]
+                )
+                result = result + fall[0][di] * fall[1][dj] * fall[2][dk] * dot
+    return jnp.clip(result, 0.0, 1.0)
+
+
+def _turbulence_rows(perlin_ref, px, py, pz, t_cols, depth: int = 7):
+    """7-octave fBm (core/noise.turbulence / PerlinNoise.cs:54-68)."""
+    acc = jnp.zeros((1, t_cols), jnp.float32)
+    weight = 1.0
+    sx, sy, sz = px, py, pz
+    for _ in range(depth):
+        acc = acc + weight * _perlin_rows(perlin_ref, sx, sy, sz, t_cols)
+        weight *= 0.5
+        sx, sy, sz = sx * 2.0, sy * 2.0, sz * 2.0
+    return jnp.clip(acc, 0.0, 1.0)
 
 
 def _batch_kernel(
@@ -1059,6 +1326,8 @@ def _batch_kernel(
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
     has_rects: bool = False, has_boxes: bool = False,
     has_tris: bool = False,
+    has_tex: bool = False, has_perlin: bool = False, has_img: bool = False,
+    img_dims: tuple = (0, 0),
     has_volumes: bool = False, has_motion: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
@@ -1069,6 +1338,14 @@ def _batch_kernel(
     rect_c = (aux.pop(0), aux.pop(0)) if has_rects else None
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
     tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
+    tex_c = None
+    if has_tex:
+        tex_c = (
+            aux.pop(0),
+            aux.pop(0) if has_perlin else None,
+            aux.pop(0) if has_img else None,
+            img_dims,
+        )
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -1088,6 +1365,7 @@ def _batch_kernel(
         rect_c,
         box_c,
         tri_c,
+        tex_c,
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -1335,7 +1613,8 @@ def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("samples", "trace_depth", "t_min", "has_dielectrics",
-                     "sky_on", "hw_prng", "early_out", "jitter", "interpret"),
+                     "sky_on", "hw_prng", "early_out", "jitter", "interpret",
+                     "img_dims"),
 )
 def sample_batch(
     lane_count: jnp.ndarray,  # (N,) per-pixel samples to take (int or float)
@@ -1350,7 +1629,10 @@ def sample_batch(
     pixel_index: jnp.ndarray | None = None,  # (N,) pixel id per lane
     rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
-    tri_tables: tuple | None = None,  # (geo (T,16), rec (24,T)) pre-packed
+    tri_tables: tuple | None = None,  # (geo (T,16), rec (32,T)) pre-packed
+    tex_tables: tuple | None = None,  # (texrec, perlin|None, img|None)
+    #   from pack_texture_tables: enables the in-kernel procedural albedo
+    #   eval (checker/perlin/image); img_dims rides separately (static)
     vol0: jnp.ndarray | None = None,  # (8,) camera_containment_row: enables
     #   the in-kernel convex volume walk
     move_offsets: jnp.ndarray | None = None,  # (S, 3) sphere motion (unit
@@ -1365,6 +1647,7 @@ def sample_batch(
     early_out: bool = True,
     jitter: bool = True,
     interpret: bool = False,
+    img_dims: tuple = (0, 0),
 ):
     """Fused SampleBatchJob: per-pixel accumulation DELTAS for one batch.
 
@@ -1431,6 +1714,17 @@ def sample_batch(
                     rec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ]
+    if tex_tables is not None:
+        texrec, perlin_t, img_t = tex_tables
+        for arr in (texrec, perlin_t, img_t):
+            if arr is not None:
+                inputs.append(arr)
+                in_specs.append(
+                    pl.BlockSpec(
+                        arr.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
 
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
@@ -1447,6 +1741,10 @@ def sample_batch(
             has_rects=rect_tables is not None,
             has_boxes=box_tables is not None,
             has_tris=tri_tables is not None,
+            has_tex=tex_tables is not None,
+            has_perlin=tex_tables is not None and tex_tables[1] is not None,
+            has_img=tex_tables is not None and tex_tables[2] is not None,
+            img_dims=img_dims,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
         ),

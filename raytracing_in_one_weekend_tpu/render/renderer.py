@@ -100,7 +100,7 @@ def render_batch(
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True,
-            allow_motion=True, allow_triangles=True,
+            allow_motion=True, allow_triangles=True, allow_textures=True,
         )
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
@@ -116,6 +116,9 @@ def render_batch(
             scene, packed
         )
         tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+        tex_all = pallas_megatrace.pack_texture_tables(scene)
+        tex_tables = tex_all[:3] if tex_all is not None else None
+        img_dims = tex_all[3] if tex_all is not None else (0, 0)
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -142,6 +145,8 @@ def render_batch(
             rect_tables=rect_tables,
             box_tables=box_tables,
             tri_tables=tri_tables,
+            tex_tables=tex_tables,
+            img_dims=img_dims,
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

@@ -131,6 +131,11 @@ class SceneFlags:
     # every moving sphere uses the default (0,1) shutter range: the fused
     # megakernel's motion path assumes w == rayTime and is gated on this
     motion_unit_time: bool = True
+    # every procedural (checker/perlin/image) texture sits on the ALBEDO
+    # slot of a non-volume material: the fused megakernel evaluates
+    # textures only there (emission/glossiness/metallic stay
+    # constant-resolved); anything else forces the wavefront path
+    procedural_albedo_only: bool = True
 
 
 class Scene(NamedTuple):
@@ -593,6 +598,21 @@ class SceneBuilder:
                 (not has_motion)
                 or (float(s[4][0]) == 0.0 and float(s[4][1]) == 1.0)
                 for s in self._spheres
+            ),
+            procedural_albedo_only=all(
+                not any(
+                    self._textures[m[slot]].type
+                    in (TextureType.CHECKER, TextureType.PERLIN,
+                        TextureType.IMAGE)
+                    for slot in ("emission", "glossiness", "metallic")
+                )
+                and not (
+                    self._textures[m["albedo"]].type
+                    in (TextureType.CHECKER, TextureType.PERLIN,
+                        TextureType.IMAGE)
+                    and m["type"] == int(MaterialType.PROBABILISTIC_VOLUME)
+                )
+                for m in mats
             ),
         )
         return Scene(

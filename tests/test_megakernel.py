@@ -391,6 +391,122 @@ class TestTriangleKernel:
         )
 
 
+class TestTextureKernel:
+    def _run_pair(self, scene, cs, w=24, h=24, s=8, d=6, seed=41):
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True,
+            allow_motion=True, allow_triangles=True, allow_textures=True,
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        tex_all = pallas_megatrace.pack_texture_tables(scene)
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(seed),
+            tri_tables=pallas_megatrace.pack_tri_tables(scene, packed),
+            tex_tables=tex_all[:3] if tex_all is not None else None,
+            img_dims=tex_all[3] if tex_all is not None else (0, 0),
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=scene.flags.sky == 1,
+            interpret=True,
+        )
+        return ref, mref, out
+
+    def test_checker_matches_wavefront(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["checkered"]()
+        ref, mref, out = self._run_pair(scene, cs)
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        # per-channel means catch a main/secondary color swap
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
+    def test_perlin_matches_wavefront(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["perlin"]()
+        ref, mref, out = self._run_pair(scene, cs)
+        # same perlin tables on both paths: the marble pattern must agree,
+        # not just the exposure — compare per-channel means tightly
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
+    def test_image_texture_on_mesh_matches_wavefront(self):
+        import numpy as np
+
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        # half-red / half-blue gradient image on a ground-facing quad
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, :8] = (0.9, 0.1, 0.1)
+        img[:, 8:] = (0.1, 0.1, 0.9)
+        tex = b.add_image("split", img)
+        verts = np.array(
+            [[-1.5, 0.02, -1.5], [1.5, 0.02, -1.5],
+             [1.5, 0.02, 1.5], [-1.5, 0.02, 1.5]], np.float32
+        )
+        faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        uvs = np.array(
+            [[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]], np.float32
+        )
+        b.add_mesh(verts, faces, b.lambert(tex), uvs=uvs, face_normals=True)
+        b.set_gradient_sky()
+        cs = CameraSettings(
+            origin=(0.0, 3.0, 4.0), look_at=(0.0, 0.0, 0.0),
+            vertical_fov=45.0, focus_distance=5.0,
+        )
+        scene = b.build()
+        ref, mref, out = self._run_pair(scene, cs, s=8, d=4)
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
+    def test_procedural_emission_not_eligible(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import (
+            SceneBuilder, checker,
+        )
+
+        b = SceneBuilder()
+        m = b.emissive(checker((1.0, 1.0, 1.0), (0.0, 0.0, 0.0), 4.0))
+        b.add_sphere((0, 1, 0), 1.0, m)
+        b.set_gradient_sky()
+        scene = b.build()
+        assert not scene.flags.procedural_albedo_only
+        assert not pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_textures=True
+        )
+
+
 class TestMotionKernel:
     def test_motion_blur_matches_wavefront(self):
         w = h = 24
