@@ -415,15 +415,31 @@ class TestTextureKernel:
             axis=1,
         )
         tex_all = pallas_megatrace.pack_texture_tables(scene)
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )
+        vol0 = (
+            pallas_megatrace.camera_containment_row(
+                scene, packed, camera.origin
+            )
+            if scene.flags.has_volumes
+            else None
+        )
         out = pallas_megatrace.sample_batch(
             jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
             pallas_megatrace.pack_camera_row(camera, w, h),
             scene.spheres.center, scene.spheres.radius, records,
             scene.environment.sky_bottom, scene.environment.sky_top,
             jnp.int32(seed),
+            rect_tables=rect_tables, box_tables=box_tables,
             tri_tables=pallas_megatrace.pack_tri_tables(scene, packed),
             tex_tables=tex_all[:3] if tex_all is not None else None,
             img_dims=tex_all[3] if tex_all is not None else (0, 0),
+            vol0=vol0,
+            move_offsets=(
+                scene.spheres.move_offset
+                if scene.flags.has_motion else None
+            ),
             samples=s, trace_depth=d,
             has_dielectrics=scene.flags.has_dielectrics,
             sky_on=scene.flags.sky == 1,
@@ -490,6 +506,23 @@ class TestTextureKernel:
             assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
                 float(jnp.mean(ref.color[:, c])), rel=0.08
             )
+
+    def test_final_book2_matches_wavefront(self):
+        # the everything-at-once composite: boxes, rect light, motion,
+        # nested convex volume, image + perlin textures, no sky
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["final_book2"]()
+        ref, mref, out = self._run_pair(scene, cs, s=8, d=8, seed=57)
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.05
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.15
+        )
+        assert float(jnp.sum(out["rays"])) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
 
     def test_procedural_emission_not_eligible(self):
         from raytracing_in_one_weekend_tpu.scene.scene import (
