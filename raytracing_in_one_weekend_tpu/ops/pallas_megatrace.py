@@ -61,7 +61,7 @@ INV_2_24 = 1.0 / 16777216.0
 def scene_eligible(
     scene, allow_rect_box: bool = False, allow_volumes: bool = False,
     allow_motion: bool = False, allow_triangles: bool = False,
-    allow_textures: bool = False,
+    allow_textures: bool = False, allow_cubemap: bool = False,
 ) -> bool:
     """Static check: can this scene run in the fused megakernel?
     (gradient/none sky; procedural textures, motion, triangles,
@@ -83,9 +83,16 @@ def scene_eligible(
         )
     else:
         tex_ok = not scene.flags.has_procedural_textures
+    sky_ok = scene.flags.sky in (0, 1)
+    if allow_cubemap and scene.flags.sky == 2:
+        cm = scene.environment.cubemap
+        sky_ok = cm is not None and (
+            cm.shape[0] * cm.shape[1] <= IMG_AH_MAX
+            and cm.shape[2] <= IMG_W_MAX
+        )
     ok = (
         tex_ok
-        and scene.flags.sky in (0, 1)
+        and sky_ok
         and (
             scene.spheres.center.shape[0]
             + scene.rects.rot.shape[0]
@@ -263,7 +270,7 @@ def _bounce_step(
     ((cx, cy, cz, csmr2, sph_rec_ref), rect|None, box|None, sky_b, sky_t)
     with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
     VMEM-resident."""
-    sph_c, rect_c, box_c, tri_c, tex_c, sky_b, sky_t = consts
+    sph_c, rect_c, box_c, tri_c, tex_c, cube_c, sky_b, sky_t = consts
     cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
     s = cx.shape[0]
 
@@ -766,8 +773,62 @@ def _bounce_step(
         srb = jnp.where(vol_scatter, v_ab, srb)
         std_events = jnp.where(vol_scatter, 2.0, std_events)
 
-    # ---- sky (environment.sample_sky gradient branch) ------------------
-    if sky_on:
+    # ---- sky (environment.sample_sky gradient / cubemap branch) --------
+    if cube_c is not None:
+        # major-axis cubemap lookup (environment._sample_cubemap /
+        # Texture.cs:172-210), fetched with the image-plane one-hot dots
+        cube_ref, (c_w, c_h) = cube_c
+        cax, cay, caz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        cuse_x = (cax >= cay) & (cax >= caz)
+        cuse_y = (cay > cax) & (cay >= caz)
+        # face offset (0 positive / 1 negative) kept f32 for Mosaic
+        neg_off = jnp.where(
+            cuse_x,
+            jnp.where(dx >= 0.0, 0.0, 1.0),
+            jnp.where(
+                cuse_y,
+                jnp.where(dy >= 0.0, 0.0, 1.0),
+                jnp.where(dz >= 0.0, 0.0, 1.0),
+            ),
+        )
+        cu_num = jnp.where(
+            cuse_x,
+            jnp.where(dx >= 0.0, -dz, dz),
+            jnp.where(cuse_y, dx, jnp.where(dz >= 0.0, dx, -dx)),
+        )
+        cv_num = jnp.where(
+            cuse_x, -dy,
+            jnp.where(cuse_y, jnp.where(dy >= 0.0, dz, -dz), -dy),
+        )
+        cmajor = jnp.maximum(
+            jnp.where(cuse_x, cax, jnp.where(cuse_y, cay, caz)), 1e-12
+        )
+        cuu = cu_num / cmajor
+        cvv = cv_num / cmajor
+        face = jnp.where(cuse_x, 0.0, jnp.where(cuse_y, 2.0, 4.0)) + neg_off
+        ccx = jnp.minimum(
+            ((cuu + 1.0) * (c_w / 2.0)).astype(jnp.int32), c_w - 1
+        )
+        ccy = jnp.minimum(
+            ((cvv + 1.0) * (c_h / 2.0)).astype(jnp.int32), c_h - 1
+        )
+        crow = face.astype(jnp.int32) * c_h + ccy  # (1, T)
+        cw_pad = cube_ref.shape[0] // 3
+        cfh_pad = cube_ref.shape[1]
+        cr_iota = jax.lax.broadcasted_iota(jnp.int32, (cfh_pad, t_cols), 0)
+        cr_hot = (cr_iota == crow).astype(jnp.float32)
+        cc_iota = jax.lax.broadcasted_iota(jnp.int32, (cw_pad, t_cols), 0)
+        cc_hot = (cc_iota == ccx).astype(jnp.float32)
+        csky = []
+        for c in range(3):
+            col = jax.lax.dot_general(
+                cube_ref[c * cw_pad : (c + 1) * cw_pad, :], cr_hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (W_pad, T)
+            csky.append(jnp.sum(cc_hot * col, axis=0, keepdims=True))
+        skr, skg, skb = csky
+    elif sky_on:
         tsky = 0.5 * (dy + 1.0)
         skr = sky_b[0] + (sky_t[0] - sky_b[0]) * tsky
         skg = sky_b[1] + (sky_t[1] - sky_b[1]) * tsky
@@ -913,6 +974,7 @@ def _kernel(
         None,  # boxes
         None,  # triangles
         None,  # textures
+        None,  # cubemap sky
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -1163,6 +1225,25 @@ def pack_texture_tables(scene):
     return texrec, perlin, img, dims
 
 
+def pack_cubemap_table(scene):
+    """Cubemap sky planes for the in-kernel lookup, or None.
+
+    Returns (cube (3*W_pad, FH_pad), (w, h)) with FH = 6*h rows in
+    +x,-x,+y,-y,+z,-z face order (Texture.cs:141-211): texel
+    (face, y, x, c) at cube[c*W_pad + x, face*h + y]."""
+    cm = scene.environment.cubemap
+    if cm is None:
+        return None
+    f, h, w = cm.shape[0], cm.shape[1], cm.shape[2]
+    w_pad = -(-w // 8) * 8
+    fh_pad = -(-(f * h) // 128) * 128
+    cube = jnp.zeros((3 * w_pad, fh_pad), jnp.float32)
+    flat = cm.reshape(f * h, w, 3)
+    for c in range(3):
+        cube = cube.at[c * w_pad : c * w_pad + w, : f * h].set(flat[:, :, c].T)
+    return cube, (w, h)
+
+
 def _bounce_textures(
     tex_c, mat_id, alb, normal, point, uv, t_cols,
 ):
@@ -1328,6 +1409,7 @@ def _batch_kernel(
     has_tris: bool = False,
     has_tex: bool = False, has_perlin: bool = False, has_img: bool = False,
     img_dims: tuple = (0, 0),
+    has_cube: bool = False, cube_dims: tuple = (0, 0),
     has_volumes: bool = False, has_motion: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
@@ -1346,6 +1428,7 @@ def _batch_kernel(
             aux.pop(0) if has_img else None,
             img_dims,
         )
+    cube_c = (aux.pop(0), cube_dims) if has_cube else None
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -1366,6 +1449,7 @@ def _batch_kernel(
         box_c,
         tri_c,
         tex_c,
+        cube_c,
         (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
         (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
     )
@@ -1614,7 +1698,7 @@ def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
     jax.jit,
     static_argnames=("samples", "trace_depth", "t_min", "has_dielectrics",
                      "sky_on", "hw_prng", "early_out", "jitter", "interpret",
-                     "img_dims"),
+                     "img_dims", "cube_dims"),
 )
 def sample_batch(
     lane_count: jnp.ndarray,  # (N,) per-pixel samples to take (int or float)
@@ -1648,6 +1732,8 @@ def sample_batch(
     jitter: bool = True,
     interpret: bool = False,
     img_dims: tuple = (0, 0),
+    cube_table: jnp.ndarray | None = None,  # pack_cubemap_table planes
+    cube_dims: tuple = (0, 0),
 ):
     """Fused SampleBatchJob: per-pixel accumulation DELTAS for one batch.
 
@@ -1725,6 +1811,13 @@ def sample_batch(
                         memory_space=pltpu.VMEM,
                     )
                 )
+    if cube_table is not None:
+        inputs.append(cube_table)
+        in_specs.append(
+            pl.BlockSpec(
+                cube_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
 
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
@@ -1745,6 +1838,8 @@ def sample_batch(
             has_perlin=tex_tables is not None and tex_tables[1] is not None,
             has_img=tex_tables is not None and tex_tables[2] is not None,
             img_dims=img_dims,
+            has_cube=cube_table is not None,
+            cube_dims=cube_dims,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
         ),

@@ -101,6 +101,7 @@ def render_batch(
         and pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True,
             allow_motion=True, allow_triangles=True, allow_textures=True,
+            allow_cubemap=True,
         )
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
@@ -119,6 +120,10 @@ def render_batch(
         tex_all = pallas_megatrace.pack_texture_tables(scene)
         tex_tables = tex_all[:3] if tex_all is not None else None
         img_dims = tex_all[3] if tex_all is not None else (0, 0)
+        cube_all = (
+            pallas_megatrace.pack_cubemap_table(scene)
+            if scene.flags.sky == 2 else None
+        )
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -147,6 +152,8 @@ def render_batch(
             tri_tables=tri_tables,
             tex_tables=tex_tables,
             img_dims=img_dims,
+            cube_table=cube_all[0] if cube_all is not None else None,
+            cube_dims=cube_all[1] if cube_all is not None else (0, 0),
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

@@ -400,6 +400,7 @@ class TestTextureKernel:
         assert pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True,
             allow_motion=True, allow_triangles=True, allow_textures=True,
+            allow_cubemap=True,
         )
         acc0 = film.zero_accumulators(w * h)
         ref, mref = renderer.render_batch(
@@ -425,12 +426,18 @@ class TestTextureKernel:
             if scene.flags.has_volumes
             else None
         )
+        cube_all = (
+            pallas_megatrace.pack_cubemap_table(scene)
+            if scene.flags.sky == 2 else None
+        )
         out = pallas_megatrace.sample_batch(
             jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
             pallas_megatrace.pack_camera_row(camera, w, h),
             scene.spheres.center, scene.spheres.radius, records,
             scene.environment.sky_bottom, scene.environment.sky_top,
             jnp.int32(seed),
+            cube_table=cube_all[0] if cube_all is not None else None,
+            cube_dims=cube_all[1] if cube_all is not None else (0, 0),
             rect_tables=rect_tables, box_tables=box_tables,
             tri_tables=pallas_megatrace.pack_tri_tables(scene, packed),
             tex_tables=tex_all[:3] if tex_all is not None else None,
@@ -502,6 +509,19 @@ class TestTextureKernel:
         )
         scene = b.build()
         ref, mref, out = self._run_pair(scene, cs, s=8, d=4)
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
+    def test_cubemap_sky_matches_wavefront(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["cubemap"]()
+        ref, mref, out = self._run_pair(scene, cs, s=8, d=6, seed=67)
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
         for c in range(3):
             assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
                 float(jnp.mean(ref.color[:, c])), rel=0.08
