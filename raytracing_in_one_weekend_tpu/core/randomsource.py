@@ -49,7 +49,7 @@ def make_noise_state(
 
 def pixel_uniforms(
     state: NoiseState,
-    draw_index: jnp.ndarray,  # () int — progressive draw counter
+    draw_index: jnp.ndarray,  # () or (width*height,) progressive draw ctr
     width: int,
     height: int,
 ) -> jnp.ndarray:
@@ -59,18 +59,24 @@ def pixel_uniforms(
     sequence offsets the pixel's tile coordinates each draw
     (PerPixelNoise.cs:24-44), plus a Cranley-Patterson rotation (fractional
     add) so values differ even when offsets collide; temporal tiles cycle
-    per draw like the reference's per-frame texture cycling."""
+    per draw like the reference's per-frame texture cycling.
+
+    A (N,) per-pixel draw_index (the fused kernel's progressive per-lane
+    counter under adaptive sampling) vectorizes every per-draw quantity."""
     t = state.tiles.shape[0]
-    tile_idx = jnp.mod(draw_index, t)
+    draw_index = jnp.asarray(draw_index)
+    tile_idx = jnp.mod(draw_index.astype(jnp.int32), t)
     offs = noise.per_pixel_noise_offset(
-        jnp.asarray(draw_index, jnp.float32), TILE
-    )  # (2,) int32
+        draw_index.astype(jnp.float32), TILE
+    )  # (2,) or (N, 2) int32
 
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
-    tx = jnp.mod(xs + offs[0], TILE)
-    ty = jnp.mod(ys + offs[1], TILE)
+    tx = jnp.mod(xs + offs[..., 0], TILE)
+    ty = jnp.mod(ys + offs[..., 1], TILE)
     vals = state.tiles[tile_idx, ty, tx]  # (N, 4)
 
-    rot = noise.r2_sequence(jnp.asarray(draw_index, jnp.float32) + 0.5)
-    rotation = jnp.concatenate([rot, rot * 0.61803398875 + 0.1])  # (4,)
-    return jnp.mod(vals + rotation[None, :], 1.0)
+    rot = noise.r2_sequence(draw_index.astype(jnp.float32) + 0.5)
+    rotation = jnp.concatenate(
+        [rot, rot * 0.61803398875 + 0.1], axis=-1
+    )  # (4,) or (N, 4)
+    return jnp.mod(vals + jnp.broadcast_to(rotation, vals.shape), 1.0)

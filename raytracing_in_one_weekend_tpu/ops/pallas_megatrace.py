@@ -1244,6 +1244,26 @@ def pack_cubemap_table(scene):
     return cube, (w, h)
 
 
+def pack_noise_uniforms(noise_state, count_in, width, height, samples):
+    """Pre-draw the batch's pixel-correlated camera uniforms
+    (randomsource.pixel_uniforms — EXACT wavefront sampler parity) for
+    sample indices count_in + 0..samples-1, as (4*samples, N) rows
+    [channel-major: row c*samples + k] for the kernel's per-lane one-hot
+    fetch.  None for white noise."""
+    if noise_state is None:
+        return None
+    from raytracing_in_one_weekend_tpu.core import randomsource
+
+    draws = [
+        randomsource.pixel_uniforms(
+            noise_state, count_in.astype(jnp.int32) + k, width, height
+        )
+        for k in range(samples)
+    ]  # samples x (N, 4)
+    stacked = jnp.stack(draws)  # (samples, N, 4)
+    return stacked.transpose(2, 0, 1).reshape(4 * samples, -1)
+
+
 def _bounce_textures(
     tex_c, mat_id, alb, normal, point, uv, t_cols,
 ):
@@ -1410,6 +1430,7 @@ def _batch_kernel(
     has_tex: bool = False, has_perlin: bool = False, has_img: bool = False,
     img_dims: tuple = (0, 0),
     has_cube: bool = False, cube_dims: tuple = (0, 0),
+    has_noise: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
@@ -1429,6 +1450,7 @@ def _batch_kernel(
             img_dims,
         )
     cube_c = (aux.pop(0), cube_dims) if has_cube else None
+    noise_ref = aux.pop(0) if has_noise else None
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -1526,15 +1548,36 @@ def _batch_kernel(
                 (8, t_shape[1]), seed_ref[0, 0],
                 it * jnp.int32(1013904223), lane,
             )
+        if noise_ref is not None:
+            # pixel-correlated camera draws: the batch's per-sample
+            # uniforms are pre-drawn XLA-side (randomsource.pixel_uniforms
+            # — exact wavefront parity) into rows c*samples + k; the lane
+            # fetches its next sample's row with a samples-row one-hot
+            # over the `started` counter (tiny: samples <= 50 rows)
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (samples, t_shape[1]), 0
+            )
+            s_hot = (s_iota == started.astype(jnp.int32)).astype(
+                jnp.float32
+            )
+            cam_u = tuple(
+                jnp.sum(
+                    s_hot * noise_ref[c * samples : (c + 1) * samples, :],
+                    axis=0, keepdims=True,
+                )
+                for c in range(4)
+            )
+        else:
+            cam_u = (u[0:1], u[1:2], u[2:3], u[3:4])
         if jitter:
-            jx, jy = u[0:1], u[1:2]
+            jx, jy = cam_u[0], cam_u[1]
         else:
             jx = jy = 0.5
         un = (px_row + jx) / width
         vn = (py_row + jy) / height
         # thin-lens defocus (View.cs:38-48; sampling.in_unit_disk)
-        theta = u[2:3] * TWO_PI
-        radius = jnp.sqrt(u[3:4]) * lens_radius
+        theta = cam_u[2] * TWO_PI
+        radius = jnp.sqrt(cam_u[3]) * lens_radius
         rdx = radius * jnp.cos(theta)
         rdy = radius * jnp.sin(theta)
         offx = rdx * rr[0] + rdy * uu[0]
@@ -1734,6 +1777,8 @@ def sample_batch(
     img_dims: tuple = (0, 0),
     cube_table: jnp.ndarray | None = None,  # pack_cubemap_table planes
     cube_dims: tuple = (0, 0),
+    noise_uniforms: jnp.ndarray | None = None,  # (4*samples, N) pre-drawn
+    #   pixel-correlated camera draws (pack_noise_uniforms)
 ):
     """Fused SampleBatchJob: per-pixel accumulation DELTAS for one batch.
 
@@ -1818,6 +1863,16 @@ def sample_batch(
                 cube_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             )
         )
+    if noise_uniforms is not None:
+        nu = jnp.zeros((4 * samples, n_pad), jnp.float32)
+        nu = nu.at[:, :n].set(noise_uniforms)
+        inputs.append(nu)
+        in_specs.append(
+            pl.BlockSpec(
+                (4 * samples, RAY_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
@@ -1840,6 +1895,7 @@ def sample_batch(
             img_dims=img_dims,
             has_cube=cube_table is not None,
             cube_dims=cube_dims,
+            has_noise=noise_uniforms is not None,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
         ),

@@ -94,9 +94,10 @@ def render_batch(
     from raytracing_in_one_weekend_tpu.core import materials
     from raytracing_in_one_weekend_tpu.ops import pallas_megatrace, pallas_sphere
 
+    noise_fusable = noise_color == 0 or noise_state is not None
     if (
         not differentiable
-        and noise_color == 0  # blue/STBN samplers use the wavefront path
+        and noise_fusable  # blue/STBN draws come from in-kernel tile dots
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True,
@@ -123,6 +124,12 @@ def render_batch(
         cube_all = (
             pallas_megatrace.pack_cubemap_table(scene)
             if scene.flags.sky == 2 else None
+        )
+        noise_u = (
+            pallas_megatrace.pack_noise_uniforms(
+                noise_state, acc.sample_count, width, height, samples
+            )
+            if noise_color != 0 else None
         )
         vol0 = (
             pallas_megatrace.camera_containment_row(
@@ -154,6 +161,7 @@ def render_batch(
             img_dims=img_dims,
             cube_table=cube_all[0] if cube_all is not None else None,
             cube_dims=cube_all[1] if cube_all is not None else (0, 0),
+            noise_uniforms=noise_u,
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

@@ -560,6 +560,46 @@ class TestTextureKernel:
         )
 
 
+class TestNoiseKernel:
+    @pytest.mark.parametrize("color", [1, 2])  # BLUE, SPATIOTEMPORAL_BLUE
+    def test_blue_noise_matches_wavefront(self, color):
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        w = h = 24
+        s, d = 8, 6
+        scene, camera = _setup(book_scenes.three_spheres, w, h)
+        state = randomsource.make_noise_state(NoiseColor(color))
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+            noise_color=color, noise_state=state,
+        )
+        noise_u = pallas_megatrace.pack_noise_uniforms(
+            state, jnp.zeros((w * h,)), w, h, s
+        )
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(71), noise_uniforms=noise_u,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(jnp.sum(out["rays"])) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
+
+
 class TestMotionKernel:
     def test_motion_blur_matches_wavefront(self):
         w = h = 24
