@@ -1,0 +1,426 @@
+"""Differentiable tape-replay for the fused sample-batch megakernel.
+
+The fused forward kernel (ops/pallas_megatrace.sample_batch) is ~2.7x
+faster than the differentiable wavefront but its hit attributes carry no
+gradients.  This module restores gradients WITHOUT giving up the fused
+forward: the kernel (want_tape=True, reproducible hash PRNG) additionally
+emits a per-iteration "tape" — the winner sphere index per lane (-1 miss,
+-2 idle) — and the backward pass replays the whole persistent-lane state
+machine here in O(N * iterations) differentiable jnp: per-lane gathers of
+the WINNER's parameters only, no (N, S) intersection work and no Pallas in
+the autodiff graph.  `sample_batch_diff` packages the pair as a
+jax.custom_vjp whose primal is the kernel output and whose VJP is the
+replay's.
+
+Replay-vs-kernel contract: identical uniforms (the `_uniforms_hash`
+counter PRNG is mirrored bit-exactly below), identical branch rules, so
+the replay traverses the same paths; values differ only by float
+reassociation (tests assert ~1e-4 channel agreement).  Discrete decisions
+(winner selection, scatter lotteries, root choice) are constants of the
+tape — the a.e.-correct detached-decision gradient estimator, same policy
+as the wavefront's detached Pallas selection (render/integrator.py).
+
+Scope (gated by `replay_eligible`): sphere-only scenes, constant
+textures, gradient/none sky, no volumes/motion — the BASELINE gradient
+configs (cover-scene class).  Reference math parity anchors are the same
+as ops/pallas_megatrace (View.cs:38-48 camera, HitTests.cs:23-60 sphere,
+Material.cs:75-161 scatter, SampleBatchJob.cs:341-396 fold/termination).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
+
+BIG = mk.BIG
+SELF_EPS = mk.SELF_EPS
+TWO_PI = mk.TWO_PI
+INV_2_24 = mk.INV_2_24
+PLASTIC_IOR = mk.PLASTIC_IOR
+METAL_IOR = mk.METAL_IOR
+
+
+def replay_eligible(scene) -> bool:
+    """Static gate for the tape-replay differentiable fused path."""
+    return mk.scene_eligible(scene)  # sphere-only base eligibility
+
+
+# --------------------------------------------------------------------------
+# Bit-exact jnp mirror of the kernel's counter PRNG (no pltpu ops)
+# --------------------------------------------------------------------------
+
+
+def _lowbias32(x):
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _uniforms_hash(seed, salt, lanes):
+    """(8, N) U[0,1) rows; mirrors pallas_megatrace._uniforms_hash."""
+    streams = jnp.arange(8, dtype=jnp.int32)[:, None]
+    x = seed + lanes[None, :] * jnp.int32(9781) + streams * jnp.int32(
+        6271
+    ) + salt
+    bits = _lowbias32(jax.lax.bitcast_convert_type(x, jnp.uint32))
+    low24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+    return low24.astype(jnp.float32) * INV_2_24
+
+
+def _normalize3(x, y, z, eps=1e-12):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+def _cosine_hemisphere(u, v, nx, ny, nz):
+    return mk._cosine_hemisphere(u, v, nx, ny, nz)
+
+
+def _unit_sphere(u, v):
+    return mk._unit_sphere(u, v)
+
+
+# --------------------------------------------------------------------------
+# The replay
+# --------------------------------------------------------------------------
+
+
+def replay(
+    tape,  # (samples*trace_depth, N) winner codes from the kernel
+    lane_count,  # (N,)
+    camera_row,  # (24,)
+    centers,  # (S, 3)
+    radii,  # (S,)
+    records,  # (S, >=11) packed material rows
+    sky_bottom,  # (3,)
+    sky_top,  # (3,)
+    seed,  # () int32
+    *,
+    samples: int,
+    trace_depth: int,
+    t_min: float = 0.0,
+    has_dielectrics: bool = True,
+    sky_on: bool = True,
+    jitter: bool = True,
+):
+    """Differentiable (color_sum (N,3), count (N,)) for one batch,
+    replaying the kernel's persistent-lane loop along the recorded tape."""
+    n = lane_count.shape[0]
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    per_pixel = lane_count.astype(jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32)
+
+    cam = camera_row.astype(jnp.float32)
+    co = cam[0:3]
+    ll = cam[3:6]
+    hh = cam[6:9]
+    vv = cam[9:12]
+    rr = cam[12:15]
+    uu_ = cam[15:18]
+    lens_radius = cam[18]
+    width = cam[19]
+    height = cam[20]
+    py_row = jnp.floor(lanes.astype(jnp.float32) / width)
+    px_row = lanes.astype(jnp.float32) - py_row * width
+
+    zero = jnp.zeros((n,), jnp.float32)
+    one = jnp.ones((n,), jnp.float32)
+
+    state0 = dict(
+        o=jnp.zeros((3, n)), d=jnp.zeros((3, n)),
+        th=jnp.ones((3, n)), rad=jnp.zeros((3, n)),
+        active=zero, valid=zero, started=zero, depth_ct=zero,
+        csum=jnp.zeros((3, n)), cnt=zero,
+    )
+
+    def iteration(state, it):
+        o, d = state["o"], state["d"]
+        th, rad = state["th"], state["rad"]
+        active, valid = state["active"], state["valid"]
+        started, depth_ct = state["started"], state["depth_ct"]
+
+        # ---- regen (kernel _batch_kernel camera section) ---------------
+        regen = (active < 0.5) & (started < per_pixel)
+        u = _uniforms_hash(seed, it * jnp.int32(1013904223), lanes)
+        if jitter:
+            jx, jy = u[0], u[1]
+        else:
+            jx = jy = 0.5
+        un = (px_row + jx) / width
+        vn = (py_row + jy) / height
+        theta = u[2] * TWO_PI
+        radius = jnp.sqrt(u[3]) * lens_radius
+        rdx = radius * jnp.cos(theta)
+        rdy = radius * jnp.sin(theta)
+        offx = rdx * rr[0] + rdy * uu_[0]
+        offy = rdx * rr[1] + rdy * uu_[1]
+        offz = rdx * rr[2] + rdy * uu_[2]
+        cdx = ll[0] - offx + un * hh[0] + vn * vv[0]
+        cdy = ll[1] - offy + un * hh[1] + vn * vv[1]
+        cdz = ll[2] - offz + un * hh[2] + vn * vv[2]
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+        o = jnp.where(regen, jnp.stack([co[0] + offx, co[1] + offy,
+                                        co[2] + offz]), o)
+        d = jnp.where(regen, jnp.stack([cdx, cdy, cdz]), d)
+        th = jnp.where(regen, 1.0, th)
+        rad = jnp.where(regen, 0.0, rad)
+        valid = jnp.where(regen, 0.0, valid)
+        depth_ct = jnp.where(regen, 0.0, depth_ct)
+        started = started + jnp.where(regen, 1.0, 0.0)
+        active = jnp.where(regen, 1.0, active)
+        was_active = active > 0.5
+
+        # ---- one bounce along the tape ---------------------------------
+        ub = _uniforms_hash(
+            seed, it * jnp.int32(1013904223) + jnp.int32(7919), lanes
+        )
+        code = tape[it]
+        hit = was_active & (code >= -0.5)
+        miss = was_active & jnp.logical_not(hit)
+        w = jnp.clip(code, 0.0, None).astype(jnp.int32)
+
+        c = centers[w].T  # (3, N)
+        r = radii[w]
+        rec = records[w]  # (N, >=11)
+
+        ox, oy, oz = o[0], o[1], o[2]
+        dx, dy, dz = d[0], d[1], d[2]
+        a = dx * dx + dy * dy + dz * dz
+        b = (ox * dx + oy * dy + oz * dz) - (
+            dx * c[0] + dy * c[1] + dz * c[2]
+        )
+        c_term = (
+            (ox * ox + oy * oy + oz * oz)
+            - 2.0 * (ox * c[0] + oy * c[1] + oz * c[2])
+            + (c[0] * c[0] + c[1] * c[1] + c[2] * c[2])
+            - r * r
+        )
+        disc = b * b - a * c_term
+        # double-where: idle/miss lanes hold garbage ray state (zero
+        # directions, pad spheres); sanitize every sqrt/div argument so
+        # the unselected branch can't inject NaN into the VJP
+        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 0.0), 1.0))
+        inv_a = 1.0 / jnp.where(hit, a, 1.0)
+        t_near = (-b - sq) * inv_a
+        t_far = (-b + sq) * inv_a
+        # same root rule as the kernel; the tape guarantees a hit exists
+        t_hit = jnp.where(t_near > t_min, t_near, t_far)
+        t_hit = jnp.where(hit, t_hit, 0.0)
+        px = ox + t_hit * dx
+        py = oy + t_hit * dy
+        pz = oz + t_hit * dz
+        safe_r = jnp.where(r == 0.0, 1.0, r)
+        nx = (px - c[0]) / safe_r
+        ny = (py - c[1]) / safe_r
+        nz = (pz - c[2]) / safe_r
+
+        mtype = rec[:, 0]
+        alb_r, alb_g, alb_b = rec[:, 1], rec[:, 2], rec[:, 3]
+        em_r, em_g, em_b = rec[:, 4], rec[:, 5], rec[:, 6]
+        gloss = rec[:, 7]
+        metallic = rec[:, 8]
+        parameter = rec[:, 9]
+
+        ua, ub_, uc, ud = ub[0], ub[1], ub[2], ub[3]
+        u_choice, u_choice2 = ub[4], ub[5]
+
+        # ---- Standard scatter (kernel lines; Material.cs:75-119) -------
+        roughness = (1.0 - gloss) * (1.0 - gloss)
+        csx, csy, csz = _cosine_hemisphere(ua, ub_, nx, ny, nz)
+        rnx = nx + (csx - nx) * roughness
+        rny = ny + (csy - ny) * roughness
+        rnz = nz + (csz - nz) * roughness
+        rnx, rny, rnz = _normalize3(rnx, rny, rnz)
+        rough = roughness > 0.0
+        rnx = jnp.where(rough, rnx, nx)
+        rny = jnp.where(rough, rny, ny)
+        rnz = jnp.where(rough, rnz, nz)
+        incident_cos = -(dx * rnx + dy * rny + dz * rnz)
+        std_ior = PLASTIC_IOR + (METAL_IOR - PLASTIC_IOR) * metallic
+        fresnel = mk._schlick(incident_cos, std_ior)
+        cos_dn = dx * nx + dy * ny + dz * nz
+        masking = mk._smith_masking(cos_dn, roughness)
+        refl_chance = jnp.clip(fresnel * gloss * masking, 0.0, 1.0)
+        spec_dot = dx * rnx + dy * rny + dz * rnz
+        spx = dx - 2.0 * spec_dot * rnx
+        spy = dy - 2.0 * spec_dot * rny
+        spz = dz - 2.0 * spec_dot * rnz
+        lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
+        take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
+        take_metal = (metallic > 0.0) & (u_choice2 < metallic)
+        spec_like = take_spec | take_metal
+        sdx = jnp.where(spec_like, spx, lmx)
+        sdy = jnp.where(spec_like, spy, lmy)
+        sdz = jnp.where(spec_like, spz, lmz)
+        srr = jnp.where(take_spec, 1.0, alb_r)
+        srg = jnp.where(take_spec, 1.0, alb_g)
+        srb = jnp.where(take_spec, 1.0, alb_b)
+
+        if has_dielectrics:
+            # ---- Dielectric (Material.cs:121-161) ----------------------
+            d_roughness = 1.0 - gloss
+            ssx, ssy, ssz = _unit_sphere(ua, ub_)
+            drx = nx + d_roughness * ssx
+            dry = ny + d_roughness * ssy
+            drz = nz + d_roughness * ssz
+            drx, dry, drz = _normalize3(drx, dry, drz)
+            ddot = dx * drx + dy * dry + dz * drz
+            exiting = ddot > 0.0
+            onx = jnp.where(exiting, -drx, drx)
+            ony = jnp.where(exiting, -dry, dry)
+            onz = jnp.where(exiting, -drz, drz)
+            ior = parameter
+            ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
+            cosine = jnp.where(exiting, ior * ddot, -ddot)
+            dt = dx * onx + dy * ony + dz * onz
+            disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
+            can_refract = disc_r > 0.0
+            sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, 1.0))
+            rfx = ni_over_nt * (dx - onx * dt) - onx * sq_r
+            rfy = ni_over_nt * (dy - ony * dt) - ony * sq_r
+            rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
+            refl_prob = mk._schlick(cosine, ior)
+            do_refract = can_refract & (u_choice > refl_prob)
+            drefl = dx * drx + dy * dry + dz * drz
+            dlx = jnp.where(do_refract, rfx, dx - 2.0 * drefl * drx)
+            dly = jnp.where(do_refract, rfy, dy - 2.0 * drefl * dry)
+            dlz = jnp.where(do_refract, rfz, dz - 2.0 * drefl * drz)
+            is_diel = mtype > 0.5
+            sdx = jnp.where(is_diel, dlx, sdx)
+            sdy = jnp.where(is_diel, dly, sdy)
+            sdz = jnp.where(is_diel, dlz, sdz)
+            srr = jnp.where(is_diel, jnp.where(do_refract, alb_r, 1.0), srr)
+            srg = jnp.where(is_diel, jnp.where(do_refract, alb_g, 1.0), srg)
+            srb = jnp.where(is_diel, jnp.where(do_refract, alb_b, 1.0), srb)
+
+        # ---- sky + fold (SampleBatchJob.cs:341-396) --------------------
+        if sky_on:
+            tsky = 0.5 * (dy + 1.0)
+            skr = sky_bottom[0] + (sky_top[0] - sky_bottom[0]) * tsky
+            skg = sky_bottom[1] + (sky_top[1] - sky_bottom[1]) * tsky
+            skb = sky_bottom[2] + (sky_top[2] - sky_bottom[2]) * tsky
+        else:
+            skr = skg = skb = zero
+        scatter_mask = hit
+        emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
+        emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
+        emb = jnp.where(scatter_mask, em_b, jnp.where(miss, skb, 0.0))
+        rad = rad + th * jnp.stack([emr, emg, emb])
+        th = jnp.where(
+            scatter_mask,
+            th * jnp.stack([srr, srg, srb]),
+            th,
+        )
+
+        # ---- advance + termination ------------------------------------
+        off_sign = jnp.where(
+            sdx * nx + sdy * ny + sdz * nz >= 0.0, 1.0, -1.0
+        )
+        o = jnp.where(
+            scatter_mask,
+            jnp.stack([px + SELF_EPS * off_sign * nx,
+                       py + SELF_EPS * off_sign * ny,
+                       pz + SELF_EPS * off_sign * nz]),
+            o,
+        )
+        d = jnp.where(scatter_mask, jnp.stack([sdx, sdy, sdz]), d)
+        active = jnp.where(miss, 0.0, active)
+        valid = jnp.where(miss, 1.0, valid)
+        depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
+        exhausted = (active > 0.5) & (depth_ct > trace_depth - 0.5)
+        active = jnp.where(exhausted, 0.0, active)
+        terminated = was_active & (active < 0.5)
+        ok = terminated & (valid > 0.5)
+        csum = state["csum"] + jnp.where(ok, rad, 0.0)
+        cnt = state["cnt"] + jnp.where(ok, 1.0, 0.0)
+
+        return dict(
+            o=o, d=d, th=th, rad=rad, active=active, valid=valid,
+            started=started, depth_ct=depth_ct, csum=csum, cnt=cnt,
+        ), None
+
+    state, _ = jax.lax.scan(
+        iteration, state0,
+        jnp.arange(samples * trace_depth, dtype=jnp.int32),
+    )
+    return state["csum"].T, state["cnt"]
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper: fused-kernel primal, replay VJP
+# --------------------------------------------------------------------------
+
+
+def sample_batch_diff(
+    lane_count,
+    count_in,
+    camera_row,
+    centers,
+    radii,
+    records,
+    sky_bottom,
+    sky_top,
+    seed,
+    *,
+    samples: int,
+    trace_depth: int,
+    has_dielectrics: bool = True,
+    sky_on: bool = True,
+    jitter: bool = True,
+    interpret: bool = False,
+):
+    """sample_batch with gradients wrt (centers, radii, records, sky,
+    camera_row) via the tape replay.  Primal values are the kernel's;
+    only the `color` output's cotangent is propagated (AOVs and counts
+    are detached — losses are photometric)."""
+    statics = dict(
+        samples=samples, trace_depth=trace_depth,
+        has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,
+    )
+
+    def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t):
+        return mk.sample_batch(
+            lane_count, count_in, camera_row, centers, radii, records,
+            sky_b, sky_t, seed,
+            samples=samples, trace_depth=trace_depth,
+            has_dielectrics=has_dielectrics, sky_on=sky_on,
+            jitter=jitter, hw_prng=False, want_tape=True,
+            interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def _run(camera_row, centers, radii, records, sky_b, sky_t):
+        out = _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t)
+        del out["tape"]
+        return out
+
+    def _fwd(camera_row, centers, radii, records, sky_b, sky_t):
+        out = _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t)
+        tape = out.pop("tape")
+        return out, (tape, camera_row, centers, radii, records,
+                     sky_b, sky_t)
+
+    def _bwd(res, cot):
+        tape, camera_row, centers, radii, records, sky_b, sky_t = res
+
+        def color_of(camera_row, centers, radii, records, sky_b, sky_t):
+            csum, _ = replay(
+                tape, lane_count, camera_row, centers, radii, records,
+                sky_b, sky_t, seed, **statics,
+            )
+            return csum
+
+        _, vjp_fn = jax.vjp(
+            color_of, camera_row, centers, radii, records, sky_b, sky_t
+        )
+        return vjp_fn(cot["color"])
+
+    _run.defvjp(_fwd, _bwd)
+    return _run(camera_row, centers, radii, records, sky_bottom, sky_top)

@@ -261,6 +261,7 @@ def _smith_masking(cos_theta, roughness):
 def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
     sky_on: bool, has_volumes: bool = False, has_motion: bool = False,
+    want_winner: bool = False,
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -913,11 +914,17 @@ def _bounce_step(
     active = jnp.where(miss, 0.0, active)
     valid = jnp.where(miss, 1.0, valid)
 
-    return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
-            active, valid, anx, any_, anz, aax, aay, aaz,
-            got, events, rays_cast,
-            in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
-            ptime)
+    out = (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+           active, valid, anx, any_, anz, aax, aay, aaz,
+           got, events, rays_cast,
+           in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+           ptime)
+    if want_winner:
+        # tape row for the differentiable replay (megatrace_replay):
+        # sphere winner index / hit flag (sphere-only gradient scope)
+        return out, (best_idx.astype(jnp.float32),
+                     jnp.where(hit, 1.0, 0.0))
+    return out
 
 
 def _trace_loop(
@@ -1432,12 +1439,19 @@ def _batch_kernel(
     has_cube: bool = False, cube_dims: tuple = (0, 0),
     has_noise: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
+    want_tape: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
-    # the last positional is always the output ref.
-    aux = list(aux_and_out[:-1])
-    out_ref = aux_and_out[-1]
+    # the last positional is always the output ref (plus the tape ref in
+    # tape mode).
+    if want_tape:
+        aux = list(aux_and_out[:-2])
+        out_ref = aux_and_out[-2]
+        tape_ref = aux_and_out[-1]
+    else:
+        aux = list(aux_and_out[:-1])
+        out_ref = aux_and_out[-1]
     rect_c = (aux.pop(0), aux.pop(0)) if has_rects else None
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
     tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
@@ -1529,8 +1543,17 @@ def _batch_kernel(
         -one, zero, zero, zero, zero, zero, zero, zero,
         zero,  # shutter time of the current path
     )
+    if want_tape:
+        # replay tape rows: -2 idle, -1 miss, else winner sphere index
+        state0 = state0 + (
+            jnp.full((samples * trace_depth, t_shape[1]), -2.0,
+                     jnp.float32),
+        )
 
     def iteration(it, state):
+        if want_tape:
+            tape_acc = state[-1]
+            state = state[:-1]
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
          depth_ct, started,
@@ -1645,7 +1668,24 @@ def _batch_kernel(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
             has_volumes=has_volumes, has_motion=has_motion,
+            want_winner=want_tape,
         )
+        if want_tape:
+            carry, (widx, whit) = carry
+            code = jnp.where(
+                was_active,
+                jnp.where(whit > 0.5, widx, -1.0),
+                -2.0,
+            )  # (1, T)
+            it_hot = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (samples * trace_depth, 1), 0
+                )
+                == it
+            ).astype(jnp.float32)
+            # one-hot row accumulate: static-shape alternative to a
+            # dynamic sublane store
+            tape_acc = tape_acc + it_hot * (code + 2.0)
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz,
          got, events, _,
@@ -1685,13 +1725,17 @@ def _batch_kernel(
 
         cnt = cnt + jnp.where(ok, 1.0, 0.0)
 
-        return (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
-                pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
-                depth_ct, started,
-                csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
-                wsum, rays, fnx, fny, fnz, fax, fay, faz,
-                in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
-                ptime)
+        new_state = (
+            ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
+            pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
+            depth_ct, started,
+            csx_, csy_, csz_, cnt, nsx, nsy, nsz, asx, asy, asz,
+            wsum, rays, fnx, fny, fnz, fax, fay, faz,
+            in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
+            ptime)
+        if want_tape:
+            new_state = new_state + (tape_acc,)
+        return new_state
 
     if early_out:
         def iteration_or_skip(it, state):
@@ -1715,6 +1759,8 @@ def _batch_kernel(
     out_ref[18:BATCH_OUT_ROWS, :] = jnp.zeros(
         (BATCH_OUT_ROWS - 18, t_shape[1]), jnp.float32
     )
+    if want_tape:
+        tape_ref[:, :] = state[-1]
 
 
 def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
@@ -1741,7 +1787,7 @@ def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
     jax.jit,
     static_argnames=("samples", "trace_depth", "t_min", "has_dielectrics",
                      "sky_on", "hw_prng", "early_out", "jitter", "interpret",
-                     "img_dims", "cube_dims"),
+                     "img_dims", "cube_dims", "want_tape"),
 )
 def sample_batch(
     lane_count: jnp.ndarray,  # (N,) per-pixel samples to take (int or float)
@@ -1779,6 +1825,8 @@ def sample_batch(
     cube_dims: tuple = (0, 0),
     noise_uniforms: jnp.ndarray | None = None,  # (4*samples, N) pre-drawn
     #   pixel-correlated camera draws (pack_noise_uniforms)
+    want_tape: bool = False,  # also return the replay tape (forces the
+    #   reproducible hash PRNG; see megatrace_replay)
 ):
     """Fused SampleBatchJob: per-pixel accumulation DELTAS for one batch.
 
@@ -1898,18 +1946,37 @@ def sample_batch(
             has_noise=noise_uniforms is not None,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
+            want_tape=want_tape,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
+        out_specs=(
+            pl.BlockSpec(
+                (BATCH_OUT_ROWS, RAY_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (samples * trace_depth, RAY_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ) if want_tape else pl.BlockSpec(
             (BATCH_OUT_ROWS, RAY_TILE), lambda i: (0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((BATCH_OUT_ROWS, n_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((BATCH_OUT_ROWS, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (samples * trace_depth, n_pad), jnp.float32
+            ),
+        ) if want_tape else jax.ShapeDtypeStruct(
+            (BATCH_OUT_ROWS, n_pad), jnp.float32
+        ),
         interpret=interpret,
     )(*inputs)
 
-    return {
+    if want_tape:
+        out, tape = out
+    result = {
         "color": out[0:3, :n].T,
         "count": out[3, :n],
         "normal": out[4:7, :n].T,
@@ -1919,6 +1986,9 @@ def sample_batch(
         "fallback_normal": out[12:15, :n].T,
         "fallback_albedo": out[15:18, :n].T,
     }
+    if want_tape:
+        result["tape"] = tape[:, :n]
+    return result
 
 
 @functools.lru_cache(maxsize=8)
