@@ -140,7 +140,20 @@ def replay(
         csum=jnp.zeros((3, n)), cnt=zero,
     )
 
-    def iteration(state, it):
+    # ONE bulk winner-parameter gather for every iteration up front
+    # (TPU per-lane gathers inside the scan measured 8x slower than
+    # streaming a pre-gathered (IT, N, C) tensor)
+    iters = samples * trace_depth
+    sphere_rows = jnp.concatenate(
+        [centers, radii[:, None], records[:, :11]], axis=1
+    )  # (S, 15): cx cy cz r | material rows 0-10
+    w_all = jnp.clip(tape, 0.0, None).astype(jnp.int32)  # (IT, N)
+    winner_rows = sphere_rows[w_all.reshape(-1)].reshape(
+        iters, n, sphere_rows.shape[1]
+    )
+
+    def iteration(state, per_it):
+        it, tape_row, wrow = per_it
         o, d = state["o"], state["d"]
         th, rad = state["th"], state["rad"]
         active, valid = state["active"], state["valid"]
@@ -181,14 +194,13 @@ def replay(
         ub = _uniforms_hash(
             seed, it * jnp.int32(1013904223) + jnp.int32(7919), lanes
         )
-        code = tape[it]
+        code = tape_row
         hit = was_active & (code >= -0.5)
         miss = was_active & jnp.logical_not(hit)
-        w = jnp.clip(code, 0.0, None).astype(jnp.int32)
 
-        c = centers[w].T  # (3, N)
-        r = radii[w]
-        rec = records[w]  # (N, >=11)
+        c = wrow[:, 0:3].T  # (3, N)
+        r = wrow[:, 3]
+        rec = wrow[:, 4:15]  # material rows 0-10
 
         ox, oy, oz = o[0], o[1], o[2]
         dx, dy, dz = d[0], d[1], d[2]
@@ -206,7 +218,10 @@ def replay(
         # double-where: idle/miss lanes hold garbage ray state (zero
         # directions, pad spheres); sanitize every sqrt/div argument so
         # the unselected branch can't inject NaN into the VJP
-        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 0.0), 1.0))
+        # floor the discriminant: sqrt'(0) is infinite and grazing hits
+        # (disc ~ 0 for a tape-confirmed hit) otherwise NaN the VJP; the
+        # floor only caps the derivative, the primal comes from the kernel
+        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 1e-8), 1.0))
         inv_a = 1.0 / jnp.where(hit, a, 1.0)
         t_near = (-b - sq) * inv_a
         t_far = (-b + sq) * inv_a
@@ -282,7 +297,9 @@ def replay(
             dt = dx * onx + dy * ony + dz * onz
             disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
             can_refract = disc_r > 0.0
-            sq_r = jnp.sqrt(jnp.where(can_refract, disc_r, 1.0))
+            sq_r = jnp.sqrt(
+                jnp.where(can_refract, jnp.maximum(disc_r, 1e-8), 1.0)
+            )
             rfx = ni_over_nt * (dx - onx * dt) - onx * sq_r
             rfy = ni_over_nt * (dy - ony * dt) - ony * sq_r
             rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
@@ -346,9 +363,11 @@ def replay(
             started=started, depth_ct=depth_ct, csum=csum, cnt=cnt,
         ), None
 
+    # remat the scan body: recomputing one bounce from its carry is far
+    # cheaper than round-tripping every intermediate to HBM for the VJP
     state, _ = jax.lax.scan(
-        iteration, state0,
-        jnp.arange(samples * trace_depth, dtype=jnp.int32),
+        jax.checkpoint(iteration), state0,
+        (jnp.arange(iters, dtype=jnp.int32), tape, winner_rows),
     )
     return state["csum"].T, state["cnt"]
 
@@ -385,10 +404,14 @@ def sample_batch_diff(
         has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,
     )
 
-    def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t):
+    # custom_vjp functions must not close over traced values: the
+    # non-differentiated operands ride along as float32 args with zero
+    # cotangents.
+    def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
+                    lane_f, count_f, seed_f):
         return mk.sample_batch(
-            lane_count, count_in, camera_row, centers, radii, records,
-            sky_b, sky_t, seed,
+            lane_f, count_f, camera_row, centers, radii, records,
+            sky_b, sky_t, seed_f.astype(jnp.int32),
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=True,
@@ -396,31 +419,44 @@ def sample_batch_diff(
         )
 
     @jax.custom_vjp
-    def _run(camera_row, centers, radii, records, sky_b, sky_t):
-        out = _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t)
+    def _run(camera_row, centers, radii, records, sky_b, sky_t,
+             lane_f, count_f, seed_f):
+        out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
+                          sky_t, lane_f, count_f, seed_f)
         del out["tape"]
         return out
 
-    def _fwd(camera_row, centers, radii, records, sky_b, sky_t):
-        out = _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t)
+    def _fwd(camera_row, centers, radii, records, sky_b, sky_t,
+             lane_f, count_f, seed_f):
+        out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
+                          sky_t, lane_f, count_f, seed_f)
         tape = out.pop("tape")
         return out, (tape, camera_row, centers, radii, records,
-                     sky_b, sky_t)
+                     sky_b, sky_t, lane_f, count_f, seed_f)
 
     def _bwd(res, cot):
-        tape, camera_row, centers, radii, records, sky_b, sky_t = res
+        (tape, camera_row, centers, radii, records, sky_b, sky_t,
+         lane_f, count_f, seed_f) = res
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t):
             csum, _ = replay(
-                tape, lane_count, camera_row, centers, radii, records,
-                sky_b, sky_t, seed, **statics,
+                tape, lane_f, camera_row, centers, radii, records,
+                sky_b, sky_t, seed_f.astype(jnp.int32), **statics,
             )
             return csum
 
         _, vjp_fn = jax.vjp(
             color_of, camera_row, centers, radii, records, sky_b, sky_t
         )
-        return vjp_fn(cot["color"])
+        return vjp_fn(cot["color"]) + (
+            jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
+            jnp.zeros_like(seed_f),
+        )
 
     _run.defvjp(_fwd, _bwd)
-    return _run(camera_row, centers, radii, records, sky_bottom, sky_top)
+    return _run(
+        camera_row, centers, radii, records, sky_bottom, sky_top,
+        lane_count.astype(jnp.float32),
+        count_in.astype(jnp.float32),
+        jnp.asarray(seed).astype(jnp.float32),
+    )

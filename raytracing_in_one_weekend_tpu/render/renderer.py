@@ -94,6 +94,59 @@ def render_batch(
     from raytracing_in_one_weekend_tpu.core import materials
     from raytracing_in_one_weekend_tpu.ops import pallas_megatrace, pallas_sphere
 
+    # --- differentiable fused path (ops/megatrace_replay): fused-kernel
+    # primal + tape-replay VJP.  Sphere-only gradient scope; everything
+    # else keeps the differentiable wavefront below.
+    if (
+        differentiable
+        and noise_color == 0
+        and pallas_sphere.use_pallas()
+        and pallas_megatrace.scene_eligible(scene)
+    ):
+        from raytracing_in_one_weekend_tpu.ops import megatrace_replay
+
+        lane_count = jnp.where(row_active, per_pixel, 0)
+        packed = materials.pack_materials(scene)
+        records = jnp.concatenate(
+            [
+                packed[scene.spheres.material][:, :11],
+                scene.spheres.material[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
+        d = megatrace_replay.sample_batch_diff(
+            lane_count,
+            acc.sample_count,
+            pallas_megatrace.pack_camera_row(camera, width, height),
+            scene.spheres.center,
+            scene.spheres.radius,
+            records,
+            scene.environment.sky_bottom,
+            scene.environment.sky_top,
+            seed,
+            samples=samples,
+            trace_depth=trace_depth,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=scene.flags.sky == 1,
+            jitter=sub_pixel_jitter,
+        )
+        fb_new = ((acc.sample_count == 0) & (lane_count > 0))[:, None]
+        acc = film.Accumulators(
+            color=acc.color + d["color"],
+            sample_count=acc.sample_count + d["count"],
+            normal=acc.normal + d["normal"],
+            albedo=acc.albedo + d["albedo"],
+            weight=acc.weight + d["weight"],
+            fallback_normal=jnp.where(
+                fb_new, d["fallback_normal"], acc.fallback_normal
+            ),
+            fallback_albedo=jnp.where(
+                fb_new, d["fallback_albedo"], acc.fallback_albedo
+            ),
+        )
+        return acc, _reduce_metrics(acc, d["rays"])
+
     noise_fusable = noise_color == 0 or noise_state is not None
     if (
         not differentiable
