@@ -407,41 +407,50 @@ def sample_batch_diff(
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
     # cotangents.
+    # The seed rides as two f32-exact halves (s32 -> f32 would quantize
+    # seeds >= 2^24 and collapse distinct batch streams).
+    def _seed_of(seed_lo, seed_hi):
+        return (
+            (seed_hi.astype(jnp.int32) << jnp.int32(16))
+            | seed_lo.astype(jnp.int32)
+        )
+
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
-                    lane_f, count_f, seed_f):
+                    lane_f, count_f, seed_lo, seed_hi, want_tape):
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
-            sky_b, sky_t, seed_f.astype(jnp.int32),
+            sky_b, sky_t, _seed_of(seed_lo, seed_hi),
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
-            jitter=jitter, hw_prng=False, want_tape=True,
+            jitter=jitter, hw_prng=False, want_tape=want_tape,
             interpret=interpret,
         )
 
     @jax.custom_vjp
     def _run(camera_row, centers, radii, records, sky_b, sky_t,
-             lane_f, count_f, seed_f):
-        out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                          sky_t, lane_f, count_f, seed_f)
-        del out["tape"]
-        return out
+             lane_f, count_f, seed_lo, seed_hi):
+        # primal-only path (no grad requested): skip the tape entirely
+        return _kernel_fwd(camera_row, centers, radii, records, sky_b,
+                           sky_t, lane_f, count_f, seed_lo, seed_hi,
+                           want_tape=False)
 
     def _fwd(camera_row, centers, radii, records, sky_b, sky_t,
-             lane_f, count_f, seed_f):
+             lane_f, count_f, seed_lo, seed_hi):
         out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                          sky_t, lane_f, count_f, seed_f)
+                          sky_t, lane_f, count_f, seed_lo, seed_hi,
+                          want_tape=True)
         tape = out.pop("tape")
         return out, (tape, camera_row, centers, radii, records,
-                     sky_b, sky_t, lane_f, count_f, seed_f)
+                     sky_b, sky_t, lane_f, count_f, seed_lo, seed_hi)
 
     def _bwd(res, cot):
         (tape, camera_row, centers, radii, records, sky_b, sky_t,
-         lane_f, count_f, seed_f) = res
+         lane_f, count_f, seed_lo, seed_hi) = res
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t):
             csum, _ = replay(
                 tape, lane_f, camera_row, centers, radii, records,
-                sky_b, sky_t, seed_f.astype(jnp.int32), **statics,
+                sky_b, sky_t, _seed_of(seed_lo, seed_hi), **statics,
             )
             return csum
 
@@ -450,13 +459,15 @@ def sample_batch_diff(
         )
         return vjp_fn(cot["color"]) + (
             jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
-            jnp.zeros_like(seed_f),
+            jnp.zeros_like(seed_lo), jnp.zeros_like(seed_hi),
         )
 
     _run.defvjp(_fwd, _bwd)
+    seed_i = jnp.asarray(seed, jnp.int32)
     return _run(
         camera_row, centers, radii, records, sky_bottom, sky_top,
         lane_count.astype(jnp.float32),
         count_in.astype(jnp.float32),
-        jnp.asarray(seed).astype(jnp.float32),
+        (seed_i & jnp.int32(0xFFFF)).astype(jnp.float32),
+        ((seed_i >> jnp.int32(16)) & jnp.int32(0x7FFF)).astype(jnp.float32),
     )

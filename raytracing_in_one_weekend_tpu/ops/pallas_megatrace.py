@@ -1142,6 +1142,19 @@ def pack_aux_tables(scene, packed_materials):
     return rect_tables, box_tables
 
 
+def pack_sphere_records(scene, packed_materials):
+    """(S, 12) sphere records: packed material rows 0-10 + material id —
+    the ONE definition of the layout consumed by sample_batch / the
+    replay (tests import it too)."""
+    return jnp.concatenate(
+        [
+            packed_materials[scene.spheres.material][:, :11],
+            scene.spheres.material[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def pack_tri_tables(scene, packed_materials):
     """Triangle tables for sample_batch, or None when the scene has none.
 
@@ -1343,7 +1356,9 @@ def _bounce_textures(
         r_hot = (r_iota == row).astype(jnp.float32)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (w_pad, t_cols), 0)
         c_hot = (c_iota == cx).astype(jnp.float32)
-        is_img = ttype > 3.5
+        # bounded: CONSTANT_SCALAR (type 5) stays with its pre-resolved
+        # packed albedo
+        is_img = (ttype > 3.5) & (ttype < 4.5)
         texel = []
         for c in range(3):
             col = jax.lax.dot_general(

@@ -94,9 +94,32 @@ def render_batch(
     from raytracing_in_one_weekend_tpu.core import materials
     from raytracing_in_one_weekend_tpu.ops import pallas_megatrace, pallas_sphere
 
+    def _apply_deltas(acc, d, lane_count):
+        """Merge a sample_batch delta dict into the accumulators (shared
+        by the fused and diff-fused branches — one copy of the
+        fallback-AOV rule)."""
+        fb_new = ((acc.sample_count == 0) & (lane_count > 0))[:, None]
+        acc = film.Accumulators(
+            color=acc.color + d["color"],
+            sample_count=acc.sample_count + d["count"],
+            normal=acc.normal + d["normal"],
+            albedo=acc.albedo + d["albedo"],
+            weight=acc.weight + d["weight"],
+            fallback_normal=jnp.where(
+                fb_new, d["fallback_normal"], acc.fallback_normal
+            ),
+            fallback_albedo=jnp.where(
+                fb_new, d["fallback_albedo"], acc.fallback_albedo
+            ),
+        )
+        return acc, _reduce_metrics(acc, d["rays"])
+
     # --- differentiable fused path (ops/megatrace_replay): fused-kernel
     # primal + tape-replay VJP.  Sphere-only gradient scope; everything
-    # else keeps the differentiable wavefront below.
+    # else keeps the differentiable wavefront below.  NOTE: only the COLOR
+    # accumulator's cotangent propagates — AOV (normal/albedo/weight)
+    # gradients are detached on this path (photometric-loss scope; use the
+    # wavefront for AOV-regularized losses by forcing ineligibility).
     if (
         differentiable
         and noise_color == 0
@@ -107,13 +130,7 @@ def render_batch(
 
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
-        records = jnp.concatenate(
-            [
-                packed[scene.spheres.material][:, :11],
-                scene.spheres.material[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         d = megatrace_replay.sample_batch_diff(
             lane_count,
@@ -131,21 +148,7 @@ def render_batch(
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
-        fb_new = ((acc.sample_count == 0) & (lane_count > 0))[:, None]
-        acc = film.Accumulators(
-            color=acc.color + d["color"],
-            sample_count=acc.sample_count + d["count"],
-            normal=acc.normal + d["normal"],
-            albedo=acc.albedo + d["albedo"],
-            weight=acc.weight + d["weight"],
-            fallback_normal=jnp.where(
-                fb_new, d["fallback_normal"], acc.fallback_normal
-            ),
-            fallback_albedo=jnp.where(
-                fb_new, d["fallback_albedo"], acc.fallback_albedo
-            ),
-        )
-        return acc, _reduce_metrics(acc, d["rays"])
+        return _apply_deltas(acc, d, lane_count)
 
     noise_fusable = noise_color == 0 or noise_state is not None
     if (
@@ -160,13 +163,7 @@ def render_batch(
     ):
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
-        records = jnp.concatenate(
-            [
-                packed[scene.spheres.material][:, :11],
-                scene.spheres.material[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
         )
@@ -226,21 +223,7 @@ def render_batch(
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
-        fb_new = ((acc.sample_count == 0) & (lane_count > 0))[:, None]
-        acc = film.Accumulators(
-            color=acc.color + d["color"],
-            sample_count=acc.sample_count + d["count"],
-            normal=acc.normal + d["normal"],
-            albedo=acc.albedo + d["albedo"],
-            weight=acc.weight + d["weight"],
-            fallback_normal=jnp.where(
-                fb_new, d["fallback_normal"], acc.fallback_normal
-            ),
-            fallback_albedo=jnp.where(
-                fb_new, d["fallback_albedo"], acc.fallback_albedo
-            ),
-        )
-        return acc, _reduce_metrics(acc, d["rays"])
+        return _apply_deltas(acc, d, lane_count)
 
     def one_sample(carry, sample_index):
         acc_c = carry

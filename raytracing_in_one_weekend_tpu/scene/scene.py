@@ -594,8 +594,10 @@ class SceneBuilder:
             ),
             sky=int(sky_type),
             has_nonconvex_volumes=nonconvex_volumes,
+            # only MOVING spheres constrain the fused motion path;
+            # time_range on a static sphere is meaningless
             motion_unit_time=all(
-                (not has_motion)
+                s[3] is None
                 or (float(s[4][0]) == 0.0 and float(s[4][1]) == 1.0)
                 for s in self._spheres
             ),

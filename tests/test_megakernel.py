@@ -544,6 +544,40 @@ class TestTextureKernel:
             float(mref.total_rays), rel=0.05
         )
 
+    def test_constant_scalar_albedo_with_image_in_scene(self):
+        # regression: ttype 5 (CONSTANT_SCALAR) must NOT take the image
+        # branch of the in-kernel texture select (is_img was unbounded)
+        import numpy as np
+
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        b.add_sphere((0.0, 1.0, 0.0), 1.0, b.lambert(0.7))  # scalar albedo
+        img = np.full((8, 8, 3), 0.05, np.float32)
+        tex = b.add_image("dark", img)
+        verts = np.array(
+            [[2.0, 0.02, -1.0], [4.0, 0.02, -1.0],
+             [4.0, 0.02, 1.0], [2.0, 0.02, 1.0]], np.float32
+        )
+        faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        uvs = np.array(
+            [[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]], np.float32
+        )
+        b.add_mesh(verts, faces, b.lambert(tex), uvs=uvs, face_normals=True)
+        b.set_gradient_sky()
+        scene = b.build()
+        cs = CameraSettings(
+            origin=(0.0, 2.0, 5.0), look_at=(0.0, 1.0, 0.0),
+            vertical_fov=45.0, focus_distance=5.0,
+        )
+        ref, mref, out = self._run_pair(scene, cs, s=8, d=4)
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
     def test_procedural_emission_not_eligible(self):
         from raytracing_in_one_weekend_tpu.scene.scene import (
             SceneBuilder, checker,
@@ -656,5 +690,21 @@ class TestMotionKernel:
         scene = b.build()
         assert not scene.flags.motion_unit_time
         assert not pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_volumes=True, allow_motion=True
+        )
+
+    def test_static_sphere_time_range_does_not_gate(self):
+        # regression: a non-default time_range on a STATIC sphere is
+        # meaningless and must not disable the fused motion path
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        m = b.lambert((0.5, 0.5, 0.5))
+        b.add_sphere((0, 0, -1), 0.5, m, move_offset=(0, 0.3, 0))
+        b.add_sphere((1, 0, -1), 0.5, m, time_range=(0.2, 0.8))
+        b.set_gradient_sky()
+        scene = b.build()
+        assert scene.flags.motion_unit_time
+        assert pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True, allow_motion=True
         )
