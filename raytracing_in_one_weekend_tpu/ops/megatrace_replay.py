@@ -364,7 +364,9 @@ def replay(
         ), None
 
     # remat the scan body: recomputing one bounce from its carry is far
-    # cheaper than round-tripping every intermediate to HBM for the VJP
+    # cheaper than round-tripping every intermediate to HBM for the VJP.
+    # (Coarser 4-iteration checkpoint blocks were measured SLOWER — 101 vs
+    # 93 ms — the recompute outweighs the carry-traffic savings.)
     state, _ = jax.lax.scan(
         jax.checkpoint(iteration), state0,
         (jnp.arange(iters, dtype=jnp.int32), tape, winner_rows),
