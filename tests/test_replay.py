@@ -104,6 +104,36 @@ class TestReplayParity:
         assert report["cosine"] > 0.99, report
         assert report["rel_err"] < 0.15, report
 
+    def test_radius_gradients_match_finite_differences(self):
+        from raytracing_in_one_weekend_tpu.diff import gradcheck
+
+        w = h = 24
+        s, d = 4, 4
+        scene, camera, records = _setup(book_scenes.single_sphere, w, h)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        mask = np.zeros((h, w), np.float32)
+        mask[9:15, 9:15] = 1.0
+        mask = jnp.asarray(mask.reshape(-1))
+
+        def loss(radii):
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, radii, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(5), samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+                jitter=False, interpret=True,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            sq = jnp.sum(img**2, axis=-1)
+            return jnp.sum(sq * mask) / jnp.sum(mask)
+
+        report = gradcheck.check_grads(
+            loss, scene.spheres.radius, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report
+
     def test_albedo_gradients_flow(self):
         w = h = 12
         s, d = 2, 4
