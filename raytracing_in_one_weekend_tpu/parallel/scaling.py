@@ -12,6 +12,9 @@ sharding/collective program on virtual CPU devices (numbers are then
 compile-correctness evidence, not hardware throughput).
 
 Usage:  python -m raytracing_in_one_weekend_tpu.parallel.scaling
+        python -m ... --cpu 8   # force an 8-virtual-CPU-device mesh
+                                # (self-pins the platform; the tunnel
+                                # sitecustomize overrides XLA_FLAGS env)
 """
 
 from __future__ import annotations
@@ -88,4 +91,12 @@ def measure(
 
 
 if __name__ == "__main__":
+    import sys
+
+    if "--cpu" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--cpu") + 1])
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_num_cpu_devices", n
+        )
     print(json.dumps(measure()))
