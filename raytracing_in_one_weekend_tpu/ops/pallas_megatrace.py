@@ -475,10 +475,11 @@ def _bounce_step(
         tgeo, trec_ref = tri_c
         t_rows = tgeo.shape[0]
 
-        # tile-level early-out: slab-test every lane against the whole
-        # mesh AABB (pack_tri_tables row 0 cols 9-15); when no ACTIVE
-        # lane's ray can hit it, lax.cond skips the entire sweep (same
-        # mechanism as the batch kernel's iteration early-out)
+        # per-block early-out: slab-test every lane against the block's
+        # AABB (pack_tri_tables cols 9-15 of the block's first row); when
+        # no ACTIVE lane can hit it, lax.cond skips that block's sweep.
+        # Blocks track objects (meshes are appended contiguously), so a
+        # tile only sweeps the objects in front of its rays.
         def _inv_d(dc):
             safe = jnp.where(
                 jnp.abs(dc) < 1e-12,
@@ -486,25 +487,55 @@ def _bounce_step(
                 dc,
             )
             return 1.0 / safe
-        ivx, ivy, ivz = _inv_d(dx), _inv_d(dy), _inv_d(dz)
-        bx0 = (tgeo[0, 9] - ox) * ivx
-        bx1 = (tgeo[0, 12] - ox) * ivx
-        by0 = (tgeo[0, 10] - oy) * ivy
-        by1 = (tgeo[0, 13] - oy) * ivy
-        bz0 = (tgeo[0, 11] - oz) * ivz
-        bz1 = (tgeo[0, 14] - oz) * ivz
-        b_near = jnp.maximum(
-            jnp.minimum(bx0, bx1),
-            jnp.maximum(jnp.minimum(by0, by1), jnp.minimum(bz0, bz1)),
-        )
-        b_far = jnp.minimum(
-            jnp.maximum(bx0, bx1),
-            jnp.minimum(jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)),
-        )
-        lane_may = (b_far >= jnp.maximum(b_near, t_min)).astype(jnp.float32)
-        tri_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
 
-        def _tri_skip(_):
+        ivx, ivy, ivz = _inv_d(dx), _inv_d(dy), _inv_d(dz)
+
+        def _block_sweep(st, en):
+            eax, eay, eaz = (tgeo[st:en, 0:1], tgeo[st:en, 1:2],
+                             tgeo[st:en, 2:3])
+            ebx, eby, ebz = (tgeo[st:en, 3:4], tgeo[st:en, 4:5],
+                             tgeo[st:en, 5:6])
+            v0x, v0y, v0z = (tgeo[st:en, 6:7], tgeo[st:en, 7:8],
+                             tgeo[st:en, 8:9])
+            pvx = dy * eaz - dz * eay  # (TB, T)
+            pvy = dz * eax - dx * eaz
+            pvz = dx * eay - dy * eax
+            det = ebx * pvx + eby * pvy + ebz * pvz
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * ebz - tvz * eby
+            qvy = tvz * ebx - tvx * ebz
+            qvz = tvx * eby - tvy * ebx
+            bv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t_mt = (eax * qvx + eay * qvy + eaz * qvz) * inv_det
+            ok_t = (
+                (det != 0.0)
+                & (bu >= 0.0) & (bu <= 1.0)
+                & (bv >= 0.0) & ((bu + bv) <= 1.0)
+                & (t_mt > t_min)
+            )
+            tt = jnp.where(ok_t, t_mt, BIG)
+            blk_best = jnp.min(tt, axis=0, keepdims=True)
+            blk_idx = jnp.argmin(tt, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+            blk_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (en - st, t_cols), 0
+            )
+            blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
+            blk_rec = jax.lax.dot_general(
+                trec_ref[:, st:en], blk_hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (32, T): 0-10 material | 11 id | normals | uvs
+            blk_u = jnp.sum(blk_hot * bu, axis=0, keepdims=True)
+            blk_v = jnp.sum(blk_hot * bv, axis=0, keepdims=True)
+            return blk_best, blk_u, blk_v, blk_rec
+
+        def _block_skip(_):
             return (
                 jnp.full((1, t_cols), BIG, jnp.float32),
                 zero,
@@ -512,68 +543,45 @@ def _bounce_step(
                 jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32),
             )
 
-        def _tri_sweep(_):
-            return _tri_sweep_body()
-
-        def _tri_sweep_body():
-            tri_best = jnp.full((1, t_cols), BIG, jnp.float32)
-            tri_u = zero
-            tri_v = zero
-            trec = jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32)
-            for st in range(0, t_rows, TRI_BLOCK):
-                en = min(st + TRI_BLOCK, t_rows)
-                eax, eay, eaz = (tgeo[st:en, 0:1], tgeo[st:en, 1:2],
-                                 tgeo[st:en, 2:3])
-                ebx, eby, ebz = (tgeo[st:en, 3:4], tgeo[st:en, 4:5],
-                                 tgeo[st:en, 5:6])
-                v0x, v0y, v0z = (tgeo[st:en, 6:7], tgeo[st:en, 7:8],
-                                 tgeo[st:en, 8:9])
-                pvx = dy * eaz - dz * eay  # (TB, T)
-                pvy = dz * eax - dx * eaz
-                pvz = dx * eay - dy * eax
-                det = ebx * pvx + eby * pvy + ebz * pvz
-                inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * ebz - tvz * eby
-                qvy = tvz * ebx - tvx * ebz
-                qvz = tvx * eby - tvy * ebx
-                bv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                t_mt = (eax * qvx + eay * qvy + eaz * qvz) * inv_det
-                ok_t = (
-                    (det != 0.0)
-                    & (bu >= 0.0) & (bu <= 1.0)
-                    & (bv >= 0.0) & ((bu + bv) <= 1.0)
-                    & (t_mt > t_min)
-                )
-                tt = jnp.where(ok_t, t_mt, BIG)
-                blk_best = jnp.min(tt, axis=0, keepdims=True)
-                blk_idx = jnp.argmin(tt, axis=0, keepdims=True).astype(
-                    jnp.int32
-                )
-                blk_rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (en - st, t_cols), 0
-                )
-                blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
-                blk_rec = jax.lax.dot_general(
-                    trec_ref[:, st:en], blk_hot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (24, T): 0-10 material | 11 id | 12-20 vertex normals
-                blk_u = jnp.sum(blk_hot * bu, axis=0, keepdims=True)
-                blk_v = jnp.sum(blk_hot * bv, axis=0, keepdims=True)
-                blk_wins = blk_best < tri_best
-                tri_best = jnp.where(blk_wins, blk_best, tri_best)
-                tri_u = jnp.where(blk_wins, blk_u, tri_u)
-                tri_v = jnp.where(blk_wins, blk_v, tri_v)
-                trec = jnp.where(blk_wins, blk_rec, trec)
-            return tri_best, tri_u, tri_v, trec
-
-        tri_best, tri_u, tri_v, trec = jax.lax.cond(
-            tri_pred, _tri_sweep, _tri_skip, 0
-        )
+        tri_best = jnp.full((1, t_cols), BIG, jnp.float32)
+        tri_u = zero
+        tri_v = zero
+        trec = jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32)
+        for st in range(0, t_rows, TRI_BLOCK):
+            en = min(st + TRI_BLOCK, t_rows)
+            bx0 = (tgeo[st, 9] - ox) * ivx
+            bx1 = (tgeo[st, 12] - ox) * ivx
+            by0 = (tgeo[st, 10] - oy) * ivy
+            by1 = (tgeo[st, 13] - oy) * ivy
+            bz0 = (tgeo[st, 11] - oz) * ivz
+            bz1 = (tgeo[st, 14] - oz) * ivz
+            b_near = jnp.maximum(
+                jnp.minimum(bx0, bx1),
+                jnp.maximum(
+                    jnp.minimum(by0, by1), jnp.minimum(bz0, bz1)
+                ),
+            )
+            b_far = jnp.minimum(
+                jnp.maximum(bx0, bx1),
+                jnp.minimum(
+                    jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
+                ),
+            )
+            lane_may = (
+                b_far >= jnp.maximum(b_near, t_min)
+            ).astype(jnp.float32)
+            blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
+            blk_best, blk_u, blk_v, blk_rec = jax.lax.cond(
+                blk_pred,
+                lambda _, st=st, en=en: _block_sweep(st, en),
+                _block_skip,
+                0,
+            )
+            blk_wins = blk_best < tri_best
+            tri_best = jnp.where(blk_wins, blk_best, tri_best)
+            tri_u = jnp.where(blk_wins, blk_u, tri_u)
+            tri_v = jnp.where(blk_wins, blk_v, tri_v)
+            trec = jnp.where(blk_wins, blk_rec, trec)
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
         mat = jnp.where(tri_wins, trec[0:11, :], mat)
@@ -1220,15 +1228,25 @@ def pack_tri_tables(scene, packed_materials):
     geo = geo.at[:t, 0:3].set(tri.edge_a)
     geo = geo.at[:t, 3:6].set(tri.edge_b)
     geo = geo.at[:t, 6:9].set(tri.vert0)
-    # whole-mesh AABB in row 0 cols 9-15 (min xyz | max xyz): the kernel's
-    # tile-level early-out skips the entire Möller–Trumbore sweep when no
-    # active lane's ray can hit it
+    # per-BLOCK AABBs in cols 9-15 of each block's first row (min xyz |
+    # max xyz over that TRI_BLOCK chunk): the kernel slab-tests each
+    # block and lax.cond-skips its Möller–Trumbore sweep when no active
+    # lane can hit it.  Meshes are appended contiguously by add_mesh, so
+    # blocks track objects and tiles sweep only the objects they can see.
     v0 = tri.vert0
     v1 = tri.vert0 + tri.edge_b
     v2 = tri.vert0 + tri.edge_a
-    vs = jnp.concatenate([v0, v1, v2], axis=0)
-    geo = geo.at[0, 9:12].set(jnp.min(vs, axis=0) - 1e-4)
-    geo = geo.at[0, 12:15].set(jnp.max(vs, axis=0) + 1e-4)
+    for st in range(0, t_pad, TRI_BLOCK):
+        en = min(st + TRI_BLOCK, t_pad)
+        lo, hi = st, min(en, t)
+        if lo >= t:
+            # pad-only block: an empty AABB (min > max) never passes
+            geo = geo.at[st, 9:12].set(1.0)
+            geo = geo.at[st, 12:15].set(-1.0)
+            continue
+        vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
+        geo = geo.at[st, 9:12].set(jnp.min(vs, axis=0) - 1e-4)
+        geo = geo.at[st, 12:15].set(jnp.max(vs, axis=0) + 1e-4)
     rec = jnp.zeros((TRI_REC_ROWS, t_pad), jnp.float32)
     rec = rec.at[:11, :t].set(packed_materials[tri.material][:, :11].T)
     rec = rec.at[11, :t].set(tri.material.astype(jnp.float32))

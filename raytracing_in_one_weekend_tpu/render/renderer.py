@@ -180,7 +180,7 @@ def render_batch(
                 noise_state, acc.sample_count, width, height, samples
             )
             if noise_color != 0 else None
-        )
+        )  # pixel-order columns; permuted below when lanes are Morton
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -190,13 +190,17 @@ def render_batch(
         )
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         # NOTE: lanes map to pixels row-major (identity).  A Morton lane
-        # permutation (pallas_megatrace.morton_order) was measured 5%
-        # SLOWER end-to-end on the cover scene — the un-permute gathers
-        # cost more than the extra tile-coherence buys; 512-lane row tiles
-        # are already spatially coherent.
+        # permutation was measured 5% SLOWER on the cover scene, and even
+        # on mesh scenes — where compact Morton tiles raise the kernel's
+        # per-block AABB skip rate (raw kernel 23.8 -> 27.8 MRays/s) —
+        # the host-side permute/un-permute gathers give the gain back
+        # (23.6 -> 23.3 end-to-end).  Identity stays.
+        pixel_index = None
+        lane_count_k = lane_count
+        count_in_k = acc.sample_count
         d = pallas_megatrace.sample_batch(
-            lane_count,
-            acc.sample_count,
+            lane_count_k,
+            count_in_k,
             pallas_megatrace.pack_camera_row(camera, width, height),
             scene.spheres.center,
             scene.spheres.radius,
@@ -204,6 +208,7 @@ def render_batch(
             scene.environment.sky_bottom,
             scene.environment.sky_top,
             seed,
+            pixel_index=pixel_index,
             rect_tables=rect_tables,
             box_tables=box_tables,
             tri_tables=tri_tables,
