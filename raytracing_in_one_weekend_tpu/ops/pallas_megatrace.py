@@ -1240,9 +1240,13 @@ def pack_tri_tables(scene, packed_materials):
         en = min(st + TRI_BLOCK, t_pad)
         lo, hi = st, min(en, t)
         if lo >= t:
-            # pad-only block: an empty AABB (min > max) never passes
-            geo = geo.at[st, 9:12].set(1.0)
-            geo = geo.at[st, 12:15].set(-1.0)
+            # pad-only block: a degenerate far-away point never passes the
+            # slab test (it is symmetric in the two corners, so an
+            # "inverted" min>max box would behave like a real box — a
+            # point at 1e30 instead gives b_near==b_far==~1e30 only for
+            # rays aimed exactly at it, and even then beyond any hit t)
+            geo = geo.at[st, 9:12].set(1e30)
+            geo = geo.at[st, 12:15].set(1e30)
             continue
         vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
         geo = geo.at[st, 9:12].set(jnp.min(vs, axis=0) - 1e-4)
@@ -1926,12 +1930,15 @@ def sample_batch(
     rect_tables/box_tables (from pack_aux_tables) add oriented rect/box
     entities to the in-kernel intersection sweep.
     """
+    if want_tape:
+        # the replay VJP mirrors only the reproducible hash PRNG; a tape
+        # recorded under the hardware PRNG would silently replay different
+        # uniforms (plausible-looking but wrong gradients)
+        hw_prng = False
     if hw_prng is None:
         hw_prng = not interpret
     n = lane_count.shape[0]
-    s = centers.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
-    s_pad = max(SPHERE_PAD, -(-s // SPHERE_PAD) * SPHERE_PAD)
 
     pix = jnp.zeros((8, n_pad), jnp.float32)
     pix = pix.at[0, :].set(jnp.arange(n_pad, dtype=jnp.float32))
@@ -1942,7 +1949,9 @@ def sample_batch(
     else:
         pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
 
-    sph, rec_t, _ = _pack_scene_tables(centers, radii, records, move_offsets)
+    sph, rec_t, s_pad = _pack_scene_tables(
+        centers, radii, records, move_offsets
+    )
     sky = _pack_sky_row(sky_bottom, sky_top)
     cam = camera_row.astype(jnp.float32).reshape(1, 24)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
@@ -2164,7 +2173,7 @@ def megatrace(
     if n_pad != n:
         rays = rays.at[5, n:].set(1.0)
 
-    sph, rec_t, _ = _pack_scene_tables(centers, radii, records)
+    sph, rec_t, s_pad = _pack_scene_tables(centers, radii, records)
     sky = _pack_sky_row(sky_bottom, sky_top)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1, 1))
 

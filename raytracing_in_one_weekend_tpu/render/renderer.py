@@ -180,7 +180,7 @@ def render_batch(
                 noise_state, acc.sample_count, width, height, samples
             )
             if noise_color != 0 else None
-        )  # pixel-order columns; permuted below when lanes are Morton
+        )  # pixel-order columns (lanes are pixel-order, see NOTE below)
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -195,12 +195,9 @@ def render_batch(
         # per-block AABB skip rate (raw kernel 23.8 -> 27.8 MRays/s) —
         # the host-side permute/un-permute gathers give the gain back
         # (23.6 -> 23.3 end-to-end).  Identity stays.
-        pixel_index = None
-        lane_count_k = lane_count
-        count_in_k = acc.sample_count
         d = pallas_megatrace.sample_batch(
-            lane_count_k,
-            count_in_k,
+            lane_count,
+            acc.sample_count,
             pallas_megatrace.pack_camera_row(camera, width, height),
             scene.spheres.center,
             scene.spheres.radius,
@@ -208,7 +205,6 @@ def render_batch(
             scene.environment.sky_bottom,
             scene.environment.sky_top,
             seed,
-            pixel_index=pixel_index,
             rect_tables=rect_tables,
             box_tables=box_tables,
             tri_tables=tri_tables,

@@ -381,6 +381,105 @@ class TestTriangleKernel:
             float(mref.total_rays), rel=0.05
         )
 
+    def _multiblock_scene(self):
+        # icosphere(2) = 320 faces + cube = 332 triangles -> t_pad = 384,
+        # TWO 192-row TRI_BLOCKs: exercises the cross-block winner merge
+        # and per-block AABB culling paths (a single-block mesh runs
+        # neither).
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        v, f, n, _ = meshes.icosphere(2)
+        b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+                   normals=n, translation=(-1.2, 1.0, 0.0))
+        v, f, _, _ = meshes.cube()
+        b.add_mesh(v, f, b.lambert((0.8, 0.3, 0.2)),
+                   translation=(1.2, 0.5, 0.0), face_normals=True)
+        b.set_gradient_sky()
+        cam = CameraSettings(
+            origin=(0.0, 2.0, 6.0), look_at=(0.0, 0.7, 0.0),
+            vertical_fov=35.0, focus_distance=6.0,
+        )
+        return b.build(), cam
+
+    def test_multiblock_mesh_matches_wavefront(self):
+        w = h = 24
+        s, d = 8, 6
+        scene, cs = self._multiblock_scene()
+        assert scene.triangles.vert0.shape[0] > pallas_megatrace.TRI_BLOCK
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+        assert tri_tables[0].shape[0] == 384  # two TRI_BLOCK sweeps
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(31), tri_tables=tri_tables,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(jnp.mean(jnp.abs(out["normal"]))) == pytest.approx(
+            float(jnp.mean(jnp.abs(ref.normal))), rel=0.05
+        )
+
+    def test_padonly_block_aabb_fails_slab_test(self):
+        # A mesh with 129..192 real triangles pads to 256 rows, so the
+        # block at row 192 is pure padding.  The kernel slab test is
+        # symmetric in the two corners, so an "inverted" min>max AABB
+        # would act like a real box — the pad block must instead carry a
+        # degenerate far-away point that no ray can pass.
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        v, f, n, _ = meshes.icosphere(1)
+        b.add_mesh(v, f, b.lambert((0.5, 0.5, 0.5)), normals=n)
+        b.add_mesh(v, f, b.lambert((0.5, 0.5, 0.5)), normals=n,
+                   translation=(3.0, 0.0, 0.0))
+        v, f, _, _ = meshes.cube()
+        b.add_mesh(v, f, b.lambert((0.8, 0.3, 0.2)),
+                   translation=(-3.0, 0.0, 0.0), face_normals=True)
+        b.set_gradient_sky()
+        scene = b.build()
+        t = scene.triangles.vert0.shape[0]
+        assert pallas_megatrace.TRI_PAD < t <= pallas_megatrace.TRI_BLOCK
+        packed = materials.pack_materials(scene)
+        geo, _ = pallas_megatrace.pack_tri_tables(scene, packed)
+        assert geo.shape[0] == 256
+        lo = geo[pallas_megatrace.TRI_BLOCK, 9:12]
+        hi = geo[pallas_megatrace.TRI_BLOCK, 12:15]
+        # degenerate far point, not an inverted box
+        assert bool(jnp.all(lo == hi)) and float(lo[0]) >= 1e29
+        # symmetric slab test vs an on-axis ray from the origin: must fail
+        o = jnp.zeros(3)
+        dirs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0)
+        for k in range(6):
+            inv = 1.0 / dirs[k]
+            t0, t1 = (lo - o) * inv, (hi - o) * inv
+            near = jnp.max(jnp.minimum(t0, t1))
+            far = jnp.min(jnp.maximum(t0, t1))
+            assert not bool(far >= jnp.maximum(near, 0.0))
+
     def test_too_many_triangles_not_eligible(self):
         scene, _ = self._mesh_scene()
         scene = scene._replace(triangles=scene.triangles._replace(
