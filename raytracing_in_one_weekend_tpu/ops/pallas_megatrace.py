@@ -293,6 +293,13 @@ def _bounce_step(
     # Broadcast (S,1)x(1,T) products: K=3 contractions are useless on the
     # 128-deep MXU (measured 1.5x SLOWER via dot_general); the VPU form
     # fuses into the quadratic chain.
+    # Per-block AABB culling (the TRI_BLOCK trick, 128-sphere blocks with
+    # radius-inflated strip AABBs in sph col 7) was tried here and
+    # measured SLOWER on the cover scene (54 -> 47 MRays/s): the tile-wide
+    # skip predicate almost never fires — cover's grid strips all cross
+    # the camera frustum, the r=1000 ground sphere pins its block, and a
+    # sphere quadratic is ~3x cheaper than the Möller–Trumbore row that
+    # makes the skip pay for triangles.  Keep the dense sweep.
     if has_motion:
         # TransformAtTime with the unit shutter range: w == rayTime
         # (Entity.cs:124-127; gated by SceneFlags.motion_unit_time)
