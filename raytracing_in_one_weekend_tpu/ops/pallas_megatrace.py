@@ -101,10 +101,11 @@ def scene_eligible(
         ) > 0
     )
     if allow_triangles:
-        # beyond TRI_MAX the dense in-kernel sweep loses to the BVH
-        # wavefront; volume-material triangles already trip
+        # up to TRI_MAX the tables are VMEM-resident; beyond that they
+        # stream per-block from HBM (pack_tri_stream_tables) up to
+        # TRI_STREAM_MAX; volume-material triangles already trip
         # has_nonconvex_volumes below.
-        ok = ok and tri_count <= TRI_MAX
+        ok = ok and tri_count <= TRI_STREAM_MAX
     else:
         ok = ok and tri_count == 0
     if allow_volumes:
@@ -129,7 +130,12 @@ TRI_BLOCK = 192  # triangle rows per unrolled MT chunk: Möller–Trumbore
 # keeps ~8 (TRI_BLOCK, RAY_TILE) f32 temporaries live, so chunking bounds
 # the peak well under the 16MB scoped-vmem limit (256 rows measured OOM
 # by 932KB at RAY_TILE=1024)
-TRI_MAX = 4096  # beyond this the dense sweep loses to the BVH wavefront
+TRI_MAX = 4096  # beyond this the tables leave VMEM residence ...
+TRI_STREAM_MAX = 65536  # ... and stream per-block from HBM instead: the
+# kernel slab-tests each 192-row block (AABBs in SMEM) and DMAs only the
+# blocks an active lane can hit into a VMEM scratch before the
+# Möller–Trumbore sweep.  Bound set by the SMEM AABB row (8 f32 per
+# block) and by the per-iteration slab-test cost, not by VMEM.
 TRI_REC_ROWS = 32  # triangle record rows (materials + normals + uvs)
 TEX_ROWS = 16  # per-material texture record rows (pack_texture_tables)
 MAT_PAD = 128
@@ -478,7 +484,8 @@ def _bounce_step(
             )
 
     # ---- triangles (HitTests.cs:116-150 Möller–Trumbore, chunked) --------
-    if tri_c is not None:
+    tri_stream = tri_c is not None and len(tri_c) != 2
+    if tri_c is not None and not tri_stream:
         tgeo, trec_ref = tri_c
         t_rows = tgeo.shape[0]
 
@@ -589,6 +596,135 @@ def _bounce_step(
             tri_u = jnp.where(blk_wins, blk_u, tri_u)
             tri_v = jnp.where(blk_wins, blk_v, tri_v)
             trec = jnp.where(blk_wins, blk_rec, trec)
+        tri_wins = tri_best < best_t
+        best_t = jnp.where(tri_wins, tri_best, best_t)
+        mat = jnp.where(tri_wins, trec[0:11, :], mat)
+        mat_id = jnp.where(tri_wins, trec[11:12, :], mat_id)
+        if has_volumes:
+            t_exit = jnp.where(tri_wins, BIG, t_exit)  # no interior
+
+    if tri_stream:
+        # ---- streamed triangles (TRI_MAX < T <= TRI_STREAM_MAX) --------
+        # Tables stay in HBM; each 192-row block is slab-tested against
+        # its SMEM AABB and, only when an active lane can hit it, DMA'd
+        # into the VMEM scratch and swept.  The wavefront BVH walk is not
+        # viable on TPU at this scale (per-lane gathers in a lockstep
+        # while_loop), so this per-block cull + stream IS the big-mesh
+        # path (FindHitCandidates, SampleBatchJob.cs:403-448, re-shaped).
+        geo_h, rec_h, ab_ref, geo_s, rec_s, dma_sem = tri_c
+        n_blk = geo_h.shape[0] // TRI_BLOCK
+
+        def _inv_d(dc):
+            safe = jnp.where(
+                jnp.abs(dc) < 1e-12,
+                jnp.where(dc >= 0.0, 1e-12, -1e-12),
+                dc,
+            )
+            return 1.0 / safe
+
+        ivx, ivy, ivz = _inv_d(dx), _inv_d(dy), _inv_d(dz)
+
+        def _stream_sweep(carry):
+            tb, tu, tv, tr = carry
+            eax, eay, eaz = geo_s[:, 0:1], geo_s[:, 1:2], geo_s[:, 2:3]
+            ebx, eby, ebz = geo_s[:, 3:4], geo_s[:, 4:5], geo_s[:, 5:6]
+            v0x, v0y, v0z = geo_s[:, 6:7], geo_s[:, 7:8], geo_s[:, 8:9]
+            pvx = dy * eaz - dz * eay  # (TB, T)
+            pvy = dz * eax - dx * eaz
+            pvz = dx * eay - dy * eax
+            det = ebx * pvx + eby * pvy + ebz * pvz
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            bu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * ebz - tvz * eby
+            qvy = tvz * ebx - tvx * ebz
+            qvz = tvx * eby - tvy * ebx
+            bv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t_mt = (eax * qvx + eay * qvy + eaz * qvz) * inv_det
+            ok_t = (
+                (det != 0.0)
+                & (bu >= 0.0) & (bu <= 1.0)
+                & (bv >= 0.0) & ((bu + bv) <= 1.0)
+                & (t_mt > t_min)
+            )
+            tt = jnp.where(ok_t, t_mt, BIG)
+            blk_best = jnp.min(tt, axis=0, keepdims=True)
+            blk_idx = jnp.argmin(tt, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+            blk_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (TRI_BLOCK, t_cols), 0
+            )
+            blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
+            # recT is (TB, 32): contract the TB dim against the one-hot
+            blk_rec = jax.lax.dot_general(
+                rec_s[:, :], blk_hot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (32, T)
+            blk_u = jnp.sum(blk_hot * bu, axis=0, keepdims=True)
+            blk_v = jnp.sum(blk_hot * bv, axis=0, keepdims=True)
+            wins = blk_best < tb
+            return (
+                jnp.where(wins, blk_best, tb),
+                jnp.where(wins, blk_u, tu),
+                jnp.where(wins, blk_v, tv),
+                jnp.where(wins, blk_rec, tr),
+            )
+
+        def _blk_body(blk, carry):
+            base = blk * 8
+            bx0 = (ab_ref[0, base + 0] - ox) * ivx
+            by0 = (ab_ref[0, base + 1] - oy) * ivy
+            bz0 = (ab_ref[0, base + 2] - oz) * ivz
+            bx1 = (ab_ref[0, base + 3] - ox) * ivx
+            by1 = (ab_ref[0, base + 4] - oy) * ivy
+            bz1 = (ab_ref[0, base + 5] - oz) * ivz
+            b_near = jnp.maximum(
+                jnp.minimum(bx0, bx1),
+                jnp.maximum(
+                    jnp.minimum(by0, by1), jnp.minimum(bz0, bz1)
+                ),
+            )
+            b_far = jnp.minimum(
+                jnp.maximum(bx0, bx1),
+                jnp.minimum(
+                    jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
+                ),
+            )
+            lane_may = (
+                b_far >= jnp.maximum(b_near, t_min)
+            ).astype(jnp.float32)
+            blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
+
+            def _do(carry):
+                cp_g = pltpu.make_async_copy(
+                    geo_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
+                    geo_s, dma_sem.at[0],
+                )
+                cp_r = pltpu.make_async_copy(
+                    rec_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
+                    rec_s, dma_sem.at[1],
+                )
+                cp_g.start()
+                cp_r.start()
+                cp_g.wait()
+                cp_r.wait()
+                return _stream_sweep(carry)
+
+            return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
+
+        tri_best, tri_u, tri_v, trec = jax.lax.fori_loop(
+            0, n_blk, _blk_body,
+            (
+                jnp.full((1, t_cols), BIG, jnp.float32),
+                zero,
+                zero,
+                jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
+            ),
+        )
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
         mat = jnp.where(tri_wins, trec[0:11, :], mat)
@@ -1269,6 +1405,55 @@ def pack_tri_tables(scene, packed_materials):
     return geo, rec
 
 
+def pack_tri_stream_tables(scene, packed_materials):
+    """HBM-streamed triangle tables for meshes beyond VMEM residence
+    (TRI_MAX < count <= TRI_STREAM_MAX), or None when the scene has no
+    triangles.
+
+    Returns (geo (T_pad, 16), recT (T_pad, TRI_REC_ROWS), aabb_row
+    (1, n_blk * 8)).  geo/recT stay in HBM (pl.ANY) and are DMA'd one
+    TRI_BLOCK chunk at a time; recT is the pack_tri_tables record
+    TRANSPOSED so each block is a contiguous 2D slice.  aabb_row rides in
+    SMEM: cols blk*8+0..2 = min xyz, +3..5 = max xyz of that block
+    (pad-only blocks carry a degenerate far point, see pack_tri_tables).
+    T_pad is a TRI_BLOCK multiple so every DMA has the same static shape.
+    """
+    tri = scene.triangles
+    t = tri.vert0.shape[0]
+    if t == 0:
+        return None
+    t_pad = -(-t // TRI_BLOCK) * TRI_BLOCK
+    geo = jnp.zeros((t_pad, 16), jnp.float32)
+    geo = geo.at[:t, 0:3].set(tri.edge_a)
+    geo = geo.at[:t, 3:6].set(tri.edge_b)
+    geo = geo.at[:t, 6:9].set(tri.vert0)
+    v0 = tri.vert0
+    v1 = tri.vert0 + tri.edge_b
+    v2 = tri.vert0 + tri.edge_a
+    n_blk = t_pad // TRI_BLOCK
+    aabb = jnp.zeros((1, n_blk * 8), jnp.float32)
+    for blk in range(n_blk):
+        lo = blk * TRI_BLOCK
+        hi = min(lo + TRI_BLOCK, t)
+        if lo >= t:
+            box = jnp.full((6,), 1e30, jnp.float32)
+        else:
+            vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
+            box = jnp.concatenate(
+                [jnp.min(vs, axis=0) - 1e-4, jnp.max(vs, axis=0) + 1e-4]
+            )
+        aabb = aabb.at[0, blk * 8 : blk * 8 + 6].set(box)
+    rec = jnp.zeros((t_pad, TRI_REC_ROWS), jnp.float32)
+    rec = rec.at[:t, :11].set(packed_materials[tri.material][:, :11])
+    rec = rec.at[:t, 11].set(tri.material.astype(jnp.float32))
+    rec = rec.at[:t, 12:15].set(tri.normals[:, :, 0])
+    rec = rec.at[:t, 15:18].set(tri.normals[:, :, 1])
+    rec = rec.at[:t, 18:21].set(tri.normals[:, :, 2])
+    rec = rec.at[:t, 21:24].set(tri.uvs[:, 0, :])
+    rec = rec.at[:t, 24:27].set(tri.uvs[:, 1, :])
+    return geo, rec, aabb
+
+
 def pack_texture_tables(scene):
     """Per-MATERIAL albedo-texture tables for the in-kernel texture eval,
     or None when the scene has no procedural textures.
@@ -1533,7 +1718,7 @@ def _batch_kernel(
     samples: int, trace_depth: int, t_min: float, has_dielectrics: bool,
     sky_on: bool, hw_prng: bool, early_out: bool, jitter: bool,
     has_rects: bool = False, has_boxes: bool = False,
-    has_tris: bool = False,
+    has_tris: bool = False, has_tri_stream: bool = False,
     has_tex: bool = False, has_perlin: bool = False, has_img: bool = False,
     img_dims: tuple = (0, 0),
     has_cube: bool = False, cube_dims: tuple = (0, 0),
@@ -1544,7 +1729,11 @@ def _batch_kernel(
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
     # the last positional is always the output ref (plus the tape ref in
-    # tape mode).
+    # tape mode), then any scratch refs (streamed-triangle buffers).
+    aux_and_out = list(aux_and_out)
+    if has_tri_stream:
+        stream_scr = tuple(aux_and_out[-3:])  # geo_s, rec_s, dma_sem
+        del aux_and_out[-3:]
     if want_tape:
         aux = list(aux_and_out[:-2])
         out_ref = aux_and_out[-2]
@@ -1555,6 +1744,9 @@ def _batch_kernel(
     rect_c = (aux.pop(0), aux.pop(0)) if has_rects else None
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
     tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
+    if has_tri_stream:
+        # (geo_hbm, recT_hbm, aabb_smem, geo_scratch, rec_scratch, sems)
+        tri_c = (aux.pop(0), aux.pop(0), aux.pop(0)) + stream_scr
     tex_c = None
     if has_tex:
         tex_c = (
@@ -1903,6 +2095,9 @@ def sample_batch(
     rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
     tri_tables: tuple | None = None,  # (geo (T,16), rec (32,T)) pre-packed
+    tri_stream_tables: tuple | None = None,  # (geo (T,16), recT (T,32),
+    #   aabb_row (1, n_blk*8)) from pack_tri_stream_tables: HBM-streamed
+    #   triangles for TRI_MAX < count <= TRI_STREAM_MAX
     tex_tables: tuple | None = None,  # (texrec, perlin|None, img|None)
     #   from pack_texture_tables: enables the in-kernel procedural albedo
     #   eval (checker/perlin/image); img_dims rides separately (static)
@@ -1998,6 +2193,18 @@ def sample_batch(
                     rec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
             ]
+    if tri_stream_tables is not None:
+        assert tri_tables is None, "tri_tables and tri_stream_tables clash"
+        geo_h, rec_h, aabb_row = tri_stream_tables
+        inputs += [geo_h, rec_h, aabb_row]
+        in_specs += [
+            # HBM-resident: the kernel DMAs TRI_BLOCK chunks on demand
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                aabb_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ]
     if tex_tables is not None:
         texrec, perlin_t, img_t = tex_tables
         for arr in (texrec, perlin_t, img_t):
@@ -2042,6 +2249,7 @@ def sample_batch(
             has_rects=rect_tables is not None,
             has_boxes=box_tables is not None,
             has_tris=tri_tables is not None,
+            has_tri_stream=tri_stream_tables is not None,
             has_tex=tex_tables is not None,
             has_perlin=tex_tables is not None and tex_tables[1] is not None,
             has_img=tex_tables is not None and tex_tables[2] is not None,
@@ -2052,6 +2260,14 @@ def sample_batch(
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
             want_tape=want_tape,
+        ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((TRI_BLOCK, 16), jnp.float32),
+                pltpu.VMEM((TRI_BLOCK, TRI_REC_ROWS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if tri_stream_tables is not None else []
         ),
         grid=grid,
         in_specs=in_specs,

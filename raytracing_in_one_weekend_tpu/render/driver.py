@@ -85,14 +85,33 @@ class ProgressiveRenderer:
         seed: int = 0,
         use_bvh: bool | None = None,
     ):
-        # Auto-BVH only when brute force stops being viable (the dense
-        # (rays x triangles) pass would exhaust memory).  Measured on TPU:
-        # the gather-heavy wavefront traversal is ~15x SLOWER than the
-        # dense VMEM triangle pass at ~1k triangles — lanes are cheap,
-        # gathers are not — so the crossover is set by memory, not FLOPs.
+        # Auto-BVH only when the scene will actually take the wavefront
+        # AND brute force stops being memory-viable there (the dense
+        # (rays x triangles) pass OOMs around ~4-5k triangles at 512^2 —
+        # measured 40GB requested for 5120).  Fused-kernel scenes need no
+        # BVH: triangles sweep dense in VMEM (<= TRI_MAX) or stream
+        # per-block from HBM (<= TRI_STREAM_MAX).  Measured on TPU: the
+        # gather-heavy wavefront traversal is ~15x SLOWER than the dense
+        # VMEM triangle pass at ~1k triangles — lanes are cheap, gathers
+        # are not — so the crossover is set by memory, not FLOPs.
         # use_bvh=True/False overrides.
         if use_bvh is None:
-            use_bvh = int(scene.triangles.vert0.shape[0]) > 16384
+            from raytracing_in_one_weekend_tpu.ops import (
+                pallas_megatrace,
+                pallas_sphere,
+            )
+
+            fused = pallas_sphere.use_pallas() and (
+                pallas_megatrace.scene_eligible(
+                    scene, allow_rect_box=True, allow_volumes=True,
+                    allow_motion=True, allow_triangles=True,
+                    allow_textures=True, allow_cubemap=True,
+                )
+            )
+            use_bvh = (
+                not fused
+                and int(scene.triangles.vert0.shape[0]) > 2048
+            )
         if use_bvh and scene.bvh is None:
             from raytracing_in_one_weekend_tpu.scene import bvh as bvh_mod
 

@@ -167,7 +167,16 @@ def render_batch(
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
         )
-        tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+        tri_count = scene.triangles.vert0.shape[0]
+        if tri_count > pallas_megatrace.TRI_MAX:
+            # beyond VMEM residence: HBM-streamed per-block tables
+            tri_tables = None
+            tri_stream_tables = pallas_megatrace.pack_tri_stream_tables(
+                scene, packed
+            )
+        else:
+            tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+            tri_stream_tables = None
         tex_all = pallas_megatrace.pack_texture_tables(scene)
         tex_tables = tex_all[:3] if tex_all is not None else None
         img_dims = tex_all[3] if tex_all is not None else (0, 0)
@@ -208,6 +217,7 @@ def render_batch(
             rect_tables=rect_tables,
             box_tables=box_tables,
             tri_tables=tri_tables,
+            tri_stream_tables=tri_stream_tables,
             tex_tables=tex_tables,
             img_dims=img_dims,
             cube_table=cube_all[0] if cube_all is not None else None,

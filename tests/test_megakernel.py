@@ -483,10 +483,79 @@ class TestTriangleKernel:
     def test_too_many_triangles_not_eligible(self):
         scene, _ = self._mesh_scene()
         scene = scene._replace(triangles=scene.triangles._replace(
-            vert0=jnp.zeros((pallas_megatrace.TRI_MAX + 1, 3))
+            vert0=jnp.zeros((pallas_megatrace.TRI_STREAM_MAX + 1, 3))
         ))
         assert not pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_triangles=True
+        )
+
+    def test_beyond_vmem_count_still_eligible(self):
+        # TRI_MAX < count <= TRI_STREAM_MAX routes to the HBM-streamed
+        # tables instead of falling off the fused path
+        scene, _ = self._mesh_scene()
+        scene = scene._replace(triangles=scene.triangles._replace(
+            vert0=jnp.zeros((pallas_megatrace.TRI_MAX + 1, 3))
+        ))
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_triangles=True
+        )
+
+    def test_streamed_mesh_matches_wavefront(self):
+        # icosphere(4) = 5120 faces > TRI_MAX forces the HBM-streamed
+        # per-block DMA sweep; oracle = the wavefront integrator
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        w = h = 16
+        s, d = 4, 5
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        v, f, n, _ = meshes.icosphere(4)
+        b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+                   normals=n, translation=(0.0, 1.0, 0.0))
+        b.set_gradient_sky()
+        scene = b.build()
+        assert scene.triangles.vert0.shape[0] > pallas_megatrace.TRI_MAX
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_triangles=True
+        )
+        cs = CameraSettings(
+            origin=(0.0, 2.5, 7.0), look_at=(0.0, 0.7, 0.0),
+            vertical_fov=35.0, focus_distance=7.0,
+        )
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        stream_tables = pallas_megatrace.pack_tri_stream_tables(
+            scene, packed
+        )
+        assert stream_tables[0].shape[0] % pallas_megatrace.TRI_BLOCK == 0
+        out = pallas_megatrace.sample_batch(
+            jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(31), tri_stream_tables=stream_tables,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.05
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.08
+        )
+        assert float(jnp.mean(jnp.abs(out["normal"]))) == pytest.approx(
+            float(jnp.mean(jnp.abs(ref.normal))), rel=0.08
         )
 
 
