@@ -170,6 +170,35 @@ def torus(major: float = 1.0, minor: float = 0.35, nu: int = 24, nv: int = 12):
     )
 
 
+def mesh_large():
+    """Beyond-VMEM mesh testbed (> TRI_MAX triangles): a dense geodesic
+    sphere + torus + cubes, ~21k triangles, exercising the fused
+    kernel's HBM-streamed per-block triangle sweep
+    (ops/pallas_megatrace.pack_tri_stream_tables)."""
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+    from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+    b = SceneBuilder()
+    ground = b.lambert((0.5, 0.5, 0.5))
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
+
+    v, f, n, _ = icosphere(5)  # 20480 faces
+    b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+               normals=n, translation=(0.0, 1.0, 0.0))
+    v, f, n, _ = torus(nu=16, nv=8)
+    b.add_mesh(v, f, b.lambert((0.2, 0.4, 0.8)),
+               normals=n, translation=(-2.4, 0.4, 0.6), scale=0.9)
+    v, f, _, _ = cube()
+    b.add_mesh(v, f, b.lambert((0.8, 0.3, 0.2)),
+               translation=(2.4, 0.5, 0.4), scale=1.1, face_normals=True)
+    b.set_gradient_sky()
+    cam = CameraSettings(
+        origin=(0.0, 2.5, 7.0), look_at=(0.0, 0.8, 0.0),
+        vertical_fov=35.0, focus_distance=7.0,
+    )
+    return b.build(), cam
+
+
 def mesh_showcase():
     """Mesh testbed scene (Bunny/Teapot-class slot): icosphere + torus +
     cube over a ground sphere, rendered with the BVH."""

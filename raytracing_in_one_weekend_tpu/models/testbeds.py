@@ -379,9 +379,16 @@ def _mesh_showcase():
     return meshes.mesh_showcase()
 
 
+def _mesh_large():
+    from raytracing_in_one_weekend_tpu.models import meshes
+
+    return meshes.mesh_large()
+
+
 SCENES = {
     "final_book2": final_scene_book2,
     "mesh_showcase": _mesh_showcase,
+    "mesh_large": _mesh_large,
     "diffuse_testbed": diffuse_testbed,
     "metal_roughness": metal_roughness_testbed,
     "refraction": refraction_testbed,
