@@ -480,6 +480,27 @@ class TestTriangleKernel:
             far = jnp.min(jnp.maximum(t0, t1))
             assert not bool(far >= jnp.maximum(near, 0.0))
 
+    def test_stream_tables_match_vmem_tables(self):
+        # pack_tri_stream_tables must be pack_tri_tables transposed
+        # (same record rows, same geometry cols) so the two sweeps can
+        # never disagree on layout
+        scene, _ = self._mesh_scene()
+        packed = materials.pack_materials(scene)
+        geo, rec = pallas_megatrace.pack_tri_tables(scene, packed)
+        sgeo, srec, aabb = pallas_megatrace.pack_tri_stream_tables(
+            scene, packed
+        )
+        t = scene.triangles.vert0.shape[0]
+        assert jnp.array_equal(geo[:t, 0:9], sgeo[:t, 0:9])
+        assert jnp.array_equal(rec[:, :t], srec[:t, :].T)
+        n_blk = sgeo.shape[0] // pallas_megatrace.TRI_BLOCK
+        assert aabb.shape == (1, n_blk * 8)
+        # block-0 AABB must bound every vertex of the block
+        lo = aabb[0, 0:3]
+        hi = aabb[0, 3:6]
+        v0 = scene.triangles.vert0[: pallas_megatrace.TRI_BLOCK]
+        assert bool(jnp.all(v0 >= lo - 1e-3)) and bool(jnp.all(v0 <= hi + 1e-3))
+
     def test_too_many_triangles_not_eligible(self):
         scene, _ = self._mesh_scene()
         scene = scene._replace(triangles=scene.triangles._replace(
