@@ -27,7 +27,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 DEFAULT_SCENES = [
     "cover", "cornell", "three_spheres", "simple_light", "volume",
     "cornell_volumes", "cover_motion", "checkered", "perlin",
-    "textured_sphere", "cubemap", "mesh_showcase", "final_book2",
+    "textured_sphere", "cubemap", "mesh_showcase", "mesh_large",
+    "final_book2",
 ]
 WIDTH = HEIGHT = 512
 SAMPLES, DEPTH, BATCHES = 8, 8, 7

@@ -137,6 +137,7 @@ TRI_STREAM_MAX = 65536  # ... and stream per-block from HBM instead: the
 # Möller–Trumbore sweep.  Bound set by the SMEM AABB row (8 f32 per
 # block) and by the per-iteration slab-test cost, not by VMEM.
 TRI_REC_ROWS = 32  # triangle record rows (materials + normals + uvs)
+TRI_STREAM_REC_BASE = 16  # record cols start here in the streamed table
 TEX_ROWS = 16  # per-material texture record rows (pack_texture_tables)
 MAT_PAD = 128
 IMG_AH_MAX = 1024  # atlas rows (images * height) the plane dot can hold
@@ -581,8 +582,11 @@ def _bounce_step(
                     jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
                 ),
             )
+            # distance bound: blocks beyond the lane's best hit so far
+            # (earlier blocks or the sphere/rect/box winner) cannot win
             lane_may = (
-                b_far >= jnp.maximum(b_near, t_min)
+                (b_far >= jnp.maximum(b_near, t_min))
+                & (b_near < jnp.minimum(tri_best, best_t))
             ).astype(jnp.float32)
             blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
             blk_best, blk_u, blk_v, blk_rec = jax.lax.cond(
@@ -611,8 +615,9 @@ def _bounce_step(
         # viable on TPU at this scale (per-lane gathers in a lockstep
         # while_loop), so this per-block cull + stream IS the big-mesh
         # path (FindHitCandidates, SampleBatchJob.cs:403-448, re-shaped).
-        geo_h, rec_h, ab_ref, geo_s, rec_s, dma_sem = tri_c
-        n_blk = geo_h.shape[0] // TRI_BLOCK
+        tbl_h, ab_ref, tbl_s, dma_sem = tri_c
+        n_blk = tbl_h.shape[0] // TRI_BLOCK
+        rb = TRI_STREAM_REC_BASE
 
         def _inv_d(dc):
             safe = jnp.where(
@@ -626,9 +631,9 @@ def _bounce_step(
 
         def _stream_sweep(carry):
             tb, tu, tv, tr = carry
-            eax, eay, eaz = geo_s[:, 0:1], geo_s[:, 1:2], geo_s[:, 2:3]
-            ebx, eby, ebz = geo_s[:, 3:4], geo_s[:, 4:5], geo_s[:, 5:6]
-            v0x, v0y, v0z = geo_s[:, 6:7], geo_s[:, 7:8], geo_s[:, 8:9]
+            eax, eay, eaz = tbl_s[:, 0:1], tbl_s[:, 1:2], tbl_s[:, 2:3]
+            ebx, eby, ebz = tbl_s[:, 3:4], tbl_s[:, 4:5], tbl_s[:, 5:6]
+            v0x, v0y, v0z = tbl_s[:, 6:7], tbl_s[:, 7:8], tbl_s[:, 8:9]
             pvx = dy * eaz - dz * eay  # (TB, T)
             pvy = dz * eax - dx * eaz
             pvz = dx * eay - dy * eax
@@ -658,9 +663,10 @@ def _bounce_step(
                 jnp.int32, (TRI_BLOCK, t_cols), 0
             )
             blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
-            # recT is (TB, 32): contract the TB dim against the one-hot
+            # record cols rb..rb+31 of the fused row: contract the TB
+            # dim against the one-hot
             blk_rec = jax.lax.dot_general(
-                rec_s[:, :], blk_hot,
+                tbl_s[:, rb : rb + TRI_REC_ROWS], blk_hot,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, T)
@@ -694,24 +700,26 @@ def _bounce_step(
                     jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
                 ),
             )
+            # distance bound: a block whose slab entry lies beyond the
+            # lane's best hit so far (earlier blocks OR the
+            # sphere/rect/box winner) cannot produce a nearer one — for
+            # closed meshes this culls the back-facing shell once a
+            # front block lands (FindHitCandidates' shrinking t_max,
+            # SampleBatchJob.cs:403-448)
+            bound = jnp.minimum(carry[0], best_t)
             lane_may = (
-                b_far >= jnp.maximum(b_near, t_min)
+                (b_far >= jnp.maximum(b_near, t_min))
+                & (b_near < bound)
             ).astype(jnp.float32)
             blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
 
             def _do(carry):
-                cp_g = pltpu.make_async_copy(
-                    geo_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
-                    geo_s, dma_sem.at[0],
+                cp = pltpu.make_async_copy(
+                    tbl_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
+                    tbl_s, dma_sem,
                 )
-                cp_r = pltpu.make_async_copy(
-                    rec_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
-                    rec_s, dma_sem.at[1],
-                )
-                cp_g.start()
-                cp_r.start()
-                cp_g.wait()
-                cp_r.wait()
+                cp.start()
+                cp.wait()
                 return _stream_sweep(carry)
 
             return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
@@ -1410,23 +1418,26 @@ def pack_tri_stream_tables(scene, packed_materials):
     (TRI_MAX < count <= TRI_STREAM_MAX), or None when the scene has no
     triangles.
 
-    Returns (geo (T_pad, 16), recT (T_pad, TRI_REC_ROWS), aabb_row
-    (1, n_blk * 8)).  geo/recT stay in HBM (pl.ANY) and are DMA'd one
-    TRI_BLOCK chunk at a time; recT is the pack_tri_tables record
-    TRANSPOSED so each block is a contiguous 2D slice.  aabb_row rides in
-    SMEM: cols blk*8+0..2 = min xyz, +3..5 = max xyz of that block
-    (pad-only blocks carry a degenerate far point, see pack_tri_tables).
-    T_pad is a TRI_BLOCK multiple so every DMA has the same static shape.
+    Returns (tbl (T_pad, 128), aabb_row (1, n_blk * 8)).  tbl stays in
+    HBM (pl.ANY) and is DMA'd one TRI_BLOCK chunk at a time — one fused
+    row per triangle: cols 0-15 = the pack_tri_tables geo row (edge_a |
+    edge_b | vert0), cols 16-47 = the pack_tri_tables record TRANSPOSED.
+    The 128-col row width keeps every DMA slice aligned to the f32 lane
+    tiling (Mosaic rejects HBM slices whose minor dim is not a 128
+    multiple).  aabb_row rides in SMEM: cols blk*8+0..2 = min xyz,
+    +3..5 = max xyz of that block (pad-only blocks carry a degenerate
+    far point, see pack_tri_tables).  T_pad is a TRI_BLOCK multiple so
+    every DMA has the same static shape.
     """
     tri = scene.triangles
     t = tri.vert0.shape[0]
     if t == 0:
         return None
     t_pad = -(-t // TRI_BLOCK) * TRI_BLOCK
-    geo = jnp.zeros((t_pad, 16), jnp.float32)
-    geo = geo.at[:t, 0:3].set(tri.edge_a)
-    geo = geo.at[:t, 3:6].set(tri.edge_b)
-    geo = geo.at[:t, 6:9].set(tri.vert0)
+    tbl = jnp.zeros((t_pad, 128), jnp.float32)
+    tbl = tbl.at[:t, 0:3].set(tri.edge_a)
+    tbl = tbl.at[:t, 3:6].set(tri.edge_b)
+    tbl = tbl.at[:t, 6:9].set(tri.vert0)
     v0 = tri.vert0
     v1 = tri.vert0 + tri.edge_b
     v2 = tri.vert0 + tri.edge_a
@@ -1443,15 +1454,15 @@ def pack_tri_stream_tables(scene, packed_materials):
                 [jnp.min(vs, axis=0) - 1e-4, jnp.max(vs, axis=0) + 1e-4]
             )
         aabb = aabb.at[0, blk * 8 : blk * 8 + 6].set(box)
-    rec = jnp.zeros((t_pad, TRI_REC_ROWS), jnp.float32)
-    rec = rec.at[:t, :11].set(packed_materials[tri.material][:, :11])
-    rec = rec.at[:t, 11].set(tri.material.astype(jnp.float32))
-    rec = rec.at[:t, 12:15].set(tri.normals[:, :, 0])
-    rec = rec.at[:t, 15:18].set(tri.normals[:, :, 1])
-    rec = rec.at[:t, 18:21].set(tri.normals[:, :, 2])
-    rec = rec.at[:t, 21:24].set(tri.uvs[:, 0, :])
-    rec = rec.at[:t, 24:27].set(tri.uvs[:, 1, :])
-    return geo, rec, aabb
+    r = TRI_STREAM_REC_BASE
+    tbl = tbl.at[:t, r : r + 11].set(packed_materials[tri.material][:, :11])
+    tbl = tbl.at[:t, r + 11].set(tri.material.astype(jnp.float32))
+    tbl = tbl.at[:t, r + 12 : r + 15].set(tri.normals[:, :, 0])
+    tbl = tbl.at[:t, r + 15 : r + 18].set(tri.normals[:, :, 1])
+    tbl = tbl.at[:t, r + 18 : r + 21].set(tri.normals[:, :, 2])
+    tbl = tbl.at[:t, r + 21 : r + 24].set(tri.uvs[:, 0, :])
+    tbl = tbl.at[:t, r + 24 : r + 27].set(tri.uvs[:, 1, :])
+    return tbl, aabb
 
 
 def pack_texture_tables(scene):
@@ -1732,8 +1743,8 @@ def _batch_kernel(
     # tape mode), then any scratch refs (streamed-triangle buffers).
     aux_and_out = list(aux_and_out)
     if has_tri_stream:
-        stream_scr = tuple(aux_and_out[-3:])  # geo_s, rec_s, dma_sem
-        del aux_and_out[-3:]
+        stream_scr = tuple(aux_and_out[-2:])  # tbl_scratch, dma_sem
+        del aux_and_out[-2:]
     if want_tape:
         aux = list(aux_and_out[:-2])
         out_ref = aux_and_out[-2]
@@ -1745,8 +1756,8 @@ def _batch_kernel(
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
     tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
     if has_tri_stream:
-        # (geo_hbm, recT_hbm, aabb_smem, geo_scratch, rec_scratch, sems)
-        tri_c = (aux.pop(0), aux.pop(0), aux.pop(0)) + stream_scr
+        # (tbl_hbm, aabb_smem, tbl_scratch, dma_sem)
+        tri_c = (aux.pop(0), aux.pop(0)) + stream_scr
     tex_c = None
     if has_tex:
         tex_c = (
@@ -2095,8 +2106,8 @@ def sample_batch(
     rect_tables: tuple | None = None,  # (geo (R,16), rec (24,R)) pre-packed
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
     tri_tables: tuple | None = None,  # (geo (T,16), rec (32,T)) pre-packed
-    tri_stream_tables: tuple | None = None,  # (geo (T,16), recT (T,32),
-    #   aabb_row (1, n_blk*8)) from pack_tri_stream_tables: HBM-streamed
+    tri_stream_tables: tuple | None = None,  # (tbl (T,128), aabb_row
+    #   (1, n_blk*8)) from pack_tri_stream_tables: HBM-streamed
     #   triangles for TRI_MAX < count <= TRI_STREAM_MAX
     tex_tables: tuple | None = None,  # (texrec, perlin|None, img|None)
     #   from pack_texture_tables: enables the in-kernel procedural albedo
@@ -2195,11 +2206,10 @@ def sample_batch(
             ]
     if tri_stream_tables is not None:
         assert tri_tables is None, "tri_tables and tri_stream_tables clash"
-        geo_h, rec_h, aabb_row = tri_stream_tables
-        inputs += [geo_h, rec_h, aabb_row]
+        tbl_h, aabb_row = tri_stream_tables
+        inputs += [tbl_h, aabb_row]
         in_specs += [
             # HBM-resident: the kernel DMAs TRI_BLOCK chunks on demand
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 aabb_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -2263,9 +2273,8 @@ def sample_batch(
         ),
         scratch_shapes=(
             [
-                pltpu.VMEM((TRI_BLOCK, 16), jnp.float32),
-                pltpu.VMEM((TRI_BLOCK, TRI_REC_ROWS), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((TRI_BLOCK, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
             ]
             if tri_stream_tables is not None else []
         ),

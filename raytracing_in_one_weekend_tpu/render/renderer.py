@@ -148,6 +148,10 @@ def render_batch(
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
+        if tri_stream_tables is not None:
+            # deltas arrive in LANE order; pixel p was rendered by lane
+            # rank[p]
+            d = {k: v[rank] for k, v in d.items()}
         return _apply_deltas(acc, d, lane_count)
 
     noise_fusable = noise_color == 0 or noise_state is not None
@@ -198,15 +202,30 @@ def render_batch(
             else None
         )
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
-        # NOTE: lanes map to pixels row-major (identity).  A Morton lane
-        # permutation was measured 5% SLOWER on the cover scene, and even
-        # on mesh scenes — where compact Morton tiles raise the kernel's
-        # per-block AABB skip rate (raw kernel 23.8 -> 27.8 MRays/s) —
-        # the host-side permute/un-permute gathers give the gain back
-        # (23.6 -> 23.3 end-to-end).  Identity stays.
+        # NOTE: lanes map to pixels row-major (identity) for most scenes.
+        # A Morton lane permutation was measured 5% SLOWER on the cover
+        # scene, and a wash for small VMEM meshes (kernel +17%, host
+        # permute gathers -17%).  STREAMED meshes are the exception: a
+        # row-major RAY_TILE covers two full-width pixel rows, whose rays
+        # cross nearly every triangle block, so the per-block cull (and
+        # its DMA skip) almost never fires; Morton's 32x32 tiles make the
+        # tile-wide predicate actually selective over 100+ blocks.
+        if tri_stream_tables is not None:
+            order, rank = pallas_megatrace.morton_order(width, height)
+            order = jnp.asarray(order)
+            rank = jnp.asarray(rank)
+            pixel_index = order.astype(jnp.int32)
+            lane_count_k = lane_count[order]
+            count_in_k = acc.sample_count[order]
+            if noise_u is not None:
+                noise_u = noise_u[:, order]
+        else:
+            pixel_index = None
+            lane_count_k = lane_count
+            count_in_k = acc.sample_count
         d = pallas_megatrace.sample_batch(
-            lane_count,
-            acc.sample_count,
+            lane_count_k,
+            count_in_k,
             pallas_megatrace.pack_camera_row(camera, width, height),
             scene.spheres.center,
             scene.spheres.radius,
@@ -214,6 +233,7 @@ def render_batch(
             scene.environment.sky_bottom,
             scene.environment.sky_top,
             seed,
+            pixel_index=pixel_index,
             rect_tables=rect_tables,
             box_tables=box_tables,
             tri_tables=tri_tables,
@@ -234,6 +254,10 @@ def render_batch(
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
+        if tri_stream_tables is not None:
+            # deltas arrive in LANE order; pixel p was rendered by lane
+            # rank[p]
+            d = {k: v[rank] for k, v in d.items()}
         return _apply_deltas(acc, d, lane_count)
 
     def one_sample(carry, sample_index):

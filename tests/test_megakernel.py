@@ -487,19 +487,84 @@ class TestTriangleKernel:
         scene, _ = self._mesh_scene()
         packed = materials.pack_materials(scene)
         geo, rec = pallas_megatrace.pack_tri_tables(scene, packed)
-        sgeo, srec, aabb = pallas_megatrace.pack_tri_stream_tables(
-            scene, packed
-        )
+        tbl, aabb = pallas_megatrace.pack_tri_stream_tables(scene, packed)
         t = scene.triangles.vert0.shape[0]
-        assert jnp.array_equal(geo[:t, 0:9], sgeo[:t, 0:9])
-        assert jnp.array_equal(rec[:, :t], srec[:t, :].T)
-        n_blk = sgeo.shape[0] // pallas_megatrace.TRI_BLOCK
+        rb = pallas_megatrace.TRI_STREAM_REC_BASE
+        assert jnp.array_equal(geo[:t, 0:9], tbl[:t, 0:9])
+        assert jnp.array_equal(
+            rec[:, :t], tbl[:t, rb : rb + pallas_megatrace.TRI_REC_ROWS].T
+        )
+        n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
         assert aabb.shape == (1, n_blk * 8)
         # block-0 AABB must bound every vertex of the block
         lo = aabb[0, 0:3]
         hi = aabb[0, 3:6]
         v0 = scene.triangles.vert0[: pallas_megatrace.TRI_BLOCK]
         assert bool(jnp.all(v0 >= lo - 1e-3)) and bool(jnp.all(v0 <= hi + 1e-3))
+
+    def test_streamed_mesh_morton_lanes_match(self):
+        # the renderer routes STREAMED scenes through a Morton lane
+        # permutation (compact 32x32 tiles raise the per-block cull
+        # rate); mirror its permute/un-permute round trip and check the
+        # statistics still match the wavefront
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+        from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+        w = h = 16
+        s, d = 4, 5
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+        v, f, n, _ = meshes.icosphere(4)
+        b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+                   normals=n, translation=(0.0, 1.0, 0.0))
+        b.set_gradient_sky()
+        scene = b.build()
+        cs = CameraSettings(
+            origin=(0.0, 2.5, 7.0), look_at=(0.0, 0.7, 0.0),
+            vertical_fov=35.0, focus_distance=7.0,
+        )
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        acc0 = film.zero_accumulators(w * h)
+        ref, _ = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+        )
+        packed = materials.pack_materials(scene)
+        stream_tables = pallas_megatrace.pack_tri_stream_tables(
+            scene, packed
+        )
+        order, rank = pallas_megatrace.morton_order(w, h)
+        order = jnp.asarray(order)
+        rank = jnp.asarray(rank)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        count_in = jnp.zeros((w * h,))
+        out = pallas_megatrace.sample_batch(
+            lane_count[order], count_in[order],
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(31), pixel_index=order.astype(jnp.int32),
+            tri_stream_tables=stream_tables,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            interpret=True,
+        )
+        out = {k: v[rank] for k, v in out.items()}
+        assert float(jnp.mean(out["count"])) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.05
+        )
+        assert float(jnp.mean(out["color"])) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.08
+        )
+        # per-pixel count must land on the right pixels after unpermute
+        # (counts are deterministic given full lanes)
+        assert jnp.array_equal(
+            out["count"] > 0, ref.sample_count > 0
+        )
 
     def test_too_many_triangles_not_eligible(self):
         scene, _ = self._mesh_scene()
