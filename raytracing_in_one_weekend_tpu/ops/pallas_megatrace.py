@@ -714,6 +714,14 @@ def _bounce_step(
             blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
 
             def _do(carry):
+                # Synchronous single-buffer DMA.  A double-buffered
+                # prefetch (2-slot scratch, block i+1 started under the
+                # pre-sweep bound while block i sweeps) measured SLOWER
+                # (2.9 -> 2.6 MRays/s on mesh_large): the stale-superset
+                # predicate issues transfers for blocks the fresh bound
+                # then culls, and the slot/flag machinery doubles the
+                # slab evaluations.  The sync stall is already small vs
+                # the 192-row sweep.
                 cp = pltpu.make_async_copy(
                     tbl_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
                     tbl_s, dma_sem,
