@@ -199,6 +199,36 @@ def mesh_large():
     return b.build(), cam
 
 
+def mesh_huge():
+    """Beyond-the-old-cap mesh testbed (> 65536 triangles): an
+    icosphere(6) (81920 faces) + icosphere(5) + torus, ~103k triangles
+    total, exercising the streamed path's TRI_SUP super-block cull level
+    at a scale where the flat per-block slab sweep would dominate
+    (ops/pallas_megatrace.pack_tri_stream_tables sup_row)."""
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+    from raytracing_in_one_weekend_tpu.utils.config import CameraSettings
+
+    b = SceneBuilder()
+    ground = b.lambert((0.5, 0.5, 0.5))
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
+
+    v, f, n, _ = icosphere(6)  # 81920 faces
+    b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+               normals=n, translation=(0.0, 1.0, 0.0))
+    v, f, n, _ = icosphere(5)  # 20480 faces
+    b.add_mesh(v, f, b.dielectric(1.5),
+               normals=n, translation=(-2.4, 0.7, 0.6), scale=0.7)
+    v, f, n, _ = torus(nu=16, nv=8)
+    b.add_mesh(v, f, b.lambert((0.2, 0.4, 0.8)),
+               normals=n, translation=(2.4, 0.4, 0.4), scale=0.9)
+    b.set_gradient_sky()
+    cam = CameraSettings(
+        origin=(0.0, 2.5, 7.0), look_at=(0.0, 0.8, 0.0),
+        vertical_fov=35.0, focus_distance=7.0,
+    )
+    return b.build(), cam
+
+
 def mesh_showcase():
     """Mesh testbed scene (Bunny/Teapot-class slot): icosphere + torus +
     cube over a ground sphere, rendered with the BVH."""

@@ -385,10 +385,17 @@ def _mesh_large():
     return meshes.mesh_large()
 
 
+def _mesh_huge():
+    from raytracing_in_one_weekend_tpu.models import meshes
+
+    return meshes.mesh_huge()
+
+
 SCENES = {
     "final_book2": final_scene_book2,
     "mesh_showcase": _mesh_showcase,
     "mesh_large": _mesh_large,
+    "mesh_huge": _mesh_huge,
     "diffuse_testbed": diffuse_testbed,
     "metal_roughness": metal_roughness_testbed,
     "refraction": refraction_testbed,

@@ -131,11 +131,14 @@ TRI_BLOCK = 192  # triangle rows per unrolled MT chunk: Möller–Trumbore
 # the peak well under the 16MB scoped-vmem limit (256 rows measured OOM
 # by 932KB at RAY_TILE=1024)
 TRI_MAX = 4096  # beyond this the tables leave VMEM residence ...
-TRI_STREAM_MAX = 65536  # ... and stream per-block from HBM instead: the
-# kernel slab-tests each 192-row block (AABBs in SMEM) and DMAs only the
-# blocks an active lane can hit into a VMEM scratch before the
-# Möller–Trumbore sweep.  Bound set by the SMEM AABB row (8 f32 per
-# block) and by the per-iteration slab-test cost, not by VMEM.
+TRI_STREAM_MAX = 262144  # ... and stream per-block from HBM instead:
+# the kernel slab-tests each 192-row block (AABBs in SMEM) and DMAs only
+# the blocks an active lane can hit into a VMEM scratch before the
+# Möller–Trumbore sweep.  A second SMEM level (TRI_SUP-block union
+# AABBs) keeps the per-iteration slab cost O(blocks near the ray), so
+# the bound is set by the SMEM AABB rows (8 f32 per block + per super,
+# ~44KB at the cap), not by VMEM or the flat slab sweep.
+TRI_SUP = 16  # blocks per super-block cull entry (3072 triangles)
 TRI_REC_ROWS = 32  # triangle record rows (materials + normals + uvs)
 TRI_STREAM_REC_BASE = 16  # record cols start here in the streamed table
 TEX_ROWS = 16  # per-material texture record rows (pack_texture_tables)
@@ -615,8 +618,9 @@ def _bounce_step(
         # viable on TPU at this scale (per-lane gathers in a lockstep
         # while_loop), so this per-block cull + stream IS the big-mesh
         # path (FindHitCandidates, SampleBatchJob.cs:403-448, re-shaped).
-        tbl_h, ab_ref, tbl_s, dma_sem = tri_c
+        tbl_h, ab_ref, sup_ref, tbl_s, dma_sem = tri_c
         n_blk = tbl_h.shape[0] // TRI_BLOCK
+        n_sup = n_blk // TRI_SUP
         rb = TRI_STREAM_REC_BASE
 
         def _inv_d(dc):
@@ -680,14 +684,15 @@ def _bounce_step(
                 jnp.where(wins, blk_rec, tr),
             )
 
-        def _blk_body(blk, carry):
-            base = blk * 8
-            bx0 = (ab_ref[0, base + 0] - ox) * ivx
-            by0 = (ab_ref[0, base + 1] - oy) * ivy
-            bz0 = (ab_ref[0, base + 2] - oz) * ivz
-            bx1 = (ab_ref[0, base + 3] - ox) * ivx
-            by1 = (ab_ref[0, base + 4] - oy) * ivy
-            bz1 = (ab_ref[0, base + 5] - oz) * ivz
+        def _slab_pred(ref, base, best):
+            """True when any ACTIVE lane's ray can beat its current best
+            hit inside the AABB at ref[0, base:base+6]."""
+            bx0 = (ref[0, base + 0] - ox) * ivx
+            by0 = (ref[0, base + 1] - oy) * ivy
+            bz0 = (ref[0, base + 2] - oz) * ivz
+            bx1 = (ref[0, base + 3] - ox) * ivx
+            by1 = (ref[0, base + 4] - oy) * ivy
+            bz1 = (ref[0, base + 5] - oz) * ivz
             b_near = jnp.maximum(
                 jnp.minimum(bx0, bx1),
                 jnp.maximum(
@@ -700,18 +705,21 @@ def _bounce_step(
                     jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
                 ),
             )
-            # distance bound: a block whose slab entry lies beyond the
+            # distance bound: a box whose slab entry lies beyond the
             # lane's best hit so far (earlier blocks OR the
             # sphere/rect/box winner) cannot produce a nearer one — for
             # closed meshes this culls the back-facing shell once a
             # front block lands (FindHitCandidates' shrinking t_max,
             # SampleBatchJob.cs:403-448)
-            bound = jnp.minimum(carry[0], best_t)
+            bound = jnp.minimum(best, best_t)
             lane_may = (
                 (b_far >= jnp.maximum(b_near, t_min))
                 & (b_near < bound)
             ).astype(jnp.float32)
-            blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
+            return jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
+
+        def _blk_body(blk, carry):
+            blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
 
             def _do(carry):
                 # Synchronous single-buffer DMA.  A double-buffered
@@ -732,8 +740,21 @@ def _bounce_step(
 
             return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
 
+        def _sup_body(sup, carry):
+            # level-2 cull: one slab test skips TRI_SUP blocks' worth of
+            # per-block tests, keeping the loop O(blocks near the ray)
+            sup_pred = _slab_pred(sup_ref, sup * 8, carry[0])
+            return jax.lax.cond(
+                sup_pred,
+                lambda c: jax.lax.fori_loop(
+                    sup * TRI_SUP, (sup + 1) * TRI_SUP, _blk_body, c
+                ),
+                lambda c: c,
+                carry,
+            )
+
         tri_best, tri_u, tri_v, trec = jax.lax.fori_loop(
-            0, n_blk, _blk_body,
+            0, n_sup, _sup_body,
             (
                 jnp.full((1, t_cols), BIG, jnp.float32),
                 zero,
@@ -1369,6 +1390,35 @@ def pack_sphere_records(scene, packed_materials):
     )
 
 
+def _tri_morton_perm(tri):
+    """Spatial (Morton/Z-order) permutation of triangles by centroid.
+
+    Both triangle packers sort rows with this perm before chunking into
+    TRI_BLOCKs, so each block covers a compact 3D region and its AABB —
+    the thing the kernel slab-tests to skip/stream blocks — stays tight
+    for ANY input order.  Append order is only as good as the mesh
+    exporter (OBJ files interleave patches freely); the reference gets
+    the same locality from its BVH leaf ordering (BvhNodeData.cs
+    longest-axis splits).  Nearest-hit reduction is order-independent,
+    so render output is unchanged (modulo equal-t tie-breaks)."""
+    cen = tri.vert0 + (tri.edge_a + tri.edge_b) * (1.0 / 3.0)
+    lo = jnp.min(cen, axis=0)
+    span = jnp.maximum(jnp.max(cen, axis=0) - lo, 1e-12)
+    q = jnp.clip((cen - lo) / span * 1024.0, 0.0, 1023.0).astype(jnp.int32)
+
+    def spread(v):  # 10 bits -> every 3rd bit of a 30-bit code
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = (
+        (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    )
+    return jnp.argsort(code, stable=True)
+
+
 def pack_tri_tables(scene, packed_materials):
     """Triangle tables for sample_batch, or None when the scene has none.
 
@@ -1382,19 +1432,22 @@ def pack_tri_tables(scene, packed_materials):
     t = tri.vert0.shape[0]
     if t == 0:
         return None
+    perm = _tri_morton_perm(tri)
+    edge_a, edge_b, vert0 = tri.edge_a[perm], tri.edge_b[perm], tri.vert0[perm]
     t_pad = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
     geo = jnp.zeros((t_pad, 16), jnp.float32)
-    geo = geo.at[:t, 0:3].set(tri.edge_a)
-    geo = geo.at[:t, 3:6].set(tri.edge_b)
-    geo = geo.at[:t, 6:9].set(tri.vert0)
+    geo = geo.at[:t, 0:3].set(edge_a)
+    geo = geo.at[:t, 3:6].set(edge_b)
+    geo = geo.at[:t, 6:9].set(vert0)
     # per-BLOCK AABBs in cols 9-15 of each block's first row (min xyz |
     # max xyz over that TRI_BLOCK chunk): the kernel slab-tests each
     # block and lax.cond-skips its Möller–Trumbore sweep when no active
-    # lane can hit it.  Meshes are appended contiguously by add_mesh, so
-    # blocks track objects and tiles sweep only the objects they can see.
-    v0 = tri.vert0
-    v1 = tri.vert0 + tri.edge_b
-    v2 = tri.vert0 + tri.edge_a
+    # lane can hit it.  Rows are Morton-sorted by centroid
+    # (_tri_morton_perm), so blocks are spatially compact and the AABBs
+    # tight regardless of mesh append order.
+    v0 = vert0
+    v1 = vert0 + edge_b
+    v2 = vert0 + edge_a
     for st in range(0, t_pad, TRI_BLOCK):
         en = min(st + TRI_BLOCK, t_pad)
         lo, hi = st, min(en, t)
@@ -1410,14 +1463,15 @@ def pack_tri_tables(scene, packed_materials):
         vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
         geo = geo.at[st, 9:12].set(jnp.min(vs, axis=0) - 1e-4)
         geo = geo.at[st, 12:15].set(jnp.max(vs, axis=0) + 1e-4)
+    material, normals, uvs = tri.material[perm], tri.normals[perm], tri.uvs[perm]
     rec = jnp.zeros((TRI_REC_ROWS, t_pad), jnp.float32)
-    rec = rec.at[:11, :t].set(packed_materials[tri.material][:, :11].T)
-    rec = rec.at[11, :t].set(tri.material.astype(jnp.float32))
-    rec = rec.at[12:15, :t].set(tri.normals[:, :, 0].T)
-    rec = rec.at[15:18, :t].set(tri.normals[:, :, 1].T)
-    rec = rec.at[18:21, :t].set(tri.normals[:, :, 2].T)
-    rec = rec.at[21:24, :t].set(tri.uvs[:, 0, :].T)
-    rec = rec.at[24:27, :t].set(tri.uvs[:, 1, :].T)
+    rec = rec.at[:11, :t].set(packed_materials[material][:, :11].T)
+    rec = rec.at[11, :t].set(material.astype(jnp.float32))
+    rec = rec.at[12:15, :t].set(normals[:, :, 0].T)
+    rec = rec.at[15:18, :t].set(normals[:, :, 1].T)
+    rec = rec.at[18:21, :t].set(normals[:, :, 2].T)
+    rec = rec.at[21:24, :t].set(uvs[:, 0, :].T)
+    rec = rec.at[24:27, :t].set(uvs[:, 1, :].T)
     return geo, rec
 
 
@@ -1426,51 +1480,84 @@ def pack_tri_stream_tables(scene, packed_materials):
     (TRI_MAX < count <= TRI_STREAM_MAX), or None when the scene has no
     triangles.
 
-    Returns (tbl (T_pad, 128), aabb_row (1, n_blk * 8)).  tbl stays in
-    HBM (pl.ANY) and is DMA'd one TRI_BLOCK chunk at a time — one fused
-    row per triangle: cols 0-15 = the pack_tri_tables geo row (edge_a |
-    edge_b | vert0), cols 16-47 = the pack_tri_tables record TRANSPOSED.
-    The 128-col row width keeps every DMA slice aligned to the f32 lane
-    tiling (Mosaic rejects HBM slices whose minor dim is not a 128
-    multiple).  aabb_row rides in SMEM: cols blk*8+0..2 = min xyz,
-    +3..5 = max xyz of that block (pad-only blocks carry a degenerate
-    far point, see pack_tri_tables).  T_pad is a TRI_BLOCK multiple so
-    every DMA has the same static shape.
+    Returns (tbl (T_pad, 128), aabb_row (1, n_blk * 8), sup_row
+    (1, n_sup * 8)).  tbl stays in HBM (pl.ANY) and is DMA'd one
+    TRI_BLOCK chunk at a time — one fused row per triangle: cols 0-15 =
+    the pack_tri_tables geo row (edge_a | edge_b | vert0), cols 16-47 =
+    the pack_tri_tables record TRANSPOSED.  The 128-col row width keeps
+    every DMA slice aligned to the f32 lane tiling (Mosaic rejects HBM
+    slices whose minor dim is not a 128 multiple).  aabb_row rides in
+    SMEM: cols blk*8+0..2 = min xyz, +3..5 = max xyz of that block
+    (pad-only blocks carry a degenerate far point, see pack_tri_tables).
+    sup_row is the second cull level: the union AABB of each run of
+    TRI_SUP consecutive blocks, so the kernel skips whole super-blocks
+    with one slab test and per-block work is O(blocks near the ray),
+    not O(all blocks).  n_blk is padded to a TRI_SUP multiple (and tbl
+    to matching rows) so both loops have static extents.
     """
     tri = scene.triangles
     t = tri.vert0.shape[0]
     if t == 0:
         return None
-    t_pad = -(-t // TRI_BLOCK) * TRI_BLOCK
+    perm = _tri_morton_perm(tri)
+    edge_a, edge_b, vert0 = tri.edge_a[perm], tri.edge_b[perm], tri.vert0[perm]
+    n_blk = -(-t // TRI_BLOCK)
+    n_blk = -(-n_blk // TRI_SUP) * TRI_SUP
+    t_pad = n_blk * TRI_BLOCK
     tbl = jnp.zeros((t_pad, 128), jnp.float32)
-    tbl = tbl.at[:t, 0:3].set(tri.edge_a)
-    tbl = tbl.at[:t, 3:6].set(tri.edge_b)
-    tbl = tbl.at[:t, 6:9].set(tri.vert0)
-    v0 = tri.vert0
-    v1 = tri.vert0 + tri.edge_b
-    v2 = tri.vert0 + tri.edge_a
-    n_blk = t_pad // TRI_BLOCK
-    aabb = jnp.zeros((1, n_blk * 8), jnp.float32)
-    for blk in range(n_blk):
-        lo = blk * TRI_BLOCK
-        hi = min(lo + TRI_BLOCK, t)
-        if lo >= t:
-            box = jnp.full((6,), 1e30, jnp.float32)
-        else:
-            vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
-            box = jnp.concatenate(
-                [jnp.min(vs, axis=0) - 1e-4, jnp.max(vs, axis=0) + 1e-4]
-            )
-        aabb = aabb.at[0, blk * 8 : blk * 8 + 6].set(box)
+    tbl = tbl.at[:t, 0:3].set(edge_a)
+    tbl = tbl.at[:t, 3:6].set(edge_b)
+    tbl = tbl.at[:t, 6:9].set(vert0)
+    v0 = vert0
+    v1 = vert0 + edge_b
+    v2 = vert0 + edge_a
+    # vectorized block/super AABB reduction (a Python per-block loop
+    # unrolls into thousands of ops inside the render jit at the
+    # TRI_STREAM_MAX scale): per-triangle extents padded with +/-inf
+    # sentinels, reshaped (n_blk, TRI_BLOCK, 3) and min/maxed.  Blocks
+    # (and supers) with no real rows get the degenerate 1e30 far-POINT
+    # marker — never an inverted min>max box, which the symmetric slab
+    # test would treat as real.
+    tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    pad_lo = jnp.full((t_pad, 3), jnp.inf, jnp.float32).at[:t].set(tri_lo)
+    pad_hi = jnp.full((t_pad, 3), -jnp.inf, jnp.float32).at[:t].set(tri_hi)
+    blk_lo = jnp.min(pad_lo.reshape(n_blk, TRI_BLOCK, 3), axis=1) - 1e-4
+    blk_hi = jnp.max(pad_hi.reshape(n_blk, TRI_BLOCK, 3), axis=1) + 1e-4
+    blk_real = (
+        jnp.arange(n_blk, dtype=jnp.int32) * TRI_BLOCK < t
+    )[:, None]
+    far = jnp.full((3,), 1e30, jnp.float32)
+    blk_lo = jnp.where(blk_real, blk_lo, far)
+    blk_hi = jnp.where(blk_real, blk_hi, far)
+    aabb = jnp.concatenate(
+        [blk_lo, blk_hi, jnp.zeros((n_blk, 2), jnp.float32)], axis=1
+    ).reshape(1, n_blk * 8)
+    n_sup = n_blk // TRI_SUP
+    sup_lo = jnp.min(
+        jnp.where(blk_real, blk_lo, jnp.inf).reshape(n_sup, TRI_SUP, 3),
+        axis=1,
+    )
+    sup_hi = jnp.max(
+        jnp.where(blk_real, blk_hi, -jnp.inf).reshape(n_sup, TRI_SUP, 3),
+        axis=1,
+    )
+    sup_real = blk_real.reshape(n_sup, TRI_SUP).any(axis=1)[:, None]
+    sup_lo = jnp.where(sup_real, sup_lo, far)
+    sup_hi = jnp.where(sup_real, sup_hi, far)
+    sup = jnp.concatenate(
+        [sup_lo, sup_hi, jnp.zeros((n_sup, 2), jnp.float32)], axis=1
+    ).reshape(1, n_sup * 8)
+    material, normals, uvs = tri.material[perm], tri.normals[perm], tri.uvs[perm]
     r = TRI_STREAM_REC_BASE
-    tbl = tbl.at[:t, r : r + 11].set(packed_materials[tri.material][:, :11])
-    tbl = tbl.at[:t, r + 11].set(tri.material.astype(jnp.float32))
-    tbl = tbl.at[:t, r + 12 : r + 15].set(tri.normals[:, :, 0])
-    tbl = tbl.at[:t, r + 15 : r + 18].set(tri.normals[:, :, 1])
-    tbl = tbl.at[:t, r + 18 : r + 21].set(tri.normals[:, :, 2])
-    tbl = tbl.at[:t, r + 21 : r + 24].set(tri.uvs[:, 0, :])
-    tbl = tbl.at[:t, r + 24 : r + 27].set(tri.uvs[:, 1, :])
-    return tbl, aabb
+    tbl = tbl.at[:t, r : r + 11].set(packed_materials[material][:, :11])
+    tbl = tbl.at[:t, r + 11].set(material.astype(jnp.float32))
+    tbl = tbl.at[:t, r + 12 : r + 15].set(normals[:, :, 0])
+    tbl = tbl.at[:t, r + 15 : r + 18].set(normals[:, :, 1])
+    tbl = tbl.at[:t, r + 18 : r + 21].set(normals[:, :, 2])
+    tbl = tbl.at[:t, r + 21 : r + 24].set(uvs[:, 0, :])
+    tbl = tbl.at[:t, r + 24 : r + 27].set(uvs[:, 1, :])
+    return tbl, aabb, sup
 
 
 def pack_texture_tables(scene):
@@ -1764,8 +1851,8 @@ def _batch_kernel(
     box_c = (aux.pop(0), aux.pop(0)) if has_boxes else None
     tri_c = (aux.pop(0), aux.pop(0)) if has_tris else None
     if has_tri_stream:
-        # (tbl_hbm, aabb_smem, tbl_scratch, dma_sem)
-        tri_c = (aux.pop(0), aux.pop(0)) + stream_scr
+        # (tbl_hbm, aabb_smem, sup_smem, tbl_scratch, dma_sem)
+        tri_c = (aux.pop(0), aux.pop(0), aux.pop(0)) + stream_scr
     tex_c = None
     if has_tex:
         tex_c = (
@@ -2115,7 +2202,8 @@ def sample_batch(
     box_tables: tuple | None = None,  # (geo (B,16), rec (24,B)) pre-packed
     tri_tables: tuple | None = None,  # (geo (T,16), rec (32,T)) pre-packed
     tri_stream_tables: tuple | None = None,  # (tbl (T,128), aabb_row
-    #   (1, n_blk*8)) from pack_tri_stream_tables: HBM-streamed
+    #   (1, n_blk*8), sup_row (1, n_sup*8)) from
+    #   pack_tri_stream_tables: HBM-streamed
     #   triangles for TRI_MAX < count <= TRI_STREAM_MAX
     tex_tables: tuple | None = None,  # (texrec, perlin|None, img|None)
     #   from pack_texture_tables: enables the in-kernel procedural albedo
@@ -2214,13 +2302,16 @@ def sample_batch(
             ]
     if tri_stream_tables is not None:
         assert tri_tables is None, "tri_tables and tri_stream_tables clash"
-        tbl_h, aabb_row = tri_stream_tables
-        inputs += [tbl_h, aabb_row]
+        tbl_h, aabb_row, sup_row = tri_stream_tables
+        inputs += [tbl_h, aabb_row, sup_row]
         in_specs += [
             # HBM-resident: the kernel DMAs TRI_BLOCK chunks on demand
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 aabb_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                sup_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ]
     if tex_tables is not None:

@@ -487,7 +487,7 @@ class TestTriangleKernel:
         scene, _ = self._mesh_scene()
         packed = materials.pack_materials(scene)
         geo, rec = pallas_megatrace.pack_tri_tables(scene, packed)
-        tbl, aabb = pallas_megatrace.pack_tri_stream_tables(scene, packed)
+        tbl, aabb, sup = pallas_megatrace.pack_tri_stream_tables(scene, packed)
         t = scene.triangles.vert0.shape[0]
         rb = pallas_megatrace.TRI_STREAM_REC_BASE
         assert jnp.array_equal(geo[:t, 0:9], tbl[:t, 0:9])
@@ -496,11 +496,38 @@ class TestTriangleKernel:
         )
         n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
         assert aabb.shape == (1, n_blk * 8)
-        # block-0 AABB must bound every vertex of the block
-        lo = aabb[0, 0:3]
-        hi = aabb[0, 3:6]
-        v0 = scene.triangles.vert0[: pallas_megatrace.TRI_BLOCK]
-        assert bool(jnp.all(v0 >= lo - 1e-3)) and bool(jnp.all(v0 <= hi + 1e-3))
+        # every block AABB must bound the vertices of its (Morton-sorted)
+        # rows — read them from the packed table, which owns the order
+        for blk in range(n_blk):
+            sl = slice(blk * pallas_megatrace.TRI_BLOCK,
+                       (blk + 1) * pallas_megatrace.TRI_BLOCK)
+            rows = tbl[sl]
+            real = jnp.any(rows[:, 0:9] != 0.0, axis=1)
+            if not bool(jnp.any(real)):
+                continue
+            v0 = rows[:, 6:9]
+            v1 = v0 + rows[:, 3:6]
+            v2 = v0 + rows[:, 0:3]
+            vs = jnp.concatenate([v0[real], v1[real], v2[real]], axis=0)
+            lo = aabb[0, blk * 8 : blk * 8 + 3]
+            hi = aabb[0, blk * 8 + 3 : blk * 8 + 6]
+            assert bool(jnp.all(vs >= lo - 1e-3))
+            assert bool(jnp.all(vs <= hi + 1e-3))
+        # super-block row: union AABB of each TRI_SUP run of blocks
+        n_sup = n_blk // pallas_megatrace.TRI_SUP
+        assert n_blk % pallas_megatrace.TRI_SUP == 0
+        assert sup.shape == (1, n_sup * 8)
+        for s in range(n_sup):
+            slo = sup[0, s * 8 : s * 8 + 3]
+            shi = sup[0, s * 8 + 3 : s * 8 + 6]
+            for blk in range(s * pallas_megatrace.TRI_SUP,
+                             (s + 1) * pallas_megatrace.TRI_SUP):
+                blo = aabb[0, blk * 8 : blk * 8 + 3]
+                bhi = aabb[0, blk * 8 + 3 : blk * 8 + 6]
+                if bool(jnp.all(blo == bhi)):  # degenerate pad marker
+                    continue
+                assert bool(jnp.all(blo >= slo - 1e-3))
+                assert bool(jnp.all(bhi <= shi + 1e-3))
 
     def test_streamed_mesh_morton_lanes_match(self):
         # the renderer routes STREAMED scenes through a Morton lane
@@ -643,6 +670,44 @@ class TestTriangleKernel:
         assert float(jnp.mean(jnp.abs(out["normal"]))) == pytest.approx(
             float(jnp.mean(jnp.abs(ref.normal))), rel=0.08
         )
+
+    def test_mesh_huge_structural(self):
+        # >65536 triangles: stays fused-eligible under the raised
+        # TRI_STREAM_MAX and packs consistent 2-level stream tables
+        from raytracing_in_one_weekend_tpu.models import meshes, testbeds
+
+        assert "mesh_huge" in testbeds.SCENES
+        scene, _ = meshes.mesh_huge()
+        t = scene.triangles.vert0.shape[0]
+        assert 65536 < t <= pallas_megatrace.TRI_STREAM_MAX
+        assert pallas_megatrace.scene_eligible(
+            scene, allow_rect_box=True, allow_triangles=True
+        )
+        packed = materials.pack_materials(scene)
+        tbl, aabb, sup = pallas_megatrace.pack_tri_stream_tables(
+            scene, packed
+        )
+        n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
+        assert n_blk % pallas_megatrace.TRI_SUP == 0
+        assert aabb.shape == (1, n_blk * 8)
+        assert sup.shape == (1, (n_blk // pallas_megatrace.TRI_SUP) * 8)
+        assert tbl.shape == (n_blk * pallas_megatrace.TRI_BLOCK, 128)
+        # real rows survive the Morton permutation exactly once: the
+        # packed vert0 multiset must match the scene's
+        order = jnp.lexsort(scene.triangles.vert0.T)
+        rows = tbl[:, 6:9]
+        real = jnp.any(tbl[:, 0:9] != 0.0, axis=1)
+        packed_v0 = rows[real]
+        assert packed_v0.shape[0] == t
+        porder = jnp.lexsort(packed_v0.T)
+        assert jnp.allclose(
+            scene.triangles.vert0[order], packed_v0[porder]
+        )
+        # no inverted boxes anywhere (degenerate markers are min==max)
+        ab = aabb.reshape(n_blk, 8)
+        assert bool(jnp.all(ab[:, 0:3] <= ab[:, 3:6]))
+        sb = sup.reshape(-1, 8)
+        assert bool(jnp.all(sb[:, 0:3] <= sb[:, 3:6]))
 
 
 class TestTextureKernel:
