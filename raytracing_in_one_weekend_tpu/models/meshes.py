@@ -14,12 +14,26 @@ import numpy as np
 
 
 def load_obj(path: str):
-    """Minimal Wavefront OBJ reader: v / vn / vt / f (triangulates fans).
+    """Wavefront OBJ reader: v / vn / vt / f (triangulates fans).
+
+    Routes to the native (C++) parser when librtiw_native.so is
+    available (native/obj_loader.cpp via native/mesh_native.py — the
+    framework's data-loader, reference slot AddMeshRuntimeEntitiesJob);
+    this pure-Python body is the fallback and the semantic oracle.
 
     Returns (vertices (V,3), faces (F,3) int, normals (V,3) or None,
     uvs (V,2) or None).  Normals/uvs are re-indexed per position index
     (last one wins) — sufficient for the smooth meshes this slot serves.
     """
+    from raytracing_in_one_weekend_tpu.native import mesh_native
+
+    if mesh_native.available():
+        return mesh_native.load_obj(path)
+    return load_obj_py(path)
+
+
+def load_obj_py(path: str):
+    """Pure-Python load_obj body (see load_obj)."""
     verts: list[list[float]] = []
     norms: list[list[float]] = []
     uvs: list[list[float]] = []

@@ -31,7 +31,17 @@ def _try_load() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        def _stale() -> bool:
+            if not os.path.exists(_LIB_PATH):
+                return True
+            lib_mtime = os.path.getmtime(_LIB_PATH)
+            return any(
+                os.path.getmtime(os.path.join(_DIR, f)) > lib_mtime
+                for f in os.listdir(_DIR)
+                if f.endswith(".cpp") or f == "Makefile"
+            )
+
+        if _stale() and not _build_attempted:
             _build_attempted = True
             try:
                 subprocess.run(

@@ -400,27 +400,58 @@ class SceneBuilder:
             uvs = np.zeros((2, 3), np.float32)
         else:
             uvs = np.stack([np.asarray(u, np.float32) for u in uvs], axis=-1)
-        self._triangles.append((v2 - v0, v1 - v0, v0, normals, uvs, int(material)))
+        self._triangles.append((
+            (v2 - v0)[None], (v1 - v0)[None], v0[None], normals[None],
+            uvs[None], np.full((1,), material, np.int32),
+        ))
 
     def add_mesh(
         self, vertices, faces, material: int, normals=None, uvs=None,
         translation=(0, 0, 0), scale=1.0, face_normals=False,
     ):
         """Triangle soup from an indexed mesh, transform baked into world
-        space (reference: Jobs/AddMeshRuntimeEntitiesJob.cs:15-92)."""
+        space (reference: Jobs/AddMeshRuntimeEntitiesJob.cs:15-92).
+
+        Vectorized bulk append — one (F, ...) chunk per mesh, not one
+        Python-level add_triangle per face (a 100k-face mesh made scene
+        build a 100k-iteration host loop)."""
         vertices = np.asarray(vertices, np.float32) * float(scale) + np.asarray(
             translation, np.float32
         )
         faces = np.asarray(faces, np.int64)
-        for f in faces:
-            v = [vertices[i] for i in f]
-            n = (
-                None
-                if (normals is None or face_normals)
-                else [np.asarray(normals[i], np.float32) for i in f]
+        if faces.shape[0] == 0:
+            return
+        v0 = vertices[faces[:, 0]]
+        v1 = vertices[faces[:, 1]]
+        v2 = vertices[faces[:, 2]]
+        if normals is None or face_normals:
+            # face normal per triangle, replicated to the 3 vertex slots
+            # (AddMeshRuntimeEntitiesJob.cs:70-78 FaceNormals branch;
+            # matches add_triangle's normals=None rule)
+            fn = np.cross(v1 - v0, v2 - v0)
+            nrm = np.linalg.norm(fn, axis=-1, keepdims=True)
+            fn = fn / np.where(nrm > 0, nrm, 1.0)
+            tri_normals = np.repeat(fn[:, :, None], 3, axis=2)
+        else:
+            nsrc = np.asarray(normals, np.float32)
+            tri_normals = np.stack(
+                [nsrc[faces[:, 0]], nsrc[faces[:, 1]], nsrc[faces[:, 2]]],
+                axis=-1,
             )
-            u = None if uvs is None else [np.asarray(uvs[i], np.float32) for i in f]
-            self.add_triangle(v[0], v[1], v[2], material, normals=n, uvs=u)
+        if uvs is None:
+            tri_uvs = np.zeros((faces.shape[0], 2, 3), np.float32)
+        else:
+            usrc = np.asarray(uvs, np.float32)
+            tri_uvs = np.stack(
+                [usrc[faces[:, 0]], usrc[faces[:, 1]], usrc[faces[:, 2]]],
+                axis=-1,
+            )
+        self._triangles.append((
+            (v2 - v0).astype(np.float32), (v1 - v0).astype(np.float32),
+            v0.astype(np.float32), tri_normals.astype(np.float32),
+            tri_uvs.astype(np.float32),
+            np.full((faces.shape[0],), material, np.int32),
+        ))
 
     # -- environment -----------------------------------------------------------
 
@@ -548,13 +579,28 @@ class SceneBuilder:
             )
 
         if self._triangles:
+            # each entry is a (k, ...) chunk (k=1 for add_triangle, k=F
+            # for an add_mesh bulk append)
             triangles = Triangles(
-                edge_a=jnp.asarray(np.stack([t[0] for t in self._triangles])),
-                edge_b=jnp.asarray(np.stack([t[1] for t in self._triangles])),
-                vert0=jnp.asarray(np.stack([t[2] for t in self._triangles])),
-                normals=jnp.asarray(np.stack([t[3] for t in self._triangles])),
-                uvs=jnp.asarray(np.stack([t[4] for t in self._triangles])),
-                material=jnp.asarray([t[5] for t in self._triangles], jnp.int32),
+                edge_a=jnp.asarray(
+                    np.concatenate([t[0] for t in self._triangles])
+                ),
+                edge_b=jnp.asarray(
+                    np.concatenate([t[1] for t in self._triangles])
+                ),
+                vert0=jnp.asarray(
+                    np.concatenate([t[2] for t in self._triangles])
+                ),
+                normals=jnp.asarray(
+                    np.concatenate([t[3] for t in self._triangles])
+                ),
+                uvs=jnp.asarray(
+                    np.concatenate([t[4] for t in self._triangles])
+                ),
+                material=jnp.asarray(
+                    np.concatenate([t[5] for t in self._triangles]),
+                    jnp.int32,
+                ),
             )
         else:
             triangles = Triangles(
@@ -578,7 +624,10 @@ class SceneBuilder:
         }
         nonconvex_volumes = any(
             r[4] in vol_ids for r in self._rects
-        ) or any(t[5] in vol_ids for t in self._triangles)
+        ) or any(
+            bool(np.isin(t[5], list(vol_ids)).any())
+            for t in self._triangles
+        )
         flags = SceneFlags(
             has_volumes=int(MaterialType.PROBABILISTIC_VOLUME) in mat_types,
             has_dielectrics=int(MaterialType.DIELECTRIC) in mat_types,

@@ -113,6 +113,81 @@ class TestMeshes:
         np.testing.assert_array_equal(f2, f)
         np.testing.assert_allclose(n2, n, atol=1e-5)
 
+    def test_obj_native_matches_python(self):
+        # native/obj_loader.cpp vs the pure-Python oracle, on an OBJ
+        # exercising quads (fan triangulation), negative indices, and
+        # every ref form (v, v/t, v//n, v/t/n)
+        from raytracing_in_one_weekend_tpu.native import mesh_native
+
+        if not mesh_native.available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        obj = (
+            "# comment\n"
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0.5 0.5 1\n"
+            "vn 0 0 1\nvn 0 1 0\n"
+            "vt 0.25 0.75\nvt 0.5 0.5\n"
+            "f 1/1/1 2/2/1 3//2 4\n"          # quad -> 2 tris, mixed refs
+            "f -1/-1/-2 1 2/1\n"              # negative indices
+            "\n"
+            "usemtl ignored\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "m.obj")
+            with open(path, "w") as fh:
+                fh.write(obj)
+            got = mesh_native.load_obj(path)
+            want = meshes.load_obj_py(path)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g is None
+            else:
+                np.testing.assert_allclose(g, w, atol=0)
+        assert got[1].dtype == want[1].dtype
+
+    def test_add_mesh_bulk_matches_per_face(self):
+        # vectorized add_mesh chunk == the per-face add_triangle path
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        v, f, n, _ = meshes.icosphere(1)
+        uv = np.stack(
+            [np.linspace(0, 1, v.shape[0]),
+             np.linspace(1, 0, v.shape[0])], axis=-1
+        ).astype(np.float32)
+
+        for kwargs in (
+            dict(normals=n, uvs=uv, translation=(1.0, -2.0, 3.0), scale=1.7),
+            dict(normals=None, uvs=None),
+            dict(normals=n, face_normals=True),
+        ):
+            bulk = SceneBuilder()
+            m = bulk.lambert((0.5, 0.5, 0.5))
+            bulk.add_mesh(v, f, m, **kwargs)
+            ref = SceneBuilder()
+            m2 = ref.lambert((0.5, 0.5, 0.5))
+            verts = np.asarray(v, np.float32) * float(
+                kwargs.get("scale", 1.0)
+            ) + np.asarray(kwargs.get("translation", (0, 0, 0)), np.float32)
+            use_n = kwargs.get("normals")
+            if kwargs.get("face_normals", False):
+                use_n = None
+            for face in f:
+                ref.add_triangle(
+                    verts[face[0]], verts[face[1]], verts[face[2]], m2,
+                    normals=None if use_n is None
+                    else [use_n[i] for i in face],
+                    uvs=None if kwargs.get("uvs") is None
+                    else [kwargs["uvs"][i] for i in face],
+                )
+            a, b = bulk.build().triangles, ref.build().triangles
+            np.testing.assert_allclose(a.edge_a, b.edge_a, atol=1e-6)
+            np.testing.assert_allclose(a.edge_b, b.edge_b, atol=1e-6)
+            np.testing.assert_allclose(a.vert0, b.vert0, atol=1e-6)
+            np.testing.assert_allclose(a.normals, b.normals, atol=1e-6)
+            np.testing.assert_allclose(a.uvs, b.uvs, atol=1e-6)
+            np.testing.assert_array_equal(a.material, b.material)
+
     def test_mesh_showcase_renders_with_bvh(self):
         from raytracing_in_one_weekend_tpu.core import camera as camera_mod
         from raytracing_in_one_weekend_tpu.render import renderer
