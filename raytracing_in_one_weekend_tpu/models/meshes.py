@@ -28,7 +28,10 @@ def load_obj(path: str):
     from raytracing_in_one_weekend_tpu.native import mesh_native
 
     if mesh_native.available():
-        return mesh_native.load_obj(path)
+        try:
+            return mesh_native.load_obj(path)
+        except ValueError:
+            pass  # malformed file: Python loader raises the readable error
     return load_obj_py(path)
 
 

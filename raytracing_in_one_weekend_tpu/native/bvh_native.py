@@ -41,16 +41,22 @@ def _try_load() -> ctypes.CDLL | None:
                 if f.endswith(".cpp") or f == "Makefile"
             )
 
-        if _stale() and not _build_attempted:
-            _build_attempted = True
-            try:
-                subprocess.run(
-                    ["make", "-C", _DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (OSError, subprocess.SubprocessError):
+        if _stale():
+            if not _build_attempted:
+                _build_attempted = True
+                try:
+                    subprocess.run(
+                        ["make", "-C", _DIR],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                except (OSError, subprocess.SubprocessError):
+                    pass
+            if _stale():
+                # rebuild failed (or make produced nothing): NEVER load a
+                # stale library — callers consistently fall back to the
+                # Python implementations for the whole process lifetime
                 return None
         if not os.path.exists(_LIB_PATH):
             return None

@@ -63,7 +63,14 @@ def load_obj(path: str):
         raise RuntimeError("native OBJ loader unavailable")
     handle = lib.rtiw_obj_load(str(path).encode())
     if not handle:
-        raise FileNotFoundError(path)
+        import os
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        # malformed refs (out-of-range / non-numeric indices) fail the
+        # native parse; models/meshes.load_obj falls back to the Python
+        # loader for the readable exception
+        raise ValueError(f"native OBJ parse failed: {path}")
     try:
         counts = np.zeros((4,), np.int32)
         lib.rtiw_obj_counts(

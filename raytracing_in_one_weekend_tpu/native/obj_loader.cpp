@@ -6,8 +6,8 @@
 // The TPU build's data-loader is this C++ parser exposed through the
 // same C ABI / ctypes pattern as the native BVH builder
 // (native/bvh_native.py); models/meshes.py:load_obj is the pure-Python
-// fallback and the semantic oracle (tests/test_meshes.py compares the
-// two loaders field-for-field).
+// fallback and the semantic oracle (tests compare the two loaders
+// field-for-field).
 //
 // Semantics (kept identical to the Python loader):
 //   * v / vn / vt / f records; anything else ignored.
@@ -15,7 +15,11 @@
 //   * polygons are fan-triangulated: (r0, rk, rk+1).
 //   * normals/uvs are re-indexed per POSITION index, last one wins;
 //     positions never referenced with a normal get (0,1,0), with no uv
-//     get (0,0).  Presence flags say whether ANY vn/ vt ref appeared.
+//     get (0,0).  Presence flags say whether ANY vn / vt ref appeared.
+//   * any out-of-range or non-numeric f ref FAILS the whole parse
+//     (rtiw_obj_load returns null) — the Python loader raises there, and
+//     the binding falls back to it for the readable error.  Lines and
+//     polygons are unbounded (getline + growable token vector).
 //
 // Build: make -C raytracing_in_one_weekend_tpu/native
 //
@@ -38,22 +42,27 @@ struct ObjData {
 };
 
 // Whitespace-splitting tokenizer over one line (Python line.split()).
-inline int split(char* line, char** tok, int max_tok) {
-  int n = 0;
+inline void split(char* line, std::vector<char*>& tok) {
+  tok.clear();
   char* p = line;
-  while (*p && n < max_tok) {
+  while (*p) {
     while (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n') ++p;
     if (!*p) break;
-    tok[n++] = p;
+    tok.push_back(p);
     while (*p && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') ++p;
     if (*p) *p++ = '\0';
   }
-  return n;
 }
 
-inline int32_t resolve(long idx, size_t count) {
-  return static_cast<int32_t>(idx > 0 ? idx - 1
-                                      : static_cast<long>(count) + idx);
+// 1-based (negative = from end) -> 0-based, or -1 when out of range or
+// not a number (Python int() would raise there).
+inline int32_t resolve(const char* s, size_t count) {
+  char* end = nullptr;
+  const long idx = std::strtol(s, &end, 10);
+  if (end == s) return -1;  // no digits at all
+  const long r = idx > 0 ? idx - 1 : static_cast<long>(count) + idx;
+  if (r < 0 || r >= static_cast<long>(count)) return -1;
+  return static_cast<int32_t>(r);
 }
 
 ObjData* parse(const char* path) {
@@ -62,53 +71,69 @@ ObjData* parse(const char* path) {
   auto* d = new ObjData;
   std::vector<float> norms;  // (N, 3)
   std::vector<float> uvs;    // (T, 2)
-  char buf[4096];
-  char* tok[256];
+  char* buf = nullptr;
+  size_t cap = 0;
+  std::vector<char*> tok;
   std::vector<int32_t> refs;
-  while (std::fgets(buf, sizeof(buf), fh)) {
-    const int nt = split(buf, tok, 256);
-    if (nt == 0) continue;
-    if (!std::strcmp(tok[0], "v") && nt >= 4) {
+  bool ok = true;
+  while (ok && ::getline(&buf, &cap, fh) != -1) {
+    split(buf, tok);
+    if (tok.empty()) continue;
+    if (!std::strcmp(tok[0], "v") && tok.size() >= 4) {
       for (int k = 1; k <= 3; ++k)
         d->verts.push_back(std::strtof(tok[k], nullptr));
-    } else if (!std::strcmp(tok[0], "vn") && nt >= 4) {
+    } else if (!std::strcmp(tok[0], "vn") && tok.size() >= 4) {
       for (int k = 1; k <= 3; ++k)
         norms.push_back(std::strtof(tok[k], nullptr));
-    } else if (!std::strcmp(tok[0], "vt") && nt >= 3) {
+    } else if (!std::strcmp(tok[0], "vt") && tok.size() >= 3) {
       for (int k = 1; k <= 2; ++k)
         uvs.push_back(std::strtof(tok[k], nullptr));
-    } else if (!std::strcmp(tok[0], "f") && nt >= 4) {
+    } else if (!std::strcmp(tok[0], "f") && tok.size() >= 4) {
       refs.clear();
       const size_t n_v = d->verts.size() / 3;
-      for (int k = 1; k < nt; ++k) {
+      for (size_t k = 1; k < tok.size() && ok; ++k) {
         char* s = tok[k];
         char* slash1 = std::strchr(s, '/');
-        const int32_t vi = resolve(std::strtol(s, nullptr, 10), n_v);
+        const int32_t vi = resolve(s, n_v);
+        if (vi < 0) {
+          ok = false;
+          break;
+        }
         if (slash1) {
           char* slash2 = std::strchr(slash1 + 1, '/');
           if (slash1[1] && slash1[1] != '/') {  // texcoord field
-            const int32_t ti =
-                resolve(std::strtol(slash1 + 1, nullptr, 10),
-                        uvs.size() / 2);
+            const int32_t ti = resolve(slash1 + 1, uvs.size() / 2);
+            if (ti < 0) {
+              ok = false;
+              break;
+            }
             d->v_uv[vi] = {uvs[2 * ti], uvs[2 * ti + 1]};
           }
           if (slash2 && slash2[1]) {  // normal field
-            const int32_t ni = resolve(
-                std::strtol(slash2 + 1, nullptr, 10), norms.size() / 3);
+            const int32_t ni = resolve(slash2 + 1, norms.size() / 3);
+            if (ni < 0) {
+              ok = false;
+              break;
+            }
             d->v_norm[vi] = {norms[3 * ni], norms[3 * ni + 1],
                              norms[3 * ni + 2]};
           }
         }
         refs.push_back(vi);
       }
-      for (size_t k = 1; k + 1 < refs.size(); ++k) {
+      for (size_t k = 1; ok && k + 1 < refs.size(); ++k) {
         d->faces.push_back(refs[0]);
         d->faces.push_back(refs[k]);
         d->faces.push_back(refs[k + 1]);
       }
     }
   }
+  std::free(buf);
   std::fclose(fh);
+  if (!ok) {
+    delete d;
+    return nullptr;
+  }
   return d;
 }
 

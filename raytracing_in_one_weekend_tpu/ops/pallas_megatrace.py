@@ -1390,35 +1390,6 @@ def pack_sphere_records(scene, packed_materials):
     )
 
 
-def _tri_morton_perm(tri):
-    """Spatial (Morton/Z-order) permutation of triangles by centroid.
-
-    Both triangle packers sort rows with this perm before chunking into
-    TRI_BLOCKs, so each block covers a compact 3D region and its AABB —
-    the thing the kernel slab-tests to skip/stream blocks — stays tight
-    for ANY input order.  Append order is only as good as the mesh
-    exporter (OBJ files interleave patches freely); the reference gets
-    the same locality from its BVH leaf ordering (BvhNodeData.cs
-    longest-axis splits).  Nearest-hit reduction is order-independent,
-    so render output is unchanged (modulo equal-t tie-breaks)."""
-    cen = tri.vert0 + (tri.edge_a + tri.edge_b) * (1.0 / 3.0)
-    lo = jnp.min(cen, axis=0)
-    span = jnp.maximum(jnp.max(cen, axis=0) - lo, 1e-12)
-    q = jnp.clip((cen - lo) / span * 1024.0, 0.0, 1023.0).astype(jnp.int32)
-
-    def spread(v):  # 10 bits -> every 3rd bit of a 30-bit code
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    code = (
-        (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
-    )
-    return jnp.argsort(code, stable=True)
-
-
 def pack_tri_tables(scene, packed_materials):
     """Triangle tables for sample_batch, or None when the scene has none.
 
@@ -1432,8 +1403,7 @@ def pack_tri_tables(scene, packed_materials):
     t = tri.vert0.shape[0]
     if t == 0:
         return None
-    perm = _tri_morton_perm(tri)
-    edge_a, edge_b, vert0 = tri.edge_a[perm], tri.edge_b[perm], tri.vert0[perm]
+    edge_a, edge_b, vert0 = tri.edge_a, tri.edge_b, tri.vert0
     t_pad = max(TRI_PAD, -(-t // TRI_PAD) * TRI_PAD)
     geo = jnp.zeros((t_pad, 16), jnp.float32)
     geo = geo.at[:t, 0:3].set(edge_a)
@@ -1442,9 +1412,10 @@ def pack_tri_tables(scene, packed_materials):
     # per-BLOCK AABBs in cols 9-15 of each block's first row (min xyz |
     # max xyz over that TRI_BLOCK chunk): the kernel slab-tests each
     # block and lax.cond-skips its Möller–Trumbore sweep when no active
-    # lane can hit it.  Rows are Morton-sorted by centroid
-    # (_tri_morton_perm), so blocks are spatially compact and the AABBs
-    # tight regardless of mesh append order.
+    # lane can hit it.  SceneBuilder.build() Morton-sorts triangle rows
+    # by centroid at scene compile (scene/scene.py::_morton_perm), so
+    # blocks are spatially compact and the AABBs tight regardless of
+    # mesh append order — this packer just chunks rows in order.
     v0 = vert0
     v1 = vert0 + edge_b
     v2 = vert0 + edge_a
@@ -1463,7 +1434,7 @@ def pack_tri_tables(scene, packed_materials):
         vs = jnp.concatenate([v0[lo:hi], v1[lo:hi], v2[lo:hi]], axis=0)
         geo = geo.at[st, 9:12].set(jnp.min(vs, axis=0) - 1e-4)
         geo = geo.at[st, 12:15].set(jnp.max(vs, axis=0) + 1e-4)
-    material, normals, uvs = tri.material[perm], tri.normals[perm], tri.uvs[perm]
+    material, normals, uvs = tri.material, tri.normals, tri.uvs
     rec = jnp.zeros((TRI_REC_ROWS, t_pad), jnp.float32)
     rec = rec.at[:11, :t].set(packed_materials[material][:, :11].T)
     rec = rec.at[11, :t].set(material.astype(jnp.float32))
@@ -1499,8 +1470,7 @@ def pack_tri_stream_tables(scene, packed_materials):
     t = tri.vert0.shape[0]
     if t == 0:
         return None
-    perm = _tri_morton_perm(tri)
-    edge_a, edge_b, vert0 = tri.edge_a[perm], tri.edge_b[perm], tri.vert0[perm]
+    edge_a, edge_b, vert0 = tri.edge_a, tri.edge_b, tri.vert0
     n_blk = -(-t // TRI_BLOCK)
     n_blk = -(-n_blk // TRI_SUP) * TRI_SUP
     t_pad = n_blk * TRI_BLOCK
@@ -1548,7 +1518,7 @@ def pack_tri_stream_tables(scene, packed_materials):
     sup = jnp.concatenate(
         [sup_lo, sup_hi, jnp.zeros((n_sup, 2), jnp.float32)], axis=1
     ).reshape(1, n_sup * 8)
-    material, normals, uvs = tri.material[perm], tri.normals[perm], tri.uvs[perm]
+    material, normals, uvs = tri.material, tri.normals, tri.uvs
     r = TRI_STREAM_REC_BASE
     tbl = tbl.at[:t, r : r + 11].set(packed_materials[material][:, :11])
     tbl = tbl.at[:t, r + 11].set(material.astype(jnp.float32))

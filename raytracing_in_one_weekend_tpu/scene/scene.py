@@ -234,6 +234,29 @@ def axis_angle_quat(axis, degrees: float) -> np.ndarray:
     return np.concatenate([axis * np.sin(half), [np.cos(half)]]).astype(np.float32)
 
 
+def _morton_perm(centroids: np.ndarray) -> np.ndarray:
+    """Stable Z-order (Morton) permutation of points (host NumPy).
+
+    10 bits per axis over the centroid bounding box, interleaved into a
+    30-bit code; used by build() to sort triangle rows so consecutive
+    TRI_BLOCK chunks cover compact 3D regions (tight per-block AABBs for
+    the fused kernel's slab cull) regardless of mesh append order."""
+    cen = np.asarray(centroids, np.float64)
+    lo = cen.min(axis=0)
+    span = np.maximum(cen.max(axis=0) - lo, 1e-12)
+    q = np.clip((cen - lo) / span * 1024.0, 0.0, 1023.0).astype(np.uint32)
+
+    def spread(v):  # 10 bits -> every 3rd bit of a 30-bit code
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
 class SceneBuilder:
     """Imperative scene assembly -> immutable SoA Scene pytree.
 
@@ -581,26 +604,30 @@ class SceneBuilder:
         if self._triangles:
             # each entry is a (k, ...) chunk (k=1 for add_triangle, k=F
             # for an add_mesh bulk append)
+            edge_a = np.concatenate([t[0] for t in self._triangles])
+            edge_b = np.concatenate([t[1] for t in self._triangles])
+            vert0 = np.concatenate([t[2] for t in self._triangles])
+            normals = np.concatenate([t[3] for t in self._triangles])
+            uvs = np.concatenate([t[4] for t in self._triangles])
+            material = np.concatenate([t[5] for t in self._triangles])
+            # Spatial (Morton) sort by centroid, ONCE at scene compile:
+            # the fused kernel's per-TRI_BLOCK AABB cull needs spatially
+            # compact row blocks, and sorting here (host NumPy) keeps the
+            # per-batch packers (ops/pallas_megatrace.pack_tri_*) pure
+            # row-order chunkers — no per-batch device argsort/gathers of
+            # up to 262k rows inside the render jit.  Nearest-hit
+            # reduction is order-independent, so images are unchanged
+            # (modulo equal-t tie-breaks).  The reference gets the same
+            # locality from its BVH leaf ordering (BvhNodeData.cs
+            # longest-axis splits).
+            perm = _morton_perm(vert0 + (edge_a + edge_b) * (1.0 / 3.0))
             triangles = Triangles(
-                edge_a=jnp.asarray(
-                    np.concatenate([t[0] for t in self._triangles])
-                ),
-                edge_b=jnp.asarray(
-                    np.concatenate([t[1] for t in self._triangles])
-                ),
-                vert0=jnp.asarray(
-                    np.concatenate([t[2] for t in self._triangles])
-                ),
-                normals=jnp.asarray(
-                    np.concatenate([t[3] for t in self._triangles])
-                ),
-                uvs=jnp.asarray(
-                    np.concatenate([t[4] for t in self._triangles])
-                ),
-                material=jnp.asarray(
-                    np.concatenate([t[5] for t in self._triangles]),
-                    jnp.int32,
-                ),
+                edge_a=jnp.asarray(edge_a[perm]),
+                edge_b=jnp.asarray(edge_b[perm]),
+                vert0=jnp.asarray(vert0[perm]),
+                normals=jnp.asarray(normals[perm]),
+                uvs=jnp.asarray(uvs[perm]),
+                material=jnp.asarray(material[perm], jnp.int32),
             )
         else:
             triangles = Triangles(

@@ -146,6 +146,48 @@ class TestMeshes:
                 np.testing.assert_allclose(g, w, atol=0)
         assert got[1].dtype == want[1].dtype
 
+    def test_obj_malformed_matches_python_semantics(self):
+        # malformed refs fail the native parse; load_obj falls back to
+        # the Python loader, so end-to-end behavior always equals the
+        # oracle's (out-of-range vt -> IndexError, garbage -> ValueError)
+        with tempfile.TemporaryDirectory() as d:
+            bad_vt = os.path.join(d, "bad_vt.obj")
+            with open(bad_vt, "w") as fh:
+                fh.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nf 1/9 2 3\n")
+            try:
+                meshes.load_obj(bad_vt)
+                assert False, "expected IndexError"
+            except IndexError:
+                pass
+            garbage = os.path.join(d, "garbage.obj")
+            with open(garbage, "w") as fh:
+                fh.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 / 3\n")
+            try:
+                meshes.load_obj(garbage)
+                assert False, "expected ValueError"
+            except ValueError:
+                pass
+
+    def test_build_morton_sorts_triangle_rows(self):
+        # SceneBuilder.build() spatially sorts triangle rows so the
+        # kernel packers' TRI_BLOCK chunks stay compact for any append
+        # order: interleave triangles from two distant clusters and
+        # check build() groups them
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        m = b.lambert((0.5, 0.5, 0.5))
+        rng = np.random.default_rng(3)
+        for i in range(40):
+            base = np.array([0.0, 0.0, 0.0] if i % 2 == 0
+                            else [100.0, 0.0, 0.0], np.float32)
+            v0 = base + rng.uniform(-1, 1, 3).astype(np.float32)
+            b.add_triangle(v0, v0 + [0.1, 0, 0], v0 + [0, 0.1, 0], m)
+        tri = b.build().triangles
+        near_origin = np.asarray(tri.vert0)[:, 0] < 50.0
+        flips = int(np.sum(near_origin[1:] != near_origin[:-1]))
+        assert flips == 1, f"clusters not contiguous ({flips} flips)"
+
     def test_add_mesh_bulk_matches_per_face(self):
         # vectorized add_mesh chunk == the per-face add_triangle path
         from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
