@@ -28,7 +28,7 @@ DEFAULT_SCENES = [
     "cover", "cornell", "three_spheres", "simple_light", "volume",
     "cornell_volumes", "cover_motion", "checkered", "perlin",
     "textured_sphere", "cubemap", "mesh_showcase", "mesh_large",
-    "final_book2",
+    "mesh_huge", "final_book2",
 ]
 WIDTH = HEIGHT = 512
 SAMPLES, DEPTH, BATCHES = 8, 8, 7
