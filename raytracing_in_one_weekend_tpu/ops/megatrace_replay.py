@@ -20,11 +20,15 @@ reassociation (tests assert ~1e-4 channel agreement).  Discrete decisions
 tape — the a.e.-correct detached-decision gradient estimator, same policy
 as the wavefront's detached Pallas selection (render/integrator.py).
 
-Scope (gated by `replay_eligible`): sphere-only scenes, constant
-textures, gradient/none sky, no volumes/motion — the BASELINE gradient
-configs (cover-scene class).  Reference math parity anchors are the same
-as ops/pallas_megatrace (View.cs:38-48 camera, HitTests.cs:23-60 sphere,
-Material.cs:75-161 scatter, SampleBatchJob.cs:341-396 fold/termination).
+Scope (gated by `replay_eligible`): sphere/rect/box scenes, constant
+textures, gradient/none sky, no volumes/motion/triangles — the BASELINE
+gradient configs (cover-scene class) plus Cornell-class rect/box scenes.
+The tape code indexes the KERNEL's padded row space: spheres [0, s_pad),
+rects [s_pad, s_pad + R_pad), boxes after (pack layouts are shared via
+mk.sphere_pad_count / mk.pack_aux_tables).  Reference math parity anchors
+are the same as ops/pallas_megatrace (View.cs:38-48 camera,
+HitTests.cs:23-113 sphere/rect/box, Material.cs:75-161 scatter,
+SampleBatchJob.cs:341-396 fold/termination).
 """
 
 from __future__ import annotations
@@ -45,8 +49,10 @@ METAL_IOR = mk.METAL_IOR
 
 
 def replay_eligible(scene) -> bool:
-    """Static gate for the tape-replay differentiable fused path."""
-    return mk.scene_eligible(scene)  # sphere-only base eligibility
+    """Static gate for the tape-replay differentiable fused path
+    (spheres + oriented rects/boxes, constant textures, gradient/none
+    sky; no volumes, motion or triangles)."""
+    return mk.scene_eligible(scene, allow_rect_box=True)
 
 
 # --------------------------------------------------------------------------
@@ -102,6 +108,8 @@ def replay(
     sky_bottom,  # (3,)
     sky_top,  # (3,)
     seed,  # () int32
+    rect_tables=None,  # (geo (R_pad, 16), rec (24, R_pad)) pack_aux_tables
+    box_tables=None,  # (geo (B_pad, 16), rec (24, B_pad))
     *,
     samples: int,
     trace_depth: int,
@@ -142,14 +150,43 @@ def replay(
 
     # ONE bulk winner-parameter gather for every iteration up front
     # (TPU per-lane gathers inside the scan measured 8x slower than
-    # streaming a pre-gathered (IT, N, C) tensor)
+    # streaming a pre-gathered (IT, N, C) tensor).  Rows mirror the
+    # KERNEL's padded row space — spheres [0, s_pad), rects, boxes — so
+    # the tape code indexes this table directly.  Columns:
+    #   0:3  sphere center | quat xyz      3  radius | quat w
+    #   4:7  (unused)      | position      7:10 (unused) | box extents
+    #   10:21 material rows 0-10           21 kind (0 sphere/1 rect/2 box)
+    has_rects = rect_tables is not None
+    has_boxes = box_tables is not None
     iters = samples * trace_depth
-    sphere_rows = jnp.concatenate(
-        [centers, radii[:, None], records[:, :11]], axis=1
-    )  # (S, 15): cx cy cz r | material rows 0-10
+    s_real = centers.shape[0]
+    s_pad = mk.sphere_pad_count(s_real)
+    cols = 22
+    sph_block = jnp.zeros((s_pad, cols), jnp.float32)
+    sph_block = sph_block.at[:s_real, 0:3].set(centers)
+    sph_block = sph_block.at[:s_real, 3].set(radii)
+    sph_block = sph_block.at[:s_real, 10:21].set(records[:, :11])
+    blocks = [sph_block]
+    if has_rects:
+        rgeo, rrec = rect_tables
+        rb = jnp.zeros((rgeo.shape[0], cols), jnp.float32)
+        rb = rb.at[:, 0:7].set(rgeo[:, 0:7])  # quat | pos
+        rb = rb.at[:, 10:21].set(rrec[0:11, :].T)
+        rb = rb.at[:, 21].set(1.0)
+        blocks.append(rb)
+    if has_boxes:
+        bgeo, brec = box_tables
+        bb = jnp.zeros((bgeo.shape[0], cols), jnp.float32)
+        bb = bb.at[:, 0:10].set(bgeo[:, 0:10])  # quat | pos | extents
+        bb = bb.at[:, 10:21].set(brec[0:11, :].T)
+        bb = bb.at[:, 21].set(2.0)
+        blocks.append(bb)
+    entity_rows = (
+        jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+    )
     w_all = jnp.clip(tape, 0.0, None).astype(jnp.int32)  # (IT, N)
-    winner_rows = sphere_rows[w_all.reshape(-1)].reshape(
-        iters, n, sphere_rows.shape[1]
+    winner_rows = entity_rows[w_all.reshape(-1)].reshape(
+        iters, n, entity_rows.shape[1]
     )
 
     def iteration(state, per_it):
@@ -198,9 +235,11 @@ def replay(
         hit = was_active & (code >= -0.5)
         miss = was_active & jnp.logical_not(hit)
 
-        c = wrow[:, 0:3].T  # (3, N)
-        r = wrow[:, 3]
-        rec = wrow[:, 4:15]  # material rows 0-10
+        c = wrow[:, 0:3].T  # (3, N) sphere center | quat xyz
+        r = wrow[:, 3]  # radius | quat w
+        rec = wrow[:, 10:21]  # material rows 0-10
+        kind = wrow[:, 21]
+        s_hit = hit & (kind < 0.5) if (has_rects or has_boxes) else hit
 
         ox, oy, oz = o[0], o[1], o[2]
         dx, dy, dz = d[0], d[1], d[2]
@@ -221,20 +260,100 @@ def replay(
         # floor the discriminant: sqrt'(0) is infinite and grazing hits
         # (disc ~ 0 for a tape-confirmed hit) otherwise NaN the VJP; the
         # floor only caps the derivative, the primal comes from the kernel
-        sq = jnp.sqrt(jnp.where(hit, jnp.maximum(disc, 1e-8), 1.0))
-        inv_a = 1.0 / jnp.where(hit, a, 1.0)
+        sq = jnp.sqrt(jnp.where(s_hit, jnp.maximum(disc, 1e-8), 1.0))
+        inv_a = 1.0 / jnp.where(s_hit, a, 1.0)
         t_near = (-b - sq) * inv_a
         t_far = (-b + sq) * inv_a
         # same root rule as the kernel; the tape guarantees a hit exists
         t_hit = jnp.where(t_near > t_min, t_near, t_far)
-        t_hit = jnp.where(hit, t_hit, 0.0)
+        t_hit = jnp.where(s_hit, t_hit, 0.0)
+
+        if has_rects or has_boxes:
+            # winner-local ray for the oriented kinds (kernel rect/box
+            # sections): rotate by the inverse quat.  Sphere-kind rows
+            # hold center/radius in the quat slots — the products stay
+            # finite and the per-kind selects below discard them.
+            qx, qy, qz, qw = c[0], c[1], c[2], r
+            ppx, ppy, ppz = wrow[:, 4], wrow[:, 5], wrow[:, 6]
+            olx, oly, olz = mk._quat_rotate(
+                -qx, -qy, -qz, qw, ox - ppx, oy - ppy, oz - ppz
+            )
+            dlx, dly, dlz = mk._quat_rotate(-qx, -qy, -qz, qw, dx, dy, dz)
+        if has_rects:
+            r_hit = hit & (kind > 0.5) & (kind < 1.5)
+            safe_dz = jnp.where(r_hit & (dlz != 0.0), dlz, 1.0)
+            t_hit = jnp.where(r_hit, -olz / safe_dz, t_hit)
+        if has_boxes:
+            # Majercik slab walk, same branch rules as the kernel
+            # (HitTests.cs:81-113); the tape guarantees the box was hit
+            b_hit = hit & (kind > 1.5)
+            ex_, ey_, ez_ = wrow[:, 7], wrow[:, 8], wrow[:, 9]
+            boX = olx + dlx * t_min
+            boY = oly + dly * t_min
+            boZ = olz + dlz * t_min
+            inside = (
+                jnp.maximum(
+                    jnp.abs(boX) / jnp.maximum(ex_, 1e-30),
+                    jnp.maximum(
+                        jnp.abs(boY) / jnp.maximum(ey_, 1e-30),
+                        jnp.abs(boZ) / jnp.maximum(ez_, 1e-30),
+                    ),
+                ) < 1.0
+            )
+            winding = jnp.where(inside, -1.0, 1.0)
+            sgx, sgy, sgz = -jnp.sign(dlx), -jnp.sign(dly), -jnp.sign(dlz)
+            sdx_ = jnp.where(dlx == 0.0, 1e-30, dlx)
+            sdy_ = jnp.where(dly == 0.0, 1e-30, dly)
+            sdz_ = jnp.where(dlz == 0.0, 1e-30, dlz)
+            dpx = (ex_ * winding * sgx - boX) / sdx_
+            dpy = (ey_ * winding * sgy - boY) / sdy_
+            dpz = (ez_ * winding * sgz - boZ) / sdz_
+            test_x = (
+                (dpx >= 0.0)
+                & (jnp.abs(boY + dly * dpx) < ey_)
+                & (jnp.abs(boZ + dlz * dpx) < ez_)
+            )
+            test_y = (
+                (dpy >= 0.0)
+                & (jnp.abs(boZ + dlz * dpy) < ez_)
+                & (jnp.abs(boX + dlx * dpy) < ex_)
+            )
+            tb = jnp.where(
+                test_x, dpx, jnp.where(test_y, dpy, dpz)
+            ) + t_min
+            t_hit = jnp.where(b_hit, tb, t_hit)
+
         px = ox + t_hit * dx
         py = oy + t_hit * dy
         pz = oz + t_hit * dz
-        safe_r = jnp.where(r == 0.0, 1.0, r)
-        nx = (px - c[0]) / safe_r
-        ny = (py - c[1]) / safe_r
-        nz = (pz - c[2]) / safe_r
+        safe_r = jnp.where(s_hit & (r != 0.0), r, 1.0)
+        nx = jnp.where(s_hit, (px - c[0]) / safe_r, 0.0)
+        ny = jnp.where(s_hit, (py - c[1]) / safe_r, 0.0)
+        nz = jnp.where(s_hit, (pz - c[2]) / safe_r, 0.0)
+        if has_rects:
+            # constant rect normal: rotated local +Z (Entity.cs:65)
+            rnx, rny, rnz = mk._quat_rotate(qx, qy, qz, qw, 0.0, 0.0, 1.0)
+            nx = jnp.where(r_hit, rnx, nx)
+            ny = jnp.where(r_hit, rny, ny)
+            nz = jnp.where(r_hit, rnz, nz)
+        if has_boxes:
+            # dominant-|p|/extent face normal (kernel box-normal section)
+            plx, ply, plz = mk._quat_rotate(
+                -qx, -qy, -qz, qw, px - ppx, py - ppy, pz - ppz
+            )
+            rex = jnp.abs(plx) / jnp.maximum(ex_, 1e-12)
+            rey = jnp.abs(ply) / jnp.maximum(ey_, 1e-12)
+            rez = jnp.abs(plz) / jnp.maximum(ez_, 1e-12)
+            is_x = (rex >= rey) & (rex >= rez)
+            is_y = jnp.logical_not(is_x) & (rey >= rez)
+            is_z = jnp.logical_not(is_x) & jnp.logical_not(is_y)
+            lnx = jnp.where(is_x, jnp.sign(plx), 0.0)
+            lny = jnp.where(is_y, jnp.sign(ply), 0.0)
+            lnz = jnp.where(is_z, jnp.sign(plz), 0.0)
+            bnx, bny, bnz = mk._quat_rotate(qx, qy, qz, qw, lnx, lny, lnz)
+            nx = jnp.where(b_hit, bnx, nx)
+            ny = jnp.where(b_hit, bny, ny)
+            nz = jnp.where(b_hit, bnz, nz)
 
         mtype = rec[:, 0]
         alb_r, alb_g, alb_b = rec[:, 1], rec[:, 2], rec[:, 3]
@@ -389,6 +508,8 @@ def sample_batch_diff(
     sky_bottom,
     sky_top,
     seed,
+    rect_tables=None,  # (geo, rec) pack_aux_tables pair — differentiable
+    box_tables=None,
     *,
     samples: int,
     trace_depth: int,
@@ -398,13 +519,33 @@ def sample_batch_diff(
     interpret: bool = False,
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
-    camera_row) via the tape replay.  Primal values are the kernel's;
-    only the `color` output's cotangent is propagated (AOVs and counts
-    are detached — losses are photometric)."""
+    camera_row, rect/box geo+rec tables) via the tape replay.  Primal
+    values are the kernel's; only the `color` output's cotangent is
+    propagated (AOVs and counts are detached — losses are photometric).
+    Gradients wrt scene leaves (rect quat/pos, box extents, materials)
+    flow through the caller's pack_aux_tables/pack_materials."""
     statics = dict(
         samples=samples, trace_depth=trace_depth,
         has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,
     )
+    # aux rides as a dict pytree through the custom_vjp so the arity is
+    # static per (has_rects, has_boxes) combination
+    aux = {}
+    if rect_tables is not None:
+        aux["rect_geo"], aux["rect_rec"] = rect_tables
+    if box_tables is not None:
+        aux["box_geo"], aux["box_rec"] = box_tables
+
+    def _aux_pairs(aux):
+        rt = (
+            (aux["rect_geo"], aux["rect_rec"]) if "rect_geo" in aux
+            else None
+        )
+        bt = (
+            (aux["box_geo"], aux["box_rec"]) if "box_geo" in aux
+            else None
+        )
+        return rt, bt
 
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
@@ -418,10 +559,12 @@ def sample_batch_diff(
         )
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
-                    lane_f, count_f, seed_lo, seed_hi, want_tape):
+                    aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
+        rt, bt = _aux_pairs(aux)
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
             sky_b, sky_t, _seed_of(seed_lo, seed_hi),
+            rect_tables=rt, box_tables=bt,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
@@ -429,35 +572,39 @@ def sample_batch_diff(
         )
 
     @jax.custom_vjp
-    def _run(camera_row, centers, radii, records, sky_b, sky_t,
+    def _run(camera_row, centers, radii, records, sky_b, sky_t, aux,
              lane_f, count_f, seed_lo, seed_hi):
         # primal-only path (no grad requested): skip the tape entirely
         return _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                           sky_t, lane_f, count_f, seed_lo, seed_hi,
+                           sky_t, aux, lane_f, count_f, seed_lo, seed_hi,
                            want_tape=False)
 
-    def _fwd(camera_row, centers, radii, records, sky_b, sky_t,
+    def _fwd(camera_row, centers, radii, records, sky_b, sky_t, aux,
              lane_f, count_f, seed_lo, seed_hi):
         out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                          sky_t, lane_f, count_f, seed_lo, seed_hi,
+                          sky_t, aux, lane_f, count_f, seed_lo, seed_hi,
                           want_tape=True)
         tape = out.pop("tape")
         return out, (tape, camera_row, centers, radii, records,
-                     sky_b, sky_t, lane_f, count_f, seed_lo, seed_hi)
+                     sky_b, sky_t, aux, lane_f, count_f, seed_lo, seed_hi)
 
     def _bwd(res, cot):
-        (tape, camera_row, centers, radii, records, sky_b, sky_t,
+        (tape, camera_row, centers, radii, records, sky_b, sky_t, aux,
          lane_f, count_f, seed_lo, seed_hi) = res
 
-        def color_of(camera_row, centers, radii, records, sky_b, sky_t):
+        def color_of(camera_row, centers, radii, records, sky_b, sky_t,
+                     aux):
+            rt, bt = _aux_pairs(aux)
             csum, _ = replay(
                 tape, lane_f, camera_row, centers, radii, records,
-                sky_b, sky_t, _seed_of(seed_lo, seed_hi), **statics,
+                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt,
+                **statics,
             )
             return csum
 
         _, vjp_fn = jax.vjp(
-            color_of, camera_row, centers, radii, records, sky_b, sky_t
+            color_of, camera_row, centers, radii, records, sky_b, sky_t,
+            aux,
         )
         return vjp_fn(cot["color"]) + (
             jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
@@ -467,7 +614,7 @@ def sample_batch_diff(
     _run.defvjp(_fwd, _bwd)
     seed_i = jnp.asarray(seed, jnp.int32)
     return _run(
-        camera_row, centers, radii, records, sky_bottom, sky_top,
+        camera_row, centers, radii, records, sky_bottom, sky_top, aux,
         lane_count.astype(jnp.float32),
         count_in.astype(jnp.float32),
         (seed_i & jnp.int32(0xFFFF)).astype(jnp.float32),

@@ -1156,9 +1156,23 @@ def _bounce_step(
            ptime)
     if want_winner:
         # tape row for the differentiable replay (megatrace_replay):
-        # sphere winner index / hit flag (sphere-only gradient scope)
-        return out, (best_idx.astype(jnp.float32),
-                     jnp.where(hit, 1.0, 0.0))
+        # combined winner index in the KERNEL's padded row space —
+        # spheres [0, s_pad), rects [s_pad, s_pad+R_pad), boxes after —
+        # plus the hit flag.  The replay rebuilds the same combined table
+        # (same pack layouts), so the code indexes it directly.
+        widx = best_idx.astype(jnp.float32)
+        if rect_c is not None:
+            widx = jnp.where(
+                rect_wins, jnp.float32(s) + r_idx.astype(jnp.float32), widx
+            )
+        if box_c is not None:
+            r_rows_n = rect_c[0].shape[0] if rect_c is not None else 0
+            widx = jnp.where(
+                box_wins,
+                jnp.float32(s + r_rows_n) + b_idx.astype(jnp.float32),
+                widx,
+            )
+        return out, (widx, jnp.where(hit, 1.0, 0.0))
     return out
 
 
@@ -1277,6 +1291,19 @@ def _kernel(
 BATCH_OUT_ROWS = 24
 
 
+def sphere_pad_count(s: int) -> int:
+    """Padded sphere-table rows (at least one pad block so sphere-free
+    rect/box-only scenes still carry a valid never-hit table).  ONE
+    definition shared with megatrace_replay, whose tape codes index the
+    kernel's padded row space."""
+    return max(SPHERE_PAD, -(-s // SPHERE_PAD) * SPHERE_PAD)
+
+
+def aux_pad_count(k: int) -> int:
+    """Padded rect/box-table rows (pack_aux_tables layout)."""
+    return max(AUX_PAD, -(-k // AUX_PAD) * AUX_PAD)
+
+
 def _pack_scene_tables(centers, radii, records, move_offsets=None):
     """Pad sphere + material-record tables into the kernels' VMEM layout
     (shared by megatrace and sample_batch — ONE definition so the two
@@ -1287,9 +1314,7 @@ def _pack_scene_tables(centers, radii, records, move_offsets=None):
     computed in-kernel), cols 4-6 = move offset; rec rows 16-18 mirror the
     offsets for winner-normal recomputation."""
     s = centers.shape[0]
-    # at least one pad block so sphere-free (rect/box-only) scenes still
-    # carry a valid never-hit table
-    s_pad = max(SPHERE_PAD, -(-s // SPHERE_PAD) * SPHERE_PAD)
+    s_pad = sphere_pad_count(s)
 
     sph = jnp.full((s_pad, 8), PAD_CENTER, jnp.float32)
     sph = sph.at[:s, 0:3].set(centers)
@@ -1339,7 +1364,7 @@ def pack_aux_tables(scene, packed_materials):
     rct = scene.rects
     if rct.rot.shape[0] > 0:
         r = rct.rot.shape[0]
-        r_pad = max(AUX_PAD, -(-r // AUX_PAD) * AUX_PAD)
+        r_pad = aux_pad_count(r)
         geo = jnp.zeros((r_pad, 16), jnp.float32)
         geo = geo.at[:, 3].set(1.0)  # identity quats on pad rows
         geo = geo.at[:, 7:9].set(1.0)  # pad: from(1,1) > to(0,0) never hits
@@ -1360,7 +1385,7 @@ def pack_aux_tables(scene, packed_materials):
     box = scene.boxes
     if box.rot.shape[0] > 0:
         b = box.rot.shape[0]
-        b_pad = max(AUX_PAD, -(-b // AUX_PAD) * AUX_PAD)
+        b_pad = aux_pad_count(b)
         geo = jnp.zeros((b_pad, 16), jnp.float32)
         geo = geo.at[:, 3].set(1.0)
         geo = geo.at[:b, 0:4].set(box.rot)
@@ -1912,7 +1937,8 @@ def _batch_kernel(
         zero,  # shutter time of the current path
     )
     if want_tape:
-        # replay tape rows: -2 idle, -1 miss, else winner sphere index
+        # replay tape rows: -2 idle, -1 miss, else combined winner index
+        # (padded sphere/rect/box row space; see _bounce_step want_winner)
         state0 = state0 + (
             jnp.full((samples * trace_depth, t_shape[1]), -2.0,
                      jnp.float32),
@@ -2214,6 +2240,13 @@ def sample_batch(
         # recorded under the hardware PRNG would silently replay different
         # uniforms (plausible-looking but wrong gradients)
         hw_prng = False
+        # the replay mirrors spheres/rects/boxes with constant textures
+        # only — a tape over unsupported features would replay the wrong
+        # state machine (megatrace_replay.replay_eligible is the gate)
+        assert tri_tables is None and tri_stream_tables is None
+        assert tex_tables is None and cube_table is None
+        assert vol0 is None and move_offsets is None
+        assert noise_uniforms is None
     if hw_prng is None:
         hw_prng = not interpret
     n = lane_count.shape[0]

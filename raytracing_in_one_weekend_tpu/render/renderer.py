@@ -115,22 +115,26 @@ def render_batch(
         return acc, _reduce_metrics(acc, d["rays"])
 
     # --- differentiable fused path (ops/megatrace_replay): fused-kernel
-    # primal + tape-replay VJP.  Sphere-only gradient scope; everything
-    # else keeps the differentiable wavefront below.  NOTE: only the COLOR
-    # accumulator's cotangent propagates — AOV (normal/albedo/weight)
-    # gradients are detached on this path (photometric-loss scope; use the
-    # wavefront for AOV-regularized losses by forcing ineligibility).
+    # primal + tape-replay VJP.  Sphere/rect/box gradient scope (Cornell
+    # class included); everything else keeps the differentiable wavefront
+    # below.  NOTE: only the COLOR accumulator's cotangent propagates —
+    # AOV (normal/albedo/weight) gradients are detached on this path
+    # (photometric-loss scope; use the wavefront for AOV-regularized
+    # losses by forcing ineligibility).
     if (
         differentiable
         and noise_color == 0
         and pallas_sphere.use_pallas()
-        and pallas_megatrace.scene_eligible(scene)
+        and pallas_megatrace.scene_eligible(scene, allow_rect_box=True)
     ):
         from raytracing_in_one_weekend_tpu.ops import megatrace_replay
 
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
         records = pallas_megatrace.pack_sphere_records(scene, packed)
+        rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
+            scene, packed
+        )  # gradients wrt rect/box scene leaves flow through this pack
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         d = megatrace_replay.sample_batch_diff(
             lane_count,
@@ -142,16 +146,16 @@ def render_batch(
             scene.environment.sky_bottom,
             scene.environment.sky_top,
             seed,
+            rect_tables=rect_tables,
+            box_tables=box_tables,
             samples=samples,
             trace_depth=trace_depth,
             has_dielectrics=scene.flags.has_dielectrics,
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
-        if tri_stream_tables is not None:
-            # deltas arrive in LANE order; pixel p was rendered by lane
-            # rank[p]
-            d = {k: v[rank] for k, v in d.items()}
+        # (no lane reorder here: the diff-fused gate excludes triangles,
+        # so the Morton-routed streamed-triangle path can never be taken)
         return _apply_deltas(acc, d, lane_count)
 
     noise_fusable = noise_color == 0 or noise_state is not None

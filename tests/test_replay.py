@@ -155,3 +155,222 @@ class TestReplayParity:
         g = jax.grad(loss)(records)
         # albedo rows (cols 1-3) of some material must have signal
         assert float(jnp.max(jnp.abs(g[:, 1:4]))) > 1e-6
+
+
+def _mixed_scene():
+    """Sphere + rect + box testbed exercising every replay entity kind."""
+    from raytracing_in_one_weekend_tpu.scene.scene import (
+        SceneBuilder, axis_angle_quat,
+    )
+
+    b = SceneBuilder()
+    blue = b.lambert((0.2, 0.3, 0.7))
+    white = b.lambert((0.73, 0.73, 0.73))
+    gold = b.metal((0.9, 0.8, 0.6), glossiness=0.9)
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, blue)
+    b.add_rect((0.0, -0.5, -1.0), (4.0, 4.0), white,
+               rotation=axis_angle_quat((1, 0, 0), -90.0))  # floor
+    b.add_box((1.1, -0.25, -1.2), (0.5, 0.5, 0.5), gold,
+              rotation=axis_angle_quat((0, 1, 0), 30.0))
+    return b.build()
+
+
+def _aux_setup(scene, w, h, *, origin=(0, 0, 1), look=(0, 0, -1), fov=60.0):
+    camera = camera_mod.make_camera(
+        jnp.asarray(origin, jnp.float32), jnp.asarray(look, jnp.float32),
+        jnp.asarray([0.0, 1.0, 0.0]), fov, w / h,
+    )
+    packed = materials.pack_materials(scene)
+    records = pallas_megatrace.pack_sphere_records(scene, packed)
+    rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+    return camera, packed, records, rect_t, box_t
+
+
+class TestReplayRectBox:
+    """Rect/box tape-replay scope (Cornell-class differentiable scenes)."""
+
+    @pytest.mark.parametrize("scene_case", ["mixed", "cornell"])
+    def test_replay_reproduces_kernel(self, scene_case):
+        w = h = 24
+        s, d = 3, 5
+        if scene_case == "mixed":
+            scene = _mixed_scene()
+            camera, _, records, rect_t, box_t = _aux_setup(scene, w, h)
+            sky_on = True
+        else:
+            scene, cs = book_scenes.cornell_box()
+            camera = camera_mod.make_camera(
+                cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+                focus_distance=cs.focus_distance,
+            )
+            packed = materials.pack_materials(scene)
+            records = pallas_megatrace.pack_sphere_records(scene, packed)
+            rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+            sky_on = False
+        assert megatrace_replay.replay_eligible(scene)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        out = pallas_megatrace.sample_batch(
+            lane_count, jnp.zeros((w * h,)), cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), rect_tables=rect_t, box_tables=box_t,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=sky_on,
+            hw_prng=False, want_tape=True, interpret=True,
+        )
+        csum, cnt = megatrace_replay.replay(
+            out["tape"], lane_count, cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), rect_t, box_t,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=sky_on,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cnt), np.asarray(out["count"]), atol=0
+        )
+        # cornell emission reaches 15, so tolerances are relative-first
+        np.testing.assert_allclose(
+            np.asarray(csum), np.asarray(out["color"]), rtol=2e-4,
+            atol=2e-3,
+        )
+
+    def test_center_gradients_with_aux_kinds_match_fd(self):
+        # sphere-center FD in a scene that ALSO contains rects/boxes:
+        # the aux kinds must not corrupt the smooth sphere gradient
+        from raytracing_in_one_weekend_tpu.diff import gradcheck
+
+        w = h = 24
+        s, d = 3, 4
+        scene = _mixed_scene()
+        camera, _, records, rect_t, box_t = _aux_setup(scene, w, h)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        mask = np.zeros((h, w), np.float32)
+        mask[10:14, 10:14] = 1.0  # strictly inside the sphere silhouette
+        mask = jnp.asarray(mask.reshape(-1))
+
+        def loss(centers):
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                centers, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(5), rect_tables=rect_t, box_tables=box_t,
+                samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+                jitter=False, interpret=True,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            sq = jnp.sum(img**2, axis=-1)
+            return jnp.sum(sq * mask) / jnp.sum(mask)
+
+        report = gradcheck.check_grads(
+            loss, scene.spheres.center, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report
+
+    def test_cornell_light_emission_gradients_match_fd(self):
+        # the classic Cornell inverse target: light radiance.  Emission
+        # perturbations move no boundaries, so FD is clean even without
+        # an interior mask.
+        from raytracing_in_one_weekend_tpu.diff import gradcheck
+
+        w = h = 16
+        s, d = 2, 4
+        scene, cs = book_scenes.cornell_box()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        packed0 = materials.pack_materials(scene)
+        light_id = int(scene.rects.material[5])
+        assert float(packed0[light_id, 4]) == 15.0  # emissive row sanity
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+
+        def loss(em):
+            packed = packed0.at[light_id, 4:7].set(em)
+            records = pallas_megatrace.pack_sphere_records(scene, packed)
+            rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(3), rect_tables=rect_t, box_tables=box_t,
+                samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics, sky_on=False,
+                jitter=False, interpret=True,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            return jnp.mean(img)
+
+        report = gradcheck.check_grads(
+            loss, jnp.asarray([15.0, 15.0, 15.0]), eps=5e-2, rtol=0.1,
+            atol=1e-4,
+        )
+        assert report["cosine"] > 0.999, report
+        assert report["rel_err"] < 0.05, report
+
+    def test_cornell_wall_albedo_gradients_flow(self):
+        w = h = 12
+        s, d = 2, 4
+        scene, cs = book_scenes.cornell_box()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        packed0 = materials.pack_materials(scene)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+
+        def loss(packed):
+            records = pallas_megatrace.pack_sphere_records(scene, packed)
+            rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(3), rect_tables=rect_t, box_tables=box_t,
+                samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics, sky_on=False,
+                jitter=False, interpret=True,
+            )
+            return jnp.mean(out["color"])
+
+        g = jax.grad(loss)(packed0)
+        # albedo rows (cols 1-3) of the lambert walls must carry signal
+        assert float(jnp.max(jnp.abs(g[:, 1:4]))) > 1e-6
+        # and the emissive light's emission rows (cols 4-6) as well
+        assert float(jnp.max(jnp.abs(g[:, 4:7]))) > 1e-6
+
+
+def test_renderer_diff_fused_dispatch(monkeypatch):
+    """render_batch's differentiable fused branch must run end-to-end.
+
+    Regression: the Morton streamed-triangle commit pasted a
+    `tri_stream_tables` reorder into the diff branch where that name is
+    never bound, so every TPU differentiable render died with
+    UnboundLocalError at dispatch.  Forces the branch on CPU by stubbing
+    use_pallas + interpret-mode kernels."""
+    import functools
+
+    from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+
+    monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+    orig = megatrace_replay.sample_batch_diff
+    monkeypatch.setattr(
+        megatrace_replay, "sample_batch_diff",
+        functools.partial(orig, interpret=True),
+    )
+    w = h = 12
+    scene, camera, _ = _setup(book_scenes.three_spheres, w, h)
+    acc = film.zero_accumulators(w * h)
+    acc2, metrics = renderer.render_batch(
+        scene, camera, acc, jax.random.PRNGKey(0),
+        width=w, height=h, samples=2, trace_depth=4,
+        differentiable=True,
+    )
+    assert float(jnp.max(acc2.sample_count)) > 0
+    assert float(metrics.total_rays) > 0
