@@ -36,6 +36,12 @@ class InverseRenderConfig(NamedTuple):
     # cannot see coverage changes.
     use_boundary: bool = False
     boundary_samples: int = 128
+    # Unbiased L2: E[(X-t)(Y-t)] = (E[X]-t)^2 for independent renders
+    # X, Y — the plain MC L2 carries a +Var(X) term that rewards
+    # variance reduction, so noisy indirect-lit scenes (Cornell class)
+    # descend into dark-albedo/bright-light minima.  Costs 2x per step
+    # (two renders, each half spp).  Not composed with use_boundary.
+    unbiased_l2: bool = False
 
 
 def make_loss_fn(
@@ -44,15 +50,29 @@ def make_loss_fn(
     target_image: jnp.ndarray,  # (P, 3) linear
     config: InverseRenderConfig,
 ) -> Callable[[dict[str, Any], jax.Array], jnp.ndarray]:
-    def loss_fn(params: dict[str, Any], key: jax.Array) -> jnp.ndarray:
+    def render_color(params: dict[str, Any], key: jax.Array, spp: int):
         scene = params_mod.apply_params(scene_template, params)
-        img = renderer.render_image(
+        return renderer.render_image(
             scene, camera, key,
             width=config.width, height=config.height,
-            samples_per_pixel=config.samples_per_pixel,
+            samples_per_pixel=spp,
             trace_depth=config.trace_depth,
-        )
-        return jnp.mean((img.color - target_image) ** 2)
+        ).color
+
+    if config.unbiased_l2:
+
+        def loss_fn(params: dict[str, Any], key: jax.Array) -> jnp.ndarray:
+            ka, kb = jax.random.split(key)
+            spp = max(1, config.samples_per_pixel // 2)
+            ra = render_color(params, ka, spp) - target_image
+            rb = render_color(params, kb, spp) - target_image
+            return jnp.mean(ra * rb)
+
+    else:
+
+        def loss_fn(params: dict[str, Any], key: jax.Array) -> jnp.ndarray:
+            img = render_color(params, key, config.samples_per_pixel)
+            return jnp.mean((img - target_image) ** 2)
 
     return loss_fn
 
@@ -66,6 +86,7 @@ def optimize(
     seed: int = 0,
     callback=None,
     grad_mask: dict[str, Any] | None = None,
+    project: Callable[[dict[str, Any]], dict[str, Any]] | None = None,
 ) -> tuple[dict[str, Any], list[float]]:
     """Adam descent on the photometric loss; fresh sample stream per step
     (re-randomized MC gradients avoid overfitting the noise pattern).
@@ -73,6 +94,11 @@ def optimize(
     grad_mask: optional pytree matching init_params; gradients are
     multiplied elementwise (1 = optimize, 0 = freeze), the analog of
     selecting which scene objects are exposed to the optimizer.
+
+    project: optional projection applied to the params after each update
+    (projected gradient descent) — e.g. clamping albedos to [0, 1] so an
+    emission/albedo-ambiguous loss cannot escape into unphysical >1
+    albedos that amplify radiance at every bounce.
     """
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(init_params)
@@ -111,6 +137,8 @@ def optimize(
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if project is not None:
+            params = project(params)
         return params, opt_state, loss
 
     params = init_params
