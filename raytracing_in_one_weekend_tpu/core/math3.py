@@ -110,6 +110,17 @@ def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
 
 
+def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
+    """Project to the unit sphere.  quat_rotate is a rotation only for
+    unit quaternions; every geometry entry point normalizes first so the
+    rendered surface is invariant to quaternion scale — which makes
+    gradients wrt RAW quat parameters gauge-consistent (the norm
+    direction is a null direction, its gradient is exactly 0)."""
+    return q / jnp.maximum(
+        jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
+    )
+
+
 def linear_to_gamma(c: jnp.ndarray) -> jnp.ndarray:
     """Linear -> sRGB-approx gamma (reference: Util/Tools.cs:185-189
     LinearToGamma, the max(1.055 x^0.4166 - 0.055, 0) fit).  The tiny floor

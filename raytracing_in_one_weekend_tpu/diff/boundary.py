@@ -1,4 +1,4 @@
-"""Silhouette boundary gradients via edge sampling (sphere silhouettes).
+"""Silhouette boundary gradients via edge sampling.
 
 Detached-sampling autodiff through the wavefront integrator yields unbiased
 *interior* gradients but misses the visibility boundary term: moving a
@@ -6,22 +6,33 @@ sphere changes which pixels it covers, and that coverage change is exactly
 what drives photometric position/radius losses.  This module estimates the
 missing term with silhouette edge sampling (the approach of Li et al. 2018,
 "Differentiable Monte Carlo Ray Tracing through Edge Sampling", specialized
-to analytic sphere silhouettes, which need no edge hierarchy):
+to analytic silhouettes, which need no edge hierarchy):
 
   dI_k/dtheta  +=  INT_{silhouette in pixel k}
                      f_k(u) (L_in(u) - L_out(u)) (n_hat . du/dtheta) dsigma
 
-For a sphere (center c, radius r) seen from a pinhole at o, the silhouette
-is the analytic circle  p(phi) = c - (r^2/d) w + rho e(phi),  with
-w = (c-o)/d, d = |c-o|, rho = r sqrt(1 - r^2/d^2); its image-space curve,
-normal and parameter velocities come from autodiff of the projection.
-Occlusion is handled automatically: where another object covers the edge,
-L_in == L_out and the contribution vanishes.
+Three silhouette families are supported:
 
-Usage: `edge_gradients(scene, camera, g_image, ...)` turns the image-space
-loss cotangent dloss/dimage into (d_centers, d_radii); combine with the
-interior gradients from `jax.vjp` of the renderer (see
-`value_and_grad_with_boundary`).  The reference has no analog (it is not
+- **Spheres** (`edge_gradients`): for a sphere (center c, radius r) seen
+  from a pinhole at o, the silhouette is the analytic circle
+  p(phi) = c - (r^2/d) w + rho e(phi), with w = (c-o)/d, d = |c-o|,
+  rho = r sqrt(1 - r^2/d^2); its image-space curve, normal and parameter
+  velocities come from autodiff of the projection.
+- **Boxes** (`box_edge_gradients`): the silhouette of a convex polyhedron
+  is the subset of its 12 edges whose two adjacent faces straddle
+  front/back-facing; gradients flow to rotation (raw quat — the scale
+  gauge is dead, ops/geometry normalizes), position and extents.
+- **Rects** (`rect_edge_gradients`): all 4 boundary edges of the flat
+  one-sided rect are visibility boundaries; gradients flow to rotation,
+  position and the local from/to corners.
+
+Occlusion is handled automatically: where another object covers the edge,
+L_in == L_out and the contribution vanishes.  Back-facing one-sided rects
+vanish the same way.
+
+Usage: `value_and_grad_with_boundary` combines the interior gradients from
+`jax.vjp` of the renderer with every family whose parameter names appear in
+the optimized pytree.  The reference has no analog (it is not
 differentiable); this is BASELINE.json north-star machinery.
 """
 
@@ -31,6 +42,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from raytracing_in_one_weekend_tpu.core import math3, rng
 from raytracing_in_one_weekend_tpu.core.camera import Camera
@@ -41,6 +53,7 @@ from raytracing_in_one_weekend_tpu.scene.scene import Scene
 
 class BoundaryConfig(NamedTuple):
     samples_per_sphere: int = 128
+    samples_per_edge: int = 32  # per box/rect polyline edge
     trace_depth: int = 4
     probe_spp: int = 2  # radiance probes per edge-sample side
     probe_offset_pixels: float = 0.3  # in/out probe offset, in pixels
@@ -99,6 +112,76 @@ def _radiance_at(scene, camera, coords, key, trace_depth):
     return result.radiance
 
 
+def _edge_coefficients(
+    scene: Scene,
+    camera: Camera,
+    g_image: jnp.ndarray,
+    width: int,
+    height: int,
+    key: jax.Array,
+    config: BoundaryConfig,
+    uv: jnp.ndarray,  # (..., 2) image-space edge samples
+    z: jnp.ndarray,  # (...,) camera-forward depth
+    duv_dt: jnp.ndarray,  # (..., 2) curve velocity (any parameterization)
+    center_uv: jnp.ndarray,  # (..., 2) projected occluder center
+    valid: jnp.ndarray,  # (...,) extra validity mask
+    measure: float,  # parameter measure per sample (e.g. 2pi/M)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared edge-sampling machinery: oriented image-space curve normal,
+    straddling radiance probes, pixel cotangent -> per-sample scalar
+    coefficient.  Returns (coeff (...,), normal (..., 2)); the caller
+    contracts normal with its own duv/dtheta Jacobians."""
+    lead = uv.shape[:-1]
+
+    arc = math3.length(duv_dt)  # |du/dt|
+    tangent = duv_dt / jnp.maximum(arc, 1e-12)[..., None]
+    normal = jnp.stack([tangent[..., 1], -tangent[..., 0]], axis=-1)
+
+    # orient the curve normal outward from the projected occluder center
+    outward = uv - center_uv
+    flip = jnp.sum(normal * outward, axis=-1) < 0.0
+    normal = jnp.where(flip[..., None], -normal, normal)
+
+    in_front = z > 1e-6
+    in_image = (
+        (uv[..., 0] >= 0.0) & (uv[..., 0] < 1.0)
+        & (uv[..., 1] >= 0.0) & (uv[..., 1] < 1.0)
+    )
+    valid = valid & in_front & in_image
+
+    # radiance probes straddling the edge
+    delta = config.probe_offset_pixels / jnp.asarray(
+        [width, height], jnp.float32
+    )
+    flat_in = (uv - normal * delta).reshape(-1, 2)
+    flat_out = (uv + normal * delta).reshape(-1, 2)
+    l_in = jnp.zeros((flat_in.shape[0], 3))
+    l_out = jnp.zeros((flat_in.shape[0], 3))
+    for probe in range(config.probe_spp):
+        pkey = jax.random.fold_in(key, probe)
+        l_in = l_in + _radiance_at(
+            scene, camera, flat_in, jax.random.fold_in(pkey, 0),
+            config.trace_depth,
+        )
+        l_out = l_out + _radiance_at(
+            scene, camera, flat_out, jax.random.fold_in(pkey, 1),
+            config.trace_depth,
+        )
+    l_diff = (l_in - l_out).reshape(lead + (3,)) / config.probe_spp
+
+    # cotangent at the pixel each edge sample lands in
+    px = jnp.clip((uv[..., 0] * width).astype(jnp.int32), 0, width - 1)
+    py = jnp.clip((uv[..., 1] * height).astype(jnp.int32), 0, height - 1)
+    g_pix = g_image[py * width + px]  # (..., 3)
+
+    # per-sample scalar: (g . L_diff) x arc-length Jacobian x parameter
+    # measure x pixel-mean filter value (W*H).
+    coeff = (
+        jnp.sum(g_pix * l_diff, axis=-1) * arc * measure * (width * height)
+    )
+    return jnp.where(valid, coeff, 0.0), normal
+
+
 def edge_gradients(
     scene: Scene,
     camera: Camera,
@@ -136,56 +219,18 @@ def edge_gradients(
     uv, z, duv_dphi, duv_dc, duv_dr = per_sphere(centers, radii, phis)
     # uv (S,M,2), z (S,M), duv_dphi (S,M,2), duv_dc (S,M,2,3), duv_dr (S,M,2)
 
-    arc = math3.length(duv_dphi)  # |du/dphi|  (S,M)
-    tangent = duv_dphi / jnp.maximum(arc, 1e-12)[..., None]
-    normal = jnp.stack([tangent[..., 1], -tangent[..., 0]], axis=-1)
-
-    # orient the curve normal outward from the projected sphere center
-    center_uv = jax.vmap(lambda c: _project(camera, c)[0])(centers)  # (S,2)
-    outward = uv - center_uv[:, None, :]
-    flip = jnp.sum(normal * outward, axis=-1) < 0.0
-    normal = jnp.where(flip[..., None], -normal, normal)
-
-    # validity: silhouette exists (camera outside), in front, inside image
+    # validity: silhouette exists (camera outside the sphere)
     d_cam = math3.length(centers - camera.origin)
-    has_sil = (d_cam > jnp.abs(radii) + 1e-6)[:, None]
-    in_front = z > 1e-6
-    in_image = (
-        (uv[..., 0] >= 0.0) & (uv[..., 0] < 1.0)
-        & (uv[..., 1] >= 0.0) & (uv[..., 1] < 1.0)
+    has_sil = jnp.broadcast_to(
+        (d_cam > jnp.abs(radii) + 1e-6)[:, None], (s, m)
     )
-    valid = has_sil & in_front & in_image  # (S,M)
+    center_uv = jax.vmap(lambda c: _project(camera, c)[0])(centers)  # (S,2)
 
-    # radiance probes straddling the edge
-    delta = config.probe_offset_pixels / jnp.asarray([width, height], jnp.float32)
-    flat_in = (uv - normal * delta).reshape(-1, 2)
-    flat_out = (uv + normal * delta).reshape(-1, 2)
-    l_in = jnp.zeros((s * m, 3))
-    l_out = jnp.zeros((s * m, 3))
-    for probe in range(config.probe_spp):
-        pkey = jax.random.fold_in(key, probe)
-        l_in = l_in + _radiance_at(
-            scene, camera, flat_in, jax.random.fold_in(pkey, 0), config.trace_depth
-        )
-        l_out = l_out + _radiance_at(
-            scene, camera, flat_out, jax.random.fold_in(pkey, 1), config.trace_depth
-        )
-    l_diff = (l_in - l_out).reshape(s, m, 3) / config.probe_spp
-
-    # cotangent at the pixel each edge sample lands in
-    px = jnp.clip((uv[..., 0] * width).astype(jnp.int32), 0, width - 1)
-    py = jnp.clip((uv[..., 1] * height).astype(jnp.int32), 0, height - 1)
-    g_pix = g_image[py * width + px]  # (S,M,3)
-
-    # per-sample scalar: (g . L_diff) x arc-length Jacobian x phi measure
-    # x pixel-mean filter value (W*H).
-    coeff = (
-        jnp.sum(g_pix * l_diff, axis=-1)
-        * arc
-        * (2.0 * jnp.pi / m)
-        * (width * height)
+    coeff, normal = _edge_coefficients(
+        scene, camera, g_image, width, height, key, config,
+        uv, z, duv_dphi, center_uv[:, None, :], has_sil,
+        measure=2.0 * jnp.pi / m,
     )
-    coeff = jnp.where(valid, coeff, 0.0)
 
     v_dot_n_c = jnp.einsum("smi,smij->smj", normal, duv_dc)  # (S,M,3)
     v_dot_n_r = jnp.sum(normal * duv_dr, axis=-1)  # (S,M)
@@ -193,6 +238,196 @@ def edge_gradients(
     d_centers = jnp.sum(coeff[..., None] * v_dot_n_c, axis=1)
     d_radii = jnp.sum(coeff * v_dot_n_r, axis=1)
     return d_centers, d_radii
+
+
+# ---------------------------------------------------------------------------
+# Box silhouettes: the 12 edges of the oriented box; an edge is on the
+# silhouette iff its two adjacent faces straddle front/back-facing
+# (constant along the edge — each face plane keeps the camera on one side).
+# ---------------------------------------------------------------------------
+
+_BOX_FIX = []  # (12, 3): +-1 on the two fixed axes, 0 on the free axis
+_BOX_FREE = []  # (12, 3): one-hot of the free axis
+_BOX_N1 = []  # (12, 3): adjacent-face outward normal 1 (signed one-hot)
+_BOX_N2 = []  # (12, 3): adjacent-face outward normal 2
+for _free in range(3):
+    _a1, _a2 = (_free + 1) % 3, (_free + 2) % 3
+    for _s1 in (-1.0, 1.0):
+        for _s2 in (-1.0, 1.0):
+            _fix = _np.zeros(3); _fix[_a1] = _s1; _fix[_a2] = _s2
+            _fr = _np.zeros(3); _fr[_free] = 1.0
+            _n1 = _np.zeros(3); _n1[_a1] = _s1
+            _n2 = _np.zeros(3); _n2[_a2] = _s2
+            _BOX_FIX.append(_fix); _BOX_FREE.append(_fr)
+            _BOX_N1.append(_n1); _BOX_N2.append(_n2)
+_BOX_FIX = jnp.asarray(_np.stack(_BOX_FIX), jnp.float32)
+_BOX_FREE = jnp.asarray(_np.stack(_BOX_FREE), jnp.float32)
+_BOX_N1 = jnp.asarray(_np.stack(_BOX_N1), jnp.float32)
+_BOX_N2 = jnp.asarray(_np.stack(_BOX_N2), jnp.float32)
+
+
+def box_edge_gradients(
+    scene: Scene,
+    camera: Camera,
+    g_image: jnp.ndarray,  # (P, 3) cotangent dloss/dimage
+    width: int,
+    height: int,
+    key: jax.Array,
+    config: BoundaryConfig = BoundaryConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Boundary contribution to (d_rot (B,4), d_pos (B,3), d_ext (B,3)).
+
+    Rotation gradients are wrt the RAW quaternion coordinates; the scale
+    gauge contributes nothing because every consumer normalizes
+    (math3.quat_normalize in ops/geometry + pack_aux_tables)."""
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    camera = jax.tree.map(jax.lax.stop_gradient, camera)
+    boxes = scene.boxes
+    nb = boxes.rot.shape[0]
+    m = config.samples_per_edge
+
+    theta = jnp.concatenate(
+        [boxes.rot, boxes.pos, boxes.extents], axis=1
+    )  # (B, 10)
+
+    ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    ts = ts[None, None, :] + jax.random.uniform(
+        rng.purpose_key(key, rng.Purpose.SAMPLE), (nb, 12, 1),
+        maxval=1.0 / m,
+    )  # (B, 12, M) stratified along each edge
+
+    def sample_uv(th, efix, efree, t):
+        q = math3.quat_normalize(th[0:4])
+        local = (efix + (2.0 * t - 1.0) * efree) * th[7:10]
+        return _project(camera, th[4:7] + math3.quat_rotate(q, local))
+
+    def per_sample(th, efix, efree, t):
+        uv, z = sample_uv(th, efix, efree, t)
+        duv_dt = jax.jacfwd(lambda tt: sample_uv(th, efix, efree, tt)[0])(t)
+        duv_dth = jax.jacfwd(
+            lambda p: sample_uv(p, efix, efree, t)[0]
+        )(th)  # (2, 10)
+        return uv, z, duv_dt, duv_dth
+
+    per_edge = jax.vmap(
+        lambda th, efix, efree, tv: jax.vmap(
+            lambda t: per_sample(th, efix, efree, t)
+        )(tv)
+    )
+    per_box = jax.vmap(
+        lambda th, tv: per_edge(
+            jnp.broadcast_to(th, (12,) + th.shape), _BOX_FIX, _BOX_FREE, tv
+        )
+    )
+    uv, z, duv_dt, duv_dth = per_box(theta, ts)
+    # uv (B,12,M,2), z (B,12,M), duv_dt (B,12,M,2), duv_dth (B,12,M,2,10)
+
+    # silhouette-edge test (per box x edge, constant along the edge)
+    q_n = math3.quat_normalize(boxes.rot)  # (B,4)
+    n1_w = math3.quat_rotate(q_n[:, None], _BOX_N1[None])  # (B,12,3)
+    n2_w = math3.quat_rotate(q_n[:, None], _BOX_N2[None])
+    c1 = boxes.pos[:, None] + math3.quat_rotate(
+        q_n[:, None], _BOX_N1[None] * boxes.extents[:, None]
+    )
+    c2 = boxes.pos[:, None] + math3.quat_rotate(
+        q_n[:, None], _BOX_N2[None] * boxes.extents[:, None]
+    )
+    front1 = jnp.sum(n1_w * (c1 - camera.origin), axis=-1) < 0.0
+    front2 = jnp.sum(n2_w * (c2 - camera.origin), axis=-1) < 0.0
+    sil = (front1 != front2)[..., None]  # (B,12,1)
+
+    center_uv = jax.vmap(lambda p: _project(camera, p)[0])(boxes.pos)
+
+    coeff, normal = _edge_coefficients(
+        scene, camera, g_image, width, height, key, config,
+        uv, z, duv_dt, center_uv[:, None, None, :],
+        jnp.broadcast_to(sil, (nb, 12, m)), measure=1.0 / m,
+    )
+
+    v_dot_n = jnp.einsum("bemi,bemij->bemj", normal, duv_dth)  # (B,12,M,10)
+    g_theta = jnp.sum(coeff[..., None] * v_dot_n, axis=(1, 2))  # (B,10)
+    return g_theta[:, 0:4], g_theta[:, 4:7], g_theta[:, 7:10]
+
+
+def rect_edge_gradients(
+    scene: Scene,
+    camera: Camera,
+    g_image: jnp.ndarray,  # (P, 3)
+    width: int,
+    height: int,
+    key: jax.Array,
+    config: BoundaryConfig = BoundaryConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Boundary contribution to (d_rot (R,4), d_pos (R,3), d_from (R,2),
+    d_to (R,2)).  All 4 boundary edges of the flat one-sided rect are
+    visibility boundaries; back-facing rects contribute ~0 through
+    L_in == L_out (the rect is invisible from behind)."""
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    camera = jax.tree.map(jax.lax.stop_gradient, camera)
+    rects = scene.rects
+    nr = rects.rot.shape[0]
+    m = config.samples_per_edge
+
+    theta = jnp.concatenate(
+        [rects.rot, rects.pos, rects.xy_from, rects.xy_to], axis=1
+    )  # (R, 11)
+
+    ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    ts = ts[None, None, :] + jax.random.uniform(
+        rng.purpose_key(key, rng.Purpose.SAMPLE), (nr, 4, 1),
+        maxval=1.0 / m,
+    )  # (R, 4, M)
+
+    def corner(th, k):
+        # corners 0..3 counter-clockwise: (fx,fy) (tx,fy) (tx,ty) (fx,ty)
+        fx, fy, tx, ty = th[7], th[8], th[9], th[10]
+        xs = jnp.stack([fx, tx, tx, fx])
+        ys = jnp.stack([fy, fy, ty, ty])
+        return jnp.stack([xs[k], ys[k], 0.0])
+
+    def sample_uv(th, k, t):
+        local = corner(th, k) * (1.0 - t) + corner(th, (k + 1) % 4) * t
+        q = math3.quat_normalize(th[0:4])
+        return _project(camera, th[4:7] + math3.quat_rotate(q, local))
+
+    def per_sample(th, k, t):
+        uv, z = sample_uv(th, k, t)
+        duv_dt = jax.jacfwd(lambda tt: sample_uv(th, k, tt)[0])(t)
+        duv_dth = jax.jacfwd(lambda p: sample_uv(p, k, t)[0])(th)  # (2,11)
+        return uv, z, duv_dt, duv_dth
+
+    ks = jnp.arange(4)
+    per_edge = jax.vmap(
+        lambda th, k, tv: jax.vmap(lambda t: per_sample(th, k, t))(tv)
+    )
+    per_rect = jax.vmap(
+        lambda th, tv: per_edge(
+            jnp.broadcast_to(th, (4,) + th.shape), ks, tv
+        )
+    )
+    uv, z, duv_dt, duv_dth = per_rect(theta, ts)
+    # uv (R,4,M,2), duv_dth (R,4,M,2,11)
+
+    # the rect's world center (pos offset by the local from/to midpoint)
+    mid = (rects.xy_from + rects.xy_to) / 2.0
+    mid3 = jnp.concatenate([mid, jnp.zeros((nr, 1))], axis=1)
+    center_w = rects.pos + math3.quat_rotate(
+        math3.quat_normalize(rects.rot), mid3
+    )
+    center_uv = jax.vmap(lambda p: _project(camera, p)[0])(center_w)
+    valid = jnp.ones((nr, 4, m), bool)
+
+    coeff, normal = _edge_coefficients(
+        scene, camera, g_image, width, height, key, config,
+        uv, z, duv_dt, center_uv[:, None, None, :], valid,
+        measure=1.0 / m,
+    )
+
+    v_dot_n = jnp.einsum("remi,remij->remj", normal, duv_dth)
+    g_theta = jnp.sum(coeff[..., None] * v_dot_n, axis=(1, 2))  # (R,11)
+    return (
+        g_theta[:, 0:4], g_theta[:, 4:7], g_theta[:, 7:9], g_theta[:, 9:11]
+    )
 
 
 def value_and_grad_with_boundary(
@@ -209,9 +444,16 @@ def value_and_grad_with_boundary(
 
     render_fn(params, key) -> image color (P, 3); image_loss_fn(image) ->
     scalar.  Gradients for parameter entries named 'sphere_centers' /
-    'sphere_radii' receive the boundary correction; other entries get the
-    interior gradient only (shading parameters have no boundary term).
+    'sphere_radii' (sphere silhouettes), 'box_rotations' / 'box_positions'
+    / 'box_extents' (box silhouette edges) and 'rect_rotations' /
+    'rect_positions' / 'rect_from' / 'rect_to' (rect boundary edges)
+    receive the boundary correction; other entries get the interior
+    gradient only (shading parameters have no boundary term).  Each
+    family's edge pass runs only when one of its names is optimized.
     """
+    sphere_names = ("sphere_centers", "sphere_radii")
+    box_names = ("box_rotations", "box_positions", "box_extents")
+    rect_names = ("rect_rotations", "rect_positions", "rect_from", "rect_to")
 
     def value_and_grad(params, key):
         image, render_vjp = jax.vjp(lambda p: render_fn(p, key), params)
@@ -219,14 +461,35 @@ def value_and_grad_with_boundary(
         (grads,) = render_vjp(g_image)
 
         scene = scene_of_params(params)
-        d_centers, d_radii = edge_gradients(
-            scene, camera, g_image, width, height,
-            jax.random.fold_in(key, 0x0B0D), config,
-        )
-        if "sphere_centers" in grads:
-            grads["sphere_centers"] = grads["sphere_centers"] + d_centers
-        if "sphere_radii" in grads:
-            grads["sphere_radii"] = grads["sphere_radii"] + d_radii
+
+        def add(name, term):
+            if name in grads:
+                grads[name] = grads[name] + term
+
+        if any(n in grads for n in sphere_names):
+            d_centers, d_radii = edge_gradients(
+                scene, camera, g_image, width, height,
+                jax.random.fold_in(key, 0x0B0D), config,
+            )
+            add("sphere_centers", d_centers)
+            add("sphere_radii", d_radii)
+        if any(n in grads for n in box_names):
+            d_rot, d_pos, d_ext = box_edge_gradients(
+                scene, camera, g_image, width, height,
+                jax.random.fold_in(key, 0x0B0E), config,
+            )
+            add("box_rotations", d_rot)
+            add("box_positions", d_pos)
+            add("box_extents", d_ext)
+        if any(n in grads for n in rect_names):
+            d_rot, d_pos, d_from, d_to = rect_edge_gradients(
+                scene, camera, g_image, width, height,
+                jax.random.fold_in(key, 0x0B0F), config,
+            )
+            add("rect_rotations", d_rot)
+            add("rect_positions", d_pos)
+            add("rect_from", d_from)
+            add("rect_to", d_to)
         return loss, grads
 
     return value_and_grad

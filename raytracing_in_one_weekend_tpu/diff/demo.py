@@ -22,6 +22,13 @@ every pixel (the red/green walls are seen mostly through indirect
 bounces), so this exercises the rect/box tape-replay gradients through
 multi-bounce paths.  No boundary term — emission/albedo perturbations
 move no silhouettes.  Writes cornell_inverse_{target,init,final}.png.
+
+`... diff.demo [outdir] cornell-geometry` recovers the two Cornell
+boxes' positions and rotations (raw quaternions, renormalized by a
+projection hook each step) through the box silhouette-edge boundary
+gradients (diff/boundary.box_edge_gradients) — pose losses are
+coverage-driven, so the interior gradient alone is ~0.  Writes
+cornell_geo_{target,init,final}.png.
 """
 
 from __future__ import annotations
@@ -238,9 +245,121 @@ def main_cornell(
     print(f"wall albedo max-err {ae0:.3f} -> {ae1:.3f}")
 
 
+def main_cornell_geometry(
+    outdir: str = "gallery",
+    *,
+    size: int = 96,
+    steps: int = 120,
+) -> None:
+    """Recover the Cornell boxes' positions + rotations from a target
+    image via the box silhouette-edge boundary gradients."""
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod, math3
+    from raytracing_in_one_weekend_tpu.diff import inverse, params as params_mod
+    from raytracing_in_one_weekend_tpu.models import book_scenes
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+    from raytracing_in_one_weekend_tpu.scene.scene import axis_angle_quat
+    from raytracing_in_one_weekend_tpu.utils import image as image_mod
+
+    w = h = size
+    scene, cs = book_scenes.cornell_box()
+    camera = camera_mod.make_camera(
+        cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+        focus_distance=cs.focus_distance,
+    )
+    cfg = inverse.InverseRenderConfig(
+        width=w, height=h, samples_per_pixel=8, trace_depth=4,
+        learning_rate=5e-3, steps=steps,
+        use_boundary=True, boundary_probe_spp=8,
+    )
+    key = jax.random.PRNGKey(11)
+
+    def render(s):
+        return renderer.render_image(
+            s, camera, key, width=w, height=h, samples_per_pixel=64,
+            trace_depth=6, differentiable=False,
+        ).color
+
+    def save(color, path):
+        img = film.CombinedImage(
+            color=color, normal=jnp.zeros_like(color),
+            albedo=jnp.zeros_like(color),
+        )
+        image_mod.write_png(
+            path, np.asarray(film.finalize(img, w, h)["color"])
+        )
+
+    target = render(scene)
+    save(target, f"{outdir}/cornell_geo_target.png")
+
+    true_pos = scene.boxes.pos
+    true_rot = scene.boxes.rot
+    # pose perturbation: slide the boxes and twist them about +y
+    d_twist = jnp.stack([
+        axis_angle_quat((0, 1, 0), 12.0), axis_angle_quat((0, 1, 0), -9.0)
+    ])
+    init = {
+        "box_positions": true_pos + jnp.asarray(
+            [[0.12, 0.0, -0.08], [-0.1, 0.0, 0.09]]
+        ),
+        "box_rotations": _quat_mul(d_twist, true_rot),
+    }
+
+    def project(p):
+        return {
+            "box_positions": p["box_positions"],
+            "box_rotations": math3.quat_normalize(p["box_rotations"]),
+        }
+
+    save(
+        render(params_mod.apply_params(scene, init)),
+        f"{outdir}/cornell_geo_init.png",
+    )
+
+    t0 = time.perf_counter()
+    final, losses = inverse.optimize(
+        scene, camera, target, init, cfg, project=project
+    )
+    dt = time.perf_counter() - t0
+    save(
+        render(params_mod.apply_params(scene, final)),
+        f"{outdir}/cornell_geo_final.png",
+    )
+
+    def quat_angle_deg(qa, qb):
+        qa = np.asarray(math3.quat_normalize(qa))
+        qb = np.asarray(math3.quat_normalize(qb))
+        dots = np.abs(np.sum(qa * qb, axis=-1))
+        return np.degrees(2.0 * np.arccos(np.clip(dots, -1.0, 1.0)))
+
+    pe0 = np.abs(np.asarray(init["box_positions"] - true_pos)).max(1)
+    pe1 = np.abs(np.asarray(final["box_positions"] - true_pos)).max(1)
+    re0 = quat_angle_deg(init["box_rotations"], true_rot)
+    re1 = quat_angle_deg(final["box_rotations"], true_rot)
+    print(f"steps={cfg.steps} wall={dt:.1f}s ({dt/cfg.steps*1e3:.0f} ms/step)")
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+    print("box position err:", np.round(pe0, 3), "->", np.round(pe1, 3))
+    print("box rotation err (deg):", np.round(re0, 2), "->", np.round(re1, 2))
+
+
+def _quat_mul(a, b):
+    """Hamilton product of (…,4) quats in (x,y,z,w) layout: rotation b
+    followed by a."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ], axis=-1)
+
+
 if __name__ == "__main__":
     _out = sys.argv[1] if len(sys.argv) > 1 else "gallery"
-    if len(sys.argv) > 2 and sys.argv[2] == "cornell":
+    _mode = sys.argv[2] if len(sys.argv) > 2 else ""
+    if _mode == "cornell":
         main_cornell(_out)
+    elif _mode == "cornell-geometry":
+        main_cornell_geometry(_out)
     else:
         main(_out)

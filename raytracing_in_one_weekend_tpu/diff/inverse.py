@@ -36,6 +36,9 @@ class InverseRenderConfig(NamedTuple):
     # cannot see coverage changes.
     use_boundary: bool = False
     boundary_samples: int = 128
+    boundary_probe_spp: int = 2  # L_in/L_out probes per edge sample —
+    # raise in enclosed indirect-lit scenes (Cornell class) where 2-spp
+    # radiance estimates make the edge gradient a random walk
     # Unbiased L2: E[(X-t)(Y-t)] = (E[X]-t)^2 for independent renders
     # X, Y — the plain MC L2 carries a +Var(X) term that rewards
     # variance reduction, so noisy indirect-lit scenes (Cornell class)
@@ -124,6 +127,7 @@ def optimize(
             boundary.BoundaryConfig(
                 samples_per_sphere=config.boundary_samples,
                 trace_depth=config.trace_depth,
+                probe_spp=config.boundary_probe_spp,
             ),
         )
     else:

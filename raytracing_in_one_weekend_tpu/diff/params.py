@@ -35,11 +35,49 @@ def set_material_parameters(scene: Scene, parameter: jnp.ndarray) -> Scene:
     return scene._replace(materials=scene.materials._replace(parameter=parameter))
 
 
+def set_box_rotations(scene: Scene, rot: jnp.ndarray) -> Scene:
+    """Raw world-from-local quaternions (x,y,z,w); consumers normalize
+    (math3.quat_normalize), so optimizing the raw coordinates is gauge-
+    free — renormalize in a projection hook to keep Adam well-scaled."""
+    return scene._replace(boxes=scene.boxes._replace(rot=rot))
+
+
+def set_box_positions(scene: Scene, pos: jnp.ndarray) -> Scene:
+    return scene._replace(boxes=scene.boxes._replace(pos=pos))
+
+
+def set_box_extents(scene: Scene, extents: jnp.ndarray) -> Scene:
+    return scene._replace(boxes=scene.boxes._replace(extents=extents))
+
+
+def set_rect_rotations(scene: Scene, rot: jnp.ndarray) -> Scene:
+    return scene._replace(rects=scene.rects._replace(rot=rot))
+
+
+def set_rect_positions(scene: Scene, pos: jnp.ndarray) -> Scene:
+    return scene._replace(rects=scene.rects._replace(pos=pos))
+
+
+def set_rect_from(scene: Scene, xy_from: jnp.ndarray) -> Scene:
+    return scene._replace(rects=scene.rects._replace(xy_from=xy_from))
+
+
+def set_rect_to(scene: Scene, xy_to: jnp.ndarray) -> Scene:
+    return scene._replace(rects=scene.rects._replace(xy_to=xy_to))
+
+
 _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "sphere_centers": set_sphere_centers,
     "sphere_radii": set_sphere_radii,
     "texture_colors": set_texture_colors,
     "material_parameters": set_material_parameters,
+    "box_rotations": set_box_rotations,
+    "box_positions": set_box_positions,
+    "box_extents": set_box_extents,
+    "rect_rotations": set_rect_rotations,
+    "rect_positions": set_rect_positions,
+    "rect_from": set_rect_from,
+    "rect_to": set_rect_to,
 }
 
 
@@ -56,5 +94,12 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "sphere_radii": lambda s: s.spheres.radius,
         "texture_colors": lambda s: s.textures.main_color,
         "material_parameters": lambda s: s.materials.parameter,
+        "box_rotations": lambda s: s.boxes.rot,
+        "box_positions": lambda s: s.boxes.pos,
+        "box_extents": lambda s: s.boxes.extents,
+        "rect_rotations": lambda s: s.rects.rot,
+        "rect_positions": lambda s: s.rects.pos,
+        "rect_from": lambda s: s.rects.xy_from,
+        "rect_to": lambda s: s.rects.xy_to,
     }
     return {n: getters[n](scene) for n in names}

@@ -221,6 +221,7 @@ def rect_hit_all(
     HitTests.cs:69).  Returns (t (N,R), world normals (N,R,3)); the normal
     is the rotated local +Z, constant per rect.
     """
+    rot = math3.quat_normalize(rot)  # scale-gauge-free raw-quat grads
     inv_rot = math3.quat_conjugate(rot)  # (R,4)
     o_local = math3.quat_rotate(inv_rot[None], origin[:, None] - pos[None])
     d_local = math3.quat_rotate(inv_rot[None], direction[:, None])  # (N,R,3)
@@ -258,6 +259,7 @@ def box_hit_all(
     distance comes from the standard slab t_far and feeds convex-hull volume
     exit hits (Entity.cs:24 IsConvexHull gates Sphere|Box).
     """
+    rot = math3.quat_normalize(rot)  # scale-gauge-free raw-quat grads
     inv_rot = math3.quat_conjugate(rot)
     o = math3.quat_rotate(inv_rot[None], origin[:, None] - pos[None])  # (N,B,3)
     d = math3.quat_rotate(inv_rot[None], direction[:, None])  # (N,B,3)
@@ -327,6 +329,7 @@ def rect_hit_single(
     t_min: float = T_MIN,
 ) -> jnp.ndarray:
     """Per-ray single-rect test (HitTests.cs:62-78) for BVH leaf candidates."""
+    rot = math3.quat_normalize(rot)
     inv_rot = math3.quat_conjugate(rot)
     o_local = math3.quat_rotate(inv_rot, origin - pos)
     d_local = math3.quat_rotate(inv_rot, direction)
@@ -348,6 +351,7 @@ def box_hit_single(
     t_min: float = T_MIN,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray single-box entry/exit (HitTests.cs:81-113 entry; slab exit)."""
+    rot = math3.quat_normalize(rot)
     inv_rot = math3.quat_conjugate(rot)
     o = math3.quat_rotate(inv_rot, origin - pos)
     d = math3.quat_rotate(inv_rot, direction)

@@ -1365,15 +1365,19 @@ def pack_aux_tables(scene, packed_materials):
     if rct.rot.shape[0] > 0:
         r = rct.rot.shape[0]
         r_pad = aux_pad_count(r)
+        # normalize at pack time: the kernel/replay quat math assumes
+        # unit quats, and the scale gauge must be dead for raw-quat
+        # gradients (matches ops/geometry's per-call normalization)
+        rrot = math3.quat_normalize(rct.rot)
         geo = jnp.zeros((r_pad, 16), jnp.float32)
         geo = geo.at[:, 3].set(1.0)  # identity quats on pad rows
         geo = geo.at[:, 7:9].set(1.0)  # pad: from(1,1) > to(0,0) never hits
-        geo = geo.at[:r, 0:4].set(rct.rot)
+        geo = geo.at[:r, 0:4].set(rrot)
         geo = geo.at[:r, 4:7].set(rct.pos)
         geo = geo.at[:r, 7:9].set(rct.xy_from)
         geo = geo.at[:r, 9:11].set(rct.xy_to)
         normal = math3.quat_rotate(
-            rct.rot, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3))
+            rrot, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (r, 3))
         )
         rec = jnp.zeros((AUX_REC_ROWS, r_pad), jnp.float32)
         rec = rec.at[:11, :r].set(packed_materials[rct.material][:, :11].T)
@@ -1386,14 +1390,15 @@ def pack_aux_tables(scene, packed_materials):
     if box.rot.shape[0] > 0:
         b = box.rot.shape[0]
         b_pad = aux_pad_count(b)
+        brot = math3.quat_normalize(box.rot)
         geo = jnp.zeros((b_pad, 16), jnp.float32)
         geo = geo.at[:, 3].set(1.0)
-        geo = geo.at[:b, 0:4].set(box.rot)
+        geo = geo.at[:b, 0:4].set(brot)
         geo = geo.at[:b, 4:7].set(box.pos)
         geo = geo.at[:b, 7:10].set(box.extents)  # pad rows keep extents 0
         rec = jnp.zeros((AUX_REC_ROWS, b_pad), jnp.float32)
         rec = rec.at[:11, :b].set(packed_materials[box.material][:, :11].T)
-        rec = rec.at[11:15, :b].set(box.rot.T)
+        rec = rec.at[11:15, :b].set(brot.T)
         rec = rec.at[15:18, :b].set(box.pos.T)
         rec = rec.at[18:21, :b].set(box.extents.T)
         rec = rec.at[21, :b].set(box.material.astype(jnp.float32))

@@ -103,6 +103,148 @@ class TestBoundaryGradients:
         assert abs(ad[0] - fd) < max(0.35 * abs(fd), 5e-3), (ad[0], fd)
 
 
+@pytest.fixture(scope="module")
+def box_setup():
+    from raytracing_in_one_weekend_tpu.scene.scene import (
+        SceneBuilder, axis_angle_quat,
+    )
+
+    b = SceneBuilder()
+    red = b.lambert((0.8, 0.2, 0.1))
+    b.add_box((0.0, 0.0, -2.0), (0.6, 0.8, 0.5), red,
+              rotation=axis_angle_quat((0, 1, 0), 25.0))
+    scene = b.build()
+    cam = camera_mod.make_camera(
+        jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, -2.0]),
+        jnp.asarray([0.0, 1.0, 0.0]), 55.0, 1.0,
+    )
+    target = renderer.render_image(
+        scene, cam, jax.random.PRNGKey(5),
+        width=W, height=H, samples_per_pixel=SPP, trace_depth=3,
+    ).color
+
+    @jax.jit
+    def render(p, k):
+        s = params_mod.apply_params(scene, p)
+        return renderer.render_image(
+            s, cam, k, width=W, height=H,
+            samples_per_pixel=SPP, trace_depth=3,
+        ).color
+
+    def image_loss(img):
+        return jnp.mean((img - target) ** 2)
+
+    vg = jax.jit(
+        boundary.value_and_grad_with_boundary(
+            render, image_loss, lambda p: params_mod.apply_params(scene, p),
+            cam, W, H,
+            boundary.BoundaryConfig(
+                samples_per_edge=128, trace_depth=3, probe_spp=8
+            ),
+        )
+    )
+    return scene, render, image_loss, vg
+
+
+class TestBoxRectBoundaryGradients:
+    """FD validation of the box/rect silhouette-edge families.  Coverage
+    motion dominates these losses, so matching FD proves the edge term —
+    interior-only gradients measured ~0 here (the sphere xfail analog)."""
+
+    @pytest.mark.parametrize("axis", [0, 1])
+    def test_box_position_gradient_allclose(self, box_setup, axis):
+        scene, render, image_loss, vg = box_setup
+        base = {
+            "box_positions": scene.boxes.pos
+            + jnp.asarray([[0.06, 0.04, 0.0]])
+        }
+        keys = [jax.random.PRNGKey(i) for i in range(2)]
+        ad = np.mean(
+            [np.asarray(vg(base, k)[1]["box_positions"]) for k in keys],
+            axis=0,
+        )
+        fd = _fd(render, image_loss, base, "box_positions", axis, 4e-3, keys)
+        assert np.isfinite(ad).all()
+        assert np.sign(ad[0, axis]) == np.sign(fd) or abs(fd) < 2e-3
+        assert abs(ad[0, axis] - fd) < max(0.35 * abs(fd), 5e-3), (
+            ad[0, axis], fd,
+        )
+
+    def test_box_rotation_gradient_allclose(self, box_setup):
+        # raw-quat gradient: the scale gauge is dead (consumers
+        # normalize), so FD along a quat coordinate is well-defined
+        scene, render, image_loss, vg = box_setup
+        base = {
+            "box_rotations": scene.boxes.rot
+            + jnp.asarray([[0.02, -0.015, 0.01, 0.0]])
+        }
+        keys = [jax.random.PRNGKey(i) for i in range(3)]
+        ad = np.mean(
+            [np.asarray(vg(base, k)[1]["box_rotations"]) for k in keys],
+            axis=0,
+        )
+        fd = _fd(render, image_loss, base, "box_rotations", 0, 1e-2, keys)
+        assert np.isfinite(ad).all()
+        assert np.sign(ad[0, 0]) == np.sign(fd) or abs(fd) < 5e-4
+        assert abs(ad[0, 0] - fd) < max(0.5 * abs(fd), 1e-3), (ad[0, 0], fd)
+
+    def test_rect_position_and_corner_gradients_allclose(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import (
+            SceneBuilder, axis_angle_quat,
+        )
+
+        b = SceneBuilder()
+        blue = b.lambert((0.2, 0.3, 0.8))
+        b.add_rect((0.0, 0.0, -2.0), (1.2, 0.9), blue,
+                   rotation=axis_angle_quat((0, 1, 0), 10.0))
+        scene = b.build()
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, -2.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 55.0, 1.0,
+        )
+        target = renderer.render_image(
+            scene, cam, jax.random.PRNGKey(5),
+            width=W, height=H, samples_per_pixel=SPP, trace_depth=3,
+        ).color
+
+        @jax.jit
+        def render(p, k):
+            s = params_mod.apply_params(scene, p)
+            return renderer.render_image(
+                s, cam, k, width=W, height=H,
+                samples_per_pixel=SPP, trace_depth=3,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = jax.jit(
+            boundary.value_and_grad_with_boundary(
+                render, image_loss,
+                lambda p: params_mod.apply_params(scene, p),
+                cam, W, H,
+                boundary.BoundaryConfig(
+                    samples_per_edge=128, trace_depth=3, probe_spp=8
+                ),
+            )
+        )
+        base = {
+            "rect_positions": scene.rects.pos
+            + jnp.asarray([[0.05, 0.04, 0.0]]),
+            "rect_to": scene.rects.xy_to + jnp.asarray([[0.05, 0.0]]),
+        }
+        keys = [jax.random.PRNGKey(i) for i in range(2)]
+        grads = [vg(base, k)[1] for k in keys]
+        for name, idx in (("rect_positions", 1), ("rect_to", 1)):
+            ad = np.mean([np.asarray(g[name]) for g in grads], axis=0)
+            fd = _fd(render, image_loss, base, name, idx, 4e-3, keys)
+            assert np.isfinite(ad).all()
+            assert np.sign(ad.reshape(-1)[idx]) == np.sign(fd) or abs(fd) < 2e-3
+            assert abs(ad.reshape(-1)[idx] - fd) < max(0.4 * abs(fd), 5e-3), (
+                name, ad.reshape(-1)[idx], fd,
+            )
+
+
 class TestBoundaryInverse:
     def test_recover_sphere_position_with_boundary(self):
         scene, cs = book_scenes.single_sphere()
@@ -133,4 +275,36 @@ class TestBoundaryInverse:
         )
         err0 = float(jnp.abs(perturbed[0] - true_centers[0]).max())
         err1 = float(jnp.abs(final["sphere_centers"][0] - true_centers[0]).max())
+        assert err1 < err0 * 0.5, (err0, err1, losses[:3], losses[-3:])
+
+    def test_recover_box_position_with_boundary(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import (
+            SceneBuilder, axis_angle_quat,
+        )
+
+        b = SceneBuilder()
+        red = b.lambert((0.8, 0.2, 0.1))
+        b.add_box((0.0, 0.0, -2.0), (0.6, 0.8, 0.5), red,
+                  rotation=axis_angle_quat((0, 1, 0), 25.0))
+        scene = b.build()
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, -2.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 55.0, 1.0,
+        )
+        config = inverse.InverseRenderConfig(
+            width=32, height=32, samples_per_pixel=8, trace_depth=3,
+            learning_rate=8e-3, steps=50,
+            use_boundary=True,
+        )
+        target = renderer.render_image(
+            scene, cam, jax.random.PRNGKey(5),
+            width=32, height=32, samples_per_pixel=32, trace_depth=3,
+        ).color
+        true_pos = scene.boxes.pos
+        perturbed = true_pos + jnp.asarray([[0.07, -0.06, 0.0]])
+        final, losses = inverse.optimize(
+            scene, cam, target, {"box_positions": perturbed}, config,
+        )
+        err0 = float(jnp.abs(perturbed - true_pos).max())
+        err1 = float(jnp.abs(final["box_positions"] - true_pos).max())
         assert err1 < err0 * 0.5, (err0, err1, losses[:3], losses[-3:])
