@@ -430,6 +430,146 @@ def rect_edge_gradients(
     )
 
 
+# ---------------------------------------------------------------------------
+# Triangle-mesh silhouettes: a directed edge of a triangle is a visibility
+# boundary iff it has no welded neighbor (mesh boundary) or its neighbor
+# faces the other way.  Gradients flow to the SOUP vertex copies — moving
+# one copy of a shared vertex sweeps only its own triangle's edges (the
+# first-order image change of opening a crack), which is exactly what FD
+# of the soup parameterization measures.
+# ---------------------------------------------------------------------------
+
+
+class TriangleAdjacency(NamedTuple):
+    """Static (host-precomputed) soup topology for silhouette tests.
+
+    neighbor (T, 3) int32: triangle sharing directed edge e of triangle t
+    (edges are (v0,v1), (v1,v2), (v2,v0)), welded by exact vertex
+    position; -1 for mesh-boundary edges.  flip (T, 3) float32: +1 when
+    the neighbor's winding is consistent (it holds the opposite directed
+    edge), -1 when it holds the same-direction edge (its geometric normal
+    is flipped relative to ours in the facing test)."""
+
+    neighbor: jnp.ndarray
+    flip: jnp.ndarray
+
+
+def soup_vertices(scene: Scene) -> jnp.ndarray:
+    """(T, 3, 3) world vertices (v0, v1, v2) from the edge-form soup
+    (Triangle.cs edge form: edge_a = v2-v0, edge_b = v1-v0)."""
+    tri = scene.triangles
+    return jnp.stack(
+        [tri.vert0, tri.vert0 + tri.edge_b, tri.vert0 + tri.edge_a], axis=1
+    )
+
+
+def build_triangle_adjacency(scene: Scene) -> TriangleAdjacency:
+    """Weld the template soup by exact vertex position and record, per
+    directed edge, the adjacent triangle and relative winding.  Host-side
+    NumPy; topology is static over an optimization (only positions move)."""
+    verts = _np.asarray(soup_vertices(scene))  # (T,3,3)
+    t_count = verts.shape[0]
+    edge_map: dict[tuple[bytes, bytes], tuple[int, int]] = {}
+    for t in range(t_count):
+        for e in range(3):
+            a = verts[t, e].tobytes()
+            b = verts[t, (e + 1) % 3].tobytes()
+            edge_map.setdefault((a, b), (t, e))
+    neighbor = _np.full((t_count, 3), -1, _np.int32)
+    flip = _np.ones((t_count, 3), _np.float32)
+    for t in range(t_count):
+        for e in range(3):
+            a = verts[t, e].tobytes()
+            b = verts[t, (e + 1) % 3].tobytes()
+            opp = edge_map.get((b, a))
+            if opp is not None and opp[0] != t:
+                neighbor[t, e] = opp[0]
+                continue
+            same = edge_map.get((a, b))
+            if same is not None and same[0] != t:
+                neighbor[t, e] = same[0]
+                flip[t, e] = -1.0
+    return TriangleAdjacency(
+        neighbor=jnp.asarray(neighbor), flip=jnp.asarray(flip)
+    )
+
+
+def triangle_edge_gradients(
+    scene: Scene,
+    camera: Camera,
+    g_image: jnp.ndarray,  # (P, 3)
+    width: int,
+    height: int,
+    key: jax.Array,
+    adjacency: TriangleAdjacency,
+    config: BoundaryConfig = BoundaryConfig(),
+) -> jnp.ndarray:
+    """Boundary contribution to dloss/d(soup vertices), (T, 3, 3) in
+    (v0, v1, v2) order (the 'triangle_vertices' parameterization —
+    geometry only; stored shading normals are a separate parameter)."""
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    camera = jax.tree.map(jax.lax.stop_gradient, camera)
+    verts = soup_vertices(scene)  # (T,3,3)
+    t_count = verts.shape[0]
+    m = config.samples_per_edge
+
+    # facing per triangle (plane side of the camera; any plane point works)
+    n_geo = jnp.cross(
+        verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0]
+    )  # (T,3)
+    centroid = jnp.mean(verts, axis=1)
+    front = jnp.sum(n_geo * (centroid - camera.origin), axis=-1) < 0.0  # (T,)
+
+    nb = adjacency.neighbor  # (T,3)
+    nb_safe = jnp.maximum(nb, 0)
+    front_nb = front[nb_safe] ^ (adjacency.flip < 0.0)  # winding-adjusted
+    sil = (nb < 0) | (front[:, None] != front_nb)  # (T,3)
+
+    ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    ts = ts[None, None, :] + jax.random.uniform(
+        rng.purpose_key(key, rng.Purpose.SAMPLE), (t_count, 3, 1),
+        maxval=1.0 / m,
+    )  # (T,3,M)
+
+    # endpoint pairs per directed edge: (va, vb) = (v_e, v_{e+1 mod 3})
+    va = verts  # (T,3,3) — slot e IS v_e
+    vb = jnp.roll(verts, -1, axis=1)
+
+    def sample_uv(theta, t):
+        # theta (6,) = [va, vb]
+        return _project(camera, theta[0:3] * (1.0 - t) + theta[3:6] * t)
+
+    def per_sample(theta, t):
+        uv, z = sample_uv(theta, t)
+        duv_dt = jax.jacfwd(lambda tt: sample_uv(theta, tt)[0])(t)
+        duv_dth = jax.jacfwd(lambda p: sample_uv(p, t)[0])(theta)  # (2,6)
+        return uv, z, duv_dt, duv_dth
+
+    theta = jnp.concatenate([va, vb], axis=-1)  # (T,3,6)
+    per_edge = jax.vmap(lambda th, tv: jax.vmap(
+        lambda t: per_sample(th, t)
+    )(tv))
+    per_tri = jax.vmap(per_edge)
+    uv, z, duv_dt, duv_dth = per_tri(theta, ts)
+    # uv (T,3,M,2), duv_dth (T,3,M,2,6)
+
+    center_uv = jax.vmap(lambda c: _project(camera, c)[0])(centroid)
+
+    coeff, normal = _edge_coefficients(
+        scene, camera, g_image, width, height, key, config,
+        uv, z, duv_dt, center_uv[:, None, None, :],
+        jnp.broadcast_to(sil[..., None], (t_count, 3, m)), measure=1.0 / m,
+    )
+
+    v_dot_n = jnp.einsum("temi,temij->temj", normal, duv_dth)  # (T,3,M,6)
+    g_edge = jnp.sum(coeff[..., None] * v_dot_n, axis=2)  # (T,3,6)
+
+    # scatter the endpoint halves back to vertex slots: edge e touches
+    # v_e (first half) and v_{e+1 mod 3} (second half)
+    d_verts = g_edge[..., 0:3] + jnp.roll(g_edge[..., 3:6], 1, axis=1)
+    return d_verts
+
+
 def value_and_grad_with_boundary(
     render_fn: Callable[[dict[str, Any], jax.Array], jnp.ndarray],
     image_loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -438,6 +578,7 @@ def value_and_grad_with_boundary(
     width: int,
     height: int,
     config: BoundaryConfig = BoundaryConfig(),
+    triangle_adjacency: TriangleAdjacency | None = None,
 ):
     """Build value_and_grad(params, key) whose gradients are
     interior (autodiff through the renderer) + silhouette boundary term.
@@ -450,6 +591,10 @@ def value_and_grad_with_boundary(
     receive the boundary correction; other entries get the interior
     gradient only (shading parameters have no boundary term).  Each
     family's edge pass runs only when one of its names is optimized.
+
+    'triangle_vertices' (T,3,3 soup vertices) additionally needs the
+    static topology: pass triangle_adjacency =
+    build_triangle_adjacency(template_scene).
     """
     sphere_names = ("sphere_centers", "sphere_radii")
     box_names = ("box_rotations", "box_positions", "box_extents")
@@ -490,6 +635,17 @@ def value_and_grad_with_boundary(
             add("rect_positions", d_pos)
             add("rect_from", d_from)
             add("rect_to", d_to)
+        if "triangle_vertices" in grads:
+            if triangle_adjacency is None:
+                raise ValueError(
+                    "triangle_vertices needs triangle_adjacency="
+                    "build_triangle_adjacency(template_scene)"
+                )
+            d_verts = triangle_edge_gradients(
+                scene, camera, g_image, width, height,
+                jax.random.fold_in(key, 0x0B10), triangle_adjacency, config,
+            )
+            add("triangle_vertices", d_verts)
         return loss, grads
 
     return value_and_grad

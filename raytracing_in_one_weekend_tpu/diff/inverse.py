@@ -119,6 +119,10 @@ def optimize(
             )
             return img.color
 
+        adjacency = (
+            boundary.build_triangle_adjacency(scene_template)
+            if "triangle_vertices" in init_params else None
+        )
         value_and_grad = boundary.value_and_grad_with_boundary(
             render_fn,
             lambda img: jnp.mean((img - target_image) ** 2),
@@ -129,6 +133,7 @@ def optimize(
                 trace_depth=config.trace_depth,
                 probe_spp=config.boundary_probe_spp,
             ),
+            triangle_adjacency=adjacency,
         )
     else:
         loss_fn = make_loss_fn(scene_template, camera, target_image, config)

@@ -66,6 +66,19 @@ def set_rect_to(scene: Scene, xy_to: jnp.ndarray) -> Scene:
     return scene._replace(rects=scene.rects._replace(xy_to=xy_to))
 
 
+def set_triangle_vertices(scene: Scene, verts: jnp.ndarray) -> Scene:
+    """Soup vertices (T, 3, 3) in (v0, v1, v2) order, re-packed to the
+    edge form (Triangle.cs: edge_a = v2-v0, edge_b = v1-v0).  Geometry
+    only — stored per-vertex shading normals/uvs are separate parameters
+    and stay fixed (FD through the renderer measures the same thing)."""
+    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+    return scene._replace(
+        triangles=scene.triangles._replace(
+            vert0=v0, edge_b=v1 - v0, edge_a=v2 - v0
+        )
+    )
+
+
 _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "sphere_centers": set_sphere_centers,
     "sphere_radii": set_sphere_radii,
@@ -78,6 +91,7 @@ _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "rect_positions": set_rect_positions,
     "rect_from": set_rect_from,
     "rect_to": set_rect_to,
+    "triangle_vertices": set_triangle_vertices,
 }
 
 
@@ -101,5 +115,13 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "rect_positions": lambda s: s.rects.pos,
         "rect_from": lambda s: s.rects.xy_from,
         "rect_to": lambda s: s.rects.xy_to,
+        "triangle_vertices": lambda s: jnp.stack(
+            [
+                s.triangles.vert0,
+                s.triangles.vert0 + s.triangles.edge_b,
+                s.triangles.vert0 + s.triangles.edge_a,
+            ],
+            axis=1,
+        ),
     }
     return {n: getters[n](scene) for n in names}

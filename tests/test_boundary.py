@@ -245,6 +245,112 @@ class TestBoxRectBoundaryGradients:
             )
 
 
+def _quad_scene():
+    """Two triangles sharing the diagonal (consistent winding)."""
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    red = b.lambert((0.8, 0.2, 0.1))
+    b.add_triangle((-0.6, -0.5, -2.0), (0.6, -0.5, -2.0), (0.6, 0.5, -2.0),
+                   red)
+    b.add_triangle((-0.6, -0.5, -2.0), (0.6, 0.5, -2.0), (-0.6, 0.5, -2.0),
+                   red)
+    return b.build()
+
+
+class TestTriangleBoundaryGradients:
+    def test_adjacency_welds_shared_diagonal(self):
+        scene = _quad_scene()
+        adj = boundary.build_triangle_adjacency(scene)
+        nb = np.asarray(adj.neighbor)
+        # exactly one directed edge of each triangle is welded, mutually
+        assert (nb >= 0).sum() == 2
+        e0 = int(np.argwhere(nb[0] >= 0)[0, 0])
+        e1 = int(np.argwhere(nb[1] >= 0)[0, 0])
+        assert nb[0, e0] == 1 and nb[1, e1] == 0
+        # consistent winding: the neighbor holds the opposite direction
+        assert float(adj.flip[0, e0]) == 1.0
+        assert float(adj.flip[1, e1]) == 1.0
+
+    def test_adjacency_flags_reversed_winding(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        red = b.lambert((0.8, 0.2, 0.1))
+        b.add_triangle((-0.6, -0.5, -2.0), (0.6, -0.5, -2.0),
+                       (0.6, 0.5, -2.0), red)
+        # second triangle holds the diagonal in the SAME direction
+        # (v0->v2 of the first) — inconsistent winding
+        b.add_triangle((-0.6, -0.5, -2.0), (0.6, 0.5, -2.0),
+                       (-0.6, 0.5, -2.0), red)
+        scene_ok = b.build()
+        adj_ok = boundary.build_triangle_adjacency(scene_ok)
+        b2 = SceneBuilder()
+        red2 = b2.lambert((0.8, 0.2, 0.1))
+        b2.add_triangle((-0.6, -0.5, -2.0), (0.6, -0.5, -2.0),
+                        (0.6, 0.5, -2.0), red2)
+        b2.add_triangle((0.6, 0.5, -2.0), (-0.6, -0.5, -2.0),
+                        (-0.6, 0.5, -2.0), red2)  # diagonal reversed
+        scene_bad = b2.build()
+        adj_bad = boundary.build_triangle_adjacency(scene_bad)
+        assert float(np.asarray(adj_ok.flip).min()) == 1.0
+        assert float(np.asarray(adj_bad.flip).min()) == -1.0
+
+    def test_vertex_gradient_fullframe_allclose(self):
+        scene = _quad_scene()
+        adj = boundary.build_triangle_adjacency(scene)
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, -2.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 55.0, 1.0,
+        )
+        target = renderer.render_image(
+            scene, cam, jax.random.PRNGKey(5),
+            width=W, height=H, samples_per_pixel=SPP, trace_depth=3,
+        ).color
+
+        @jax.jit
+        def render(p, k):
+            s = params_mod.apply_params(scene, p)
+            return renderer.render_image(
+                s, cam, k, width=W, height=H,
+                samples_per_pixel=SPP, trace_depth=3,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = jax.jit(
+            boundary.value_and_grad_with_boundary(
+                render, image_loss,
+                lambda p: params_mod.apply_params(scene, p),
+                cam, W, H,
+                boundary.BoundaryConfig(
+                    samples_per_edge=128, trace_depth=3, probe_spp=8
+                ),
+                triangle_adjacency=adj,
+            )
+        )
+        tv = params_mod.extract_params(scene, ("triangle_vertices",))[
+            "triangle_vertices"
+        ]
+        base = {"triangle_vertices": tv + 0.03}
+        keys = [jax.random.PRNGKey(i) for i in range(2)]
+        ad = np.mean(
+            [np.asarray(vg(base, k)[1]["triangle_vertices"]) for k in keys],
+            axis=0,
+        ).reshape(-1)
+        for idx in (0, 4):  # two exemplar vertex coordinates
+            fd = _fd(
+                render, image_loss, base, "triangle_vertices", idx, 4e-3,
+                keys,
+            )
+            assert np.isfinite(ad).all()
+            assert np.sign(ad[idx]) == np.sign(fd) or abs(fd) < 2e-3
+            assert abs(ad[idx] - fd) < max(0.4 * abs(fd), 5e-3), (
+                idx, ad[idx], fd,
+            )
+
+
 class TestBoundaryInverse:
     def test_recover_sphere_position_with_boundary(self):
         scene, cs = book_scenes.single_sphere()
