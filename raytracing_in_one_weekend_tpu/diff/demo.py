@@ -29,6 +29,12 @@ projection hook each step) through the box silhouette-edge boundary
 gradients (diff/boundary.box_edge_gradients) — pose losses are
 coverage-driven, so the interior gradient alone is ~0.  Writes
 cornell_geo_{target,init,final}.png.
+
+`... diff.demo [outdir] camera` answers "where was this photo taken?":
+recover the camera origin and view direction from one rendered image
+through diff/boundary.camera_edge_gradients (interior-only camera
+gradients DIVERGE — pose losses are image-shift/silhouette driven).
+Writes camera_{target,init,final}.png.
 """
 
 from __future__ import annotations
@@ -341,6 +347,115 @@ def main_cornell_geometry(
     print("box rotation err (deg):", np.round(re0, 2), "->", np.round(re1, 2))
 
 
+def main_camera(
+    outdir: str = "gallery",
+    *,
+    size: int = 96,
+    steps: int = 150,
+) -> None:
+    """Camera-pose recovery through silhouette boundary gradients."""
+    import optax
+
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.diff import boundary
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+    from raytracing_in_one_weekend_tpu.utils import image as image_mod
+
+    w = h = size
+    b = SceneBuilder()
+    lam = b.lambert((0.1, 0.2, 0.5))
+    red = b.lambert((0.8, 0.2, 0.1))
+    gr = b.lambert((0.8, 0.8, 0.0))
+    met = b.metal((0.8, 0.6, 0.2), glossiness=1.0)
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, lam)
+    b.add_sphere((-0.8, 0.1, -1.2), 0.4, red)
+    b.add_sphere((0.9, -0.1, -1.1), 0.45, met)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, gr)
+    scene = b.build()
+
+    def camera_of(th):
+        return camera_mod.make_camera(
+            th["origin"], th["look"], jnp.asarray([0.0, 1.0, 0.0]),
+            70.0, w / h,
+        )
+
+    true = {"origin": jnp.zeros(3), "look": jnp.asarray([0.0, 0.0, -1.0])}
+
+    def save(th, path):
+        color = renderer.render_image(
+            scene, camera_of(th), jax.random.PRNGKey(0), width=w, height=h,
+            samples_per_pixel=64, trace_depth=4, differentiable=False,
+        ).color
+        img = film.CombinedImage(
+            color=color, normal=jnp.zeros_like(color),
+            albedo=jnp.zeros_like(color),
+        )
+        image_mod.write_png(
+            path, np.asarray(film.finalize(img, w, h)["color"])
+        )
+
+    target = renderer.render_image(
+        scene, camera_of(true), jax.random.PRNGKey(0), width=w, height=h,
+        samples_per_pixel=64, trace_depth=4, differentiable=False,
+    ).color
+    save(true, f"{outdir}/camera_target.png")
+
+    def render(th, k):
+        return renderer.render_image(
+            scene, camera_of(th), k, width=w, height=h,
+            samples_per_pixel=8, trace_depth=4,
+        ).color
+
+    def image_loss(img):
+        return jnp.mean((img - target) ** 2)
+
+    vg = boundary.camera_value_and_grad_with_boundary(
+        render, image_loss, scene, camera_of, w, h,
+        boundary.BoundaryConfig(
+            samples_per_sphere=256, trace_depth=4, probe_spp=4
+        ),
+    )
+    init = {
+        "origin": true["origin"] + jnp.asarray([0.15, -0.1, 0.12]),
+        "look": true["look"] + jnp.asarray([-0.08, 0.06, 0.0]),
+    }
+    save(init, f"{outdir}/camera_init.png")
+    opt = optax.adam(6e-3)
+    state = opt.init(init)
+
+    @jax.jit
+    def step(p, s, k):
+        loss, g = vg(p, k)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    p = init
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        p, state, loss = step(p, state, jax.random.PRNGKey(500 + i))
+        losses.append(float(loss))
+    dt = time.perf_counter() - t0
+    save(p, f"{outdir}/camera_final.png")
+
+    def fwd_angle(th):
+        f = th["look"] - th["origin"]
+        f = f / jnp.linalg.norm(f)
+        ft = true["look"] - true["origin"]
+        ft = ft / jnp.linalg.norm(ft)
+        return float(jnp.degrees(jnp.arccos(jnp.clip(jnp.dot(f, ft), -1, 1))))
+
+    print(f"steps={steps} wall={dt:.1f}s ({dt/steps*1e3:.0f} ms/step)")
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+    print(
+        "origin err",
+        float(jnp.abs(init["origin"] - true["origin"]).max()), "->",
+        float(jnp.abs(p["origin"] - true["origin"]).max()),
+    )
+    print(f"view-dir angle err {fwd_angle(init):.2f} -> {fwd_angle(p):.2f} deg")
+
+
 def _quat_mul(a, b):
     """Hamilton product of (…,4) quats in (x,y,z,w) layout: rotation b
     followed by a."""
@@ -361,5 +476,7 @@ if __name__ == "__main__":
         main_cornell(_out)
     elif _mode == "cornell-geometry":
         main_cornell_geometry(_out)
+    elif _mode == "camera":
+        main_camera(_out)
     else:
         main(_out)

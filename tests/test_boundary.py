@@ -351,6 +351,145 @@ class TestTriangleBoundaryGradients:
             )
 
 
+def _pose_scene():
+    """Lambert/metal spheres + ground — opaque silhouettes only (the
+    camera family's documented scope; glass edges are outside it)."""
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    lam = b.lambert((0.1, 0.2, 0.5))
+    red = b.lambert((0.8, 0.2, 0.1))
+    gr = b.lambert((0.8, 0.8, 0.0))
+    met = b.metal((0.8, 0.6, 0.2), glossiness=1.0)
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, lam)
+    b.add_sphere((-0.8, 0.1, -1.2), 0.4, red)
+    b.add_sphere((0.9, -0.1, -1.1), 0.45, met)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, gr)
+    return b.build()
+
+
+class TestCameraBoundaryGradients:
+    def test_camera_gradient_fullframe_allclose(self):
+        scene = _pose_scene()
+
+        def camera_of(th):
+            return camera_mod.make_camera(
+                th["origin"], th["look"], jnp.asarray([0.0, 1.0, 0.0]),
+                70.0, 1.0,
+            )
+
+        true = {"origin": jnp.zeros(3), "look": jnp.asarray([0.0, 0.0, -1.0])}
+        target = renderer.render_image(
+            scene, camera_of(true), jax.random.PRNGKey(3),
+            width=W, height=H, samples_per_pixel=SPP, trace_depth=3,
+        ).color
+
+        @jax.jit
+        def render(th, k):
+            return renderer.render_image(
+                scene, camera_of(th), k, width=W, height=H,
+                samples_per_pixel=SPP, trace_depth=3,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = jax.jit(
+            boundary.camera_value_and_grad_with_boundary(
+                render, image_loss, scene, camera_of, W, H,
+                boundary.BoundaryConfig(
+                    samples_per_sphere=512, trace_depth=3, probe_spp=8
+                ),
+            )
+        )
+        base = {
+            "origin": true["origin"] + jnp.asarray([0.06, -0.04, 0.05]),
+            "look": true["look"] + jnp.asarray([-0.03, 0.02, 0.0]),
+        }
+        keys = [jax.random.PRNGKey(i) for i in range(3)]
+        grads = [jax.tree.map(np.asarray, vg(base, k)[1]) for k in keys]
+        ad = jax.tree.map(lambda *x: np.mean(np.stack(x), 0), *grads)
+        # the dominant pose components (pan/tilt + dolly); both sides are
+        # MC estimators, so the gate is sign + 45% relative
+        for name, idx in (("look", 0), ("look", 1), ("origin", 2)):
+            fd = _fd(render, image_loss, base, name, idx, 8e-3, keys)
+            assert np.isfinite(ad[name]).all()
+            assert np.sign(ad[name][idx]) == np.sign(fd) or abs(fd) < 2e-3
+            assert abs(ad[name][idx] - fd) < max(0.45 * abs(fd), 6e-3), (
+                name, idx, ad[name][idx], fd,
+            )
+
+    def test_recover_camera_pose(self):
+        # interior-only camera gradients DIVERGE on this loss (measured
+        # origin err 0.15 -> 0.67); the silhouette term makes it converge
+        import optax
+
+        scene = _pose_scene()
+        w = h = 48
+
+        def camera_of(th):
+            return camera_mod.make_camera(
+                th["origin"], th["look"], jnp.asarray([0.0, 1.0, 0.0]),
+                70.0, 1.0,
+            )
+
+        true = {"origin": jnp.zeros(3), "look": jnp.asarray([0.0, 0.0, -1.0])}
+        target = renderer.render_image(
+            scene, camera_of(true), jax.random.PRNGKey(3),
+            width=w, height=h, samples_per_pixel=64, trace_depth=3,
+            differentiable=False,
+        ).color
+
+        def render(th, k):
+            return renderer.render_image(
+                scene, camera_of(th), k, width=w, height=h,
+                samples_per_pixel=8, trace_depth=3,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = boundary.camera_value_and_grad_with_boundary(
+            render, image_loss, scene, camera_of, w, h,
+            boundary.BoundaryConfig(
+                samples_per_sphere=256, trace_depth=3, probe_spp=4
+            ),
+        )
+        init = {
+            "origin": true["origin"] + jnp.asarray([0.15, -0.1, 0.12]),
+            "look": true["look"] + jnp.asarray([-0.08, 0.06, 0.0]),
+        }
+        opt = optax.adam(6e-3)
+        state = opt.init(init)
+
+        @jax.jit
+        def step(p, s, k):
+            loss, g = vg(p, k)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+
+        p = init
+        for i in range(90):
+            p, state, _ = step(p, state, jax.random.PRNGKey(500 + i))
+
+        def fwd_angle(th):
+            f = th["look"] - th["origin"]
+            f = f / jnp.linalg.norm(f)
+            ft = true["look"] - true["origin"]
+            ft = ft / jnp.linalg.norm(ft)
+            return float(
+                jnp.degrees(jnp.arccos(jnp.clip(jnp.dot(f, ft), -1, 1)))
+            )
+
+        err0 = float(jnp.abs(init["origin"] - true["origin"]).max())
+        err1 = float(jnp.abs(p["origin"] - true["origin"]).max())
+        # look_at has a gauge direction (only the view DIRECTION matters)
+        assert err1 < err0 * 0.35, (err0, err1)
+        assert fwd_angle(p) < fwd_angle(init) * 0.35, (
+            fwd_angle(init), fwd_angle(p),
+        )
+
+
 class TestBoundaryInverse:
     def test_recover_sphere_position_with_boundary(self):
         scene, cs = book_scenes.single_sphere()
