@@ -94,6 +94,7 @@ def trace_debug_path(
         aov_albedo=jnp.zeros((1, 3)),
         got_nonspecular=jnp.zeros((1,), jnp.bool_),
         events=jnp.zeros((1,)),
+        logp=jnp.zeros((1,)),
     )
     packed = materials.pack_materials(scene)
 

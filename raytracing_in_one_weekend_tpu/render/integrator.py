@@ -51,11 +51,25 @@ class PathState(NamedTuple):
     aov_albedo: jnp.ndarray  # (N, 3)
     got_nonspecular: jnp.ndarray  # (N,) bool
     events: jnp.ndarray  # (N,) RandomEvents accumulator
+    logp: jnp.ndarray  # (N,) score-function accumulator: log-probability
+    # of the path's volume decisions as a (traced) function of density.
+    # Zero-valued surrogate at fold time gives unbiased density gradients
+    # (the Beer-Lambert free-path draw and the scatter/survive branch are
+    # sampling DECISIONS — detached-autodiff sees no density dependence;
+    # measured interior-only d/d_density ~ 0 vs FD -0.01 on volume_test)
 
 
 class TraceResult(NamedTuple):
     radiance: jnp.ndarray  # (N, 3) — zero where invalid
     valid: jnp.ndarray  # (N,) bool
+    logp: jnp.ndarray  # (N,) score-function accumulator (traced density
+    # dependence of the path's volume sampling decisions; zeros without
+    # volumes).  Consumers wanting density gradients attach the
+    # zero-valued surrogate sg(x) * (logp - sg(logp)) ONCE per
+    # accumulated product — render_batch does this for the color sum AND
+    # the valid count (the ratio estimator's denominator is also a
+    # density-dependent decision; covering only the numerator measured a
+    # 48% biased d/d_density on volume_test)
     aov_normal: jnp.ndarray  # (N, 3)
     aov_albedo: jnp.ndarray  # (N, 3)
     events: jnp.ndarray  # (N,)
@@ -118,6 +132,7 @@ def trace(
         return TraceResult(
             radiance=out["radiance"],
             valid=out["valid"],
+            logp=jnp.zeros_like(out["valid"], dtype=jnp.float32),
             aov_normal=out["aov_normal"],
             aov_albedo=out["aov_albedo"],
             events=out["events"],
@@ -142,6 +157,7 @@ def trace(
         aov_albedo=jnp.zeros((n, 3)),
         got_nonspecular=jnp.zeros((n,), jnp.bool_),
         events=jnp.zeros((n,)),
+        logp=jnp.zeros((n,)),
     )
 
     # Loop-invariant packed material records (see materials.pack_materials).
@@ -205,6 +221,7 @@ def trace(
     return TraceResult(
         radiance=radiance,
         valid=valid,
+        logp=state.logp,
         aov_normal=state.aov_normal,
         aov_albedo=state.aov_albedo,
         events=state.events,
@@ -269,7 +286,13 @@ def _bounce_once(
         u_free = jax.random.uniform(
             rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (n,)
         )
-        free_path = materials.volume_free_path(density, u_free)
+        # the free-path draw is a sampling DECISION: detach its density
+        # dependence and account for it through the score-function logp
+        # below (keeping it traced here would double-count part of the
+        # gradient against the score term)
+        free_path = materials.volume_free_path(
+            jax.lax.stop_gradient(density), u_free
+        )
 
         # Inside a volume the whole segment [0, t_hit) is in-medium; at an
         # entry boundary it is [t_hit, t_exit) of the hit convex entity.
@@ -288,7 +311,22 @@ def _bounce_once(
         )
         skip = pass_through | exits_own
         skip_t = jnp.where(pass_through, hit.t_exit, hit.t)
+
+        # score-function log-probability of the observed volume decisions
+        # as a function of (traced) density: scatter at observed d has
+        # pdf rho*exp(-rho d); surviving the observed in-medium segment L
+        # has probability exp(-rho L).  Observations are detached; only
+        # rho stays traced.  d/d_rho: scatter -> 1/rho - d, survive -> -L.
+        survive = vol_candidate & ~vol_scatter
+        d_obs = jax.lax.stop_gradient(free_path)
+        l_obs = jax.lax.stop_gradient(seg_len)
+        rho = jnp.maximum(density, 1e-8)
+        logp_inc = jnp.where(
+            vol_scatter, jnp.log(rho) - rho * d_obs, 0.0
+        ) + jnp.where(survive, -rho * l_obs, 0.0)
+        logp = state.logp + jnp.where(state.active, logp_inc, 0.0)
     else:
+        logp = state.logp
         false_n = jnp.zeros((n,), jnp.bool_)
         vol_candidate = vol_scatter = skip = false_n
         vol_mat = hit.material
@@ -406,4 +444,5 @@ def _bounce_once(
             state.active, got_nonspecular, state.got_nonspecular
         ),
         events=events,
+        logp=logp,
     )

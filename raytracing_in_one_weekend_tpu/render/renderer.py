@@ -297,9 +297,25 @@ def render_batch(
         fvalid = valid.astype(jnp.float32)
         is_first_ever = acc_c.sample_count == 0.0
 
+        color_add = result.radiance * fvalid[:, None]
+        count_add = fvalid
+        if differentiable and scene.flags.has_volumes:
+            # zero-valued score-function surrogates (integrator.TraceResult
+            # logp): unbiased density gradients need E[f * dlogp] on the
+            # color SUM and on the valid COUNT — both are functions of the
+            # volume sampling decisions.  One surrogate per accumulated
+            # product (a product of two surrogated factors double-counts).
+            carrier = result.logp - jax.lax.stop_gradient(result.logp)
+            color_add = color_add + (
+                jax.lax.stop_gradient(color_add) * carrier[:, None]
+            )
+            count_add = count_add + (
+                jax.lax.stop_gradient(count_add) * carrier
+            )
+
         new_acc = film.Accumulators(
-            color=acc_c.color + result.radiance * fvalid[:, None],
-            sample_count=acc_c.sample_count + fvalid,
+            color=acc_c.color + color_add,
+            sample_count=acc_c.sample_count + count_add,
             normal=acc_c.normal + result.aov_normal * fvalid[:, None],
             albedo=acc_c.albedo + result.aov_albedo * fvalid[:, None],
             weight=acc_c.weight + result.events * fvalid,
