@@ -42,6 +42,14 @@ class Scatter(NamedTuple):
     emission: jnp.ndarray  # (N, 3)
     random_events: jnp.ndarray  # (N,) adaptive-sampling cost signal
     perfect_specular: jnp.ndarray  # (N,) bool — gates AOV capture
+    logp: jnp.ndarray  # (N,) log-probability of the DISCRETE lottery
+    # decisions taken this bounce (specular/metal lotteries, dielectric
+    # reflect/refract) as a traced function of the material parameters.
+    # Detached autodiff misses the probability shift (measured full-frame
+    # d/d_ior 20x undersized); the integrator accumulates this into
+    # PathState.logp and render_batch attaches the score-function
+    # surrogate (see integrator.TraceResult.logp).  Zero along 0/1
+    # (deterministic) branches, so lambert-only scenes are unaffected.
 
 
 PACKED_COLS = 12
@@ -177,6 +185,20 @@ def scatter(
     std_reflectance = jnp.where(
         take_specular[:, None], jnp.ones_like(albedo), albedo
     )
+    # Lottery log-probability: specular w.p. reflection_chance; else the
+    # metal lottery (u_choice2 < metallic).  The untaken second lottery is
+    # omitted when specular wins (its term is zero-mean noise).
+    p_spec = math3.saturate(reflection_chance)
+    std_logp = jnp.where(
+        take_specular,
+        jnp.log(jnp.maximum(p_spec, 1e-12)),
+        jnp.log(jnp.maximum(1.0 - p_spec, 1e-12))
+        + jnp.where(
+            take_metal,
+            jnp.log(jnp.maximum(metallic, 1e-12)),
+            jnp.log(jnp.maximum(1.0 - metallic, 1e-12)),
+        ),
+    )
     # RandomEvents bookkeeping (Material.cs:111-118).
     std_events = (
         jnp.where((reflection_chance > 0.0) & (reflection_chance < 1.0), 1.0, 0.0)
@@ -198,7 +220,15 @@ def scatter(
         outward_normal = jnp.where(
             exiting[:, None], -d_rough_normal, d_rough_normal
         )
-        ior = parameter
+        # non-dielectric lanes carry parameter values (density, 0) whose
+        # 1/ior is inf — harmless while refl_prob only fed the boolean
+        # lottery, but diel_logp now CONSUMES refl_prob differentiably
+        # and reverse-mode turns 0-cotangent x inf-partial into NaN that
+        # contaminates the whole parameter gradient.  Guard the lanes.
+        ior = jnp.where(
+            mtype == MaterialType.DIELECTRIC,
+            jnp.maximum(parameter, 1e-3), 1.5,
+        )
         ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
         cosine = jnp.where(exiting, ior * d_dot, -d_dot)
         refracted, can_refract = sampling.refract(
@@ -215,6 +245,18 @@ def scatter(
             do_refract[:, None], albedo, jnp.ones_like(albedo)
         )
         diel_events = 1.0 + d_roughness
+        # reflect/refract lottery (TIR forces reflect deterministically:
+        # no probability term; the TIR threshold itself is a measure-zero
+        # discrete boundary)
+        diel_logp = jnp.where(
+            can_refract,
+            jnp.where(
+                do_refract,
+                jnp.log(jnp.maximum(1.0 - refl_prob, 1e-12)),
+                jnp.log(jnp.maximum(refl_prob, 1e-12)),
+            ),
+            0.0,
+        )
 
     # ---- ProbabilisticVolume isotropic scatter (Material.cs:163-168) ------
     if scene.flags.has_volumes:
@@ -225,6 +267,7 @@ def scatter(
     direction = std_dir
     reflectance = std_reflectance
     events = std_events
+    logp = std_logp
     if scene.flags.has_dielectrics:
         is_diel = (mtype == MaterialType.DIELECTRIC)[:, None]
         direction = jnp.where(is_diel, diel_dir, direction)
@@ -232,6 +275,7 @@ def scatter(
         events = jnp.where(
             mtype == MaterialType.DIELECTRIC, diel_events, events
         )
+        logp = jnp.where(mtype == MaterialType.DIELECTRIC, diel_logp, logp)
     if scene.flags.has_volumes:
         is_vol = (mtype == MaterialType.PROBABILISTIC_VOLUME)[:, None]
         direction = jnp.where(is_vol, vol_dir, direction)
@@ -239,6 +283,9 @@ def scatter(
         events = jnp.where(
             mtype == MaterialType.PROBABILISTIC_VOLUME, vol_events, events
         )
+        logp = jnp.where(
+            mtype == MaterialType.PROBABILISTIC_VOLUME, 0.0, logp
+        )  # isotropic scatter has no parameter-dependent decision
 
     return Scatter(
         direction=direction,
@@ -246,6 +293,7 @@ def scatter(
         emission=emission,
         random_events=events,
         perfect_specular=perfect_specular,
+        logp=logp,
     )
 
 

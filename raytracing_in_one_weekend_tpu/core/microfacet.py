@@ -39,13 +39,20 @@ def smith_lambda(
     sq_cos = cos_theta * cos_theta
     sq_sin = jnp.maximum(0.0, 1.0 - sq_cos)
     # tan^2 computed without the intermediate sqrt(sin^2) so normal
-    # incidence (sin == 0) has a finite backward pass.
-    safe_sq_cos = jnp.maximum(sq_cos, 1e-24)
-    sq_tan = sq_sin / safe_sq_cos
+    # incidence (sin == 0) has a finite backward pass.  Degenerate lanes
+    # (grazing/zero normals, e.g. missed rays fed through the branchless
+    # scatter) must see CONSTANT inputs to the division: a floored
+    # denominator alone keeps the primal finite but its transpose
+    # d/d_den = -num/den^2 ~ 1e48 overflows f32 to inf, and inf times the
+    # masked lanes' zero cotangent is NaN — which contaminated every
+    # gradient once Scatter.logp made fresnel*masking differentiable.
+    degenerate = sq_cos < 1e-12
+    safe_sq_cos = jnp.where(degenerate, 1.0, sq_cos)
+    sq_tan = jnp.where(degenerate, 0.0, sq_sin) / safe_sq_cos
     alpha = roughness_to_alpha(roughness)
     a2t2 = alpha * alpha * sq_tan
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
-    return jnp.where(sq_cos < 1e-24, 0.0, lam)
+    return jnp.where(degenerate, 0.0, lam)
 
 
 def smith_masking_shadowing(

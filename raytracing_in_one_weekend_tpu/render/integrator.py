@@ -62,14 +62,15 @@ class PathState(NamedTuple):
 class TraceResult(NamedTuple):
     radiance: jnp.ndarray  # (N, 3) — zero where invalid
     valid: jnp.ndarray  # (N,) bool
-    logp: jnp.ndarray  # (N,) score-function accumulator (traced density
-    # dependence of the path's volume sampling decisions; zeros without
-    # volumes).  Consumers wanting density gradients attach the
-    # zero-valued surrogate sg(x) * (logp - sg(logp)) ONCE per
+    logp: jnp.ndarray  # (N,) score-function accumulator: traced
+    # parameter dependence of the path's sampling decisions (volume free
+    # paths + scatter/survive, material specular/metal lotteries,
+    # dielectric reflect/refract).  Consumers wanting decision gradients
+    # attach the zero-valued surrogate sg(x) * (logp - sg(logp)) ONCE per
     # accumulated product — render_batch does this for the color sum AND
     # the valid count (the ratio estimator's denominator is also a
-    # density-dependent decision; covering only the numerator measured a
-    # 48% biased d/d_density on volume_test)
+    # decision; covering only the numerator measured a 48% biased
+    # d/d_density on volume_test)
     aov_normal: jnp.ndarray  # (N, 3)
     aov_albedo: jnp.ndarray  # (N, 3)
     events: jnp.ndarray  # (N,)
@@ -354,6 +355,10 @@ def _bounce_once(
         scene, state.direction, eff_normal, eff_point, eff_uv, eff_material,
         key, packed=packed, row=row,
     )
+    # material-lottery decisions join the path's score accumulator
+    # (materials.Scatter.logp: specular/metal lotteries, dielectric
+    # reflect/refract) — zero along deterministic branches
+    logp = logp + jnp.where(scatter_mask, sc.logp, 0.0)
 
     # --- sky termination (SampleBatchJob.cs:341-374) -------------------------
     miss = state.active & ~hit.hit

@@ -299,12 +299,15 @@ def render_batch(
 
         color_add = result.radiance * fvalid[:, None]
         count_add = fvalid
-        if differentiable and scene.flags.has_volumes:
+        if differentiable:
             # zero-valued score-function surrogates (integrator.TraceResult
-            # logp): unbiased density gradients need E[f * dlogp] on the
-            # color SUM and on the valid COUNT — both are functions of the
-            # volume sampling decisions.  One surrogate per accumulated
-            # product (a product of two surrogated factors double-counts).
+            # logp): unbiased gradients of the SAMPLING DECISIONS (volume
+            # free paths, material lotteries) need E[f * dlogp] on the
+            # color SUM and on the valid COUNT — both are functions of
+            # those decisions.  One surrogate per accumulated product (a
+            # product of two surrogated factors double-counts).  logp is
+            # identically 0 along deterministic branches, so lambert-only
+            # scenes see no extra variance.
             carrier = result.logp - jax.lax.stop_gradient(result.logp)
             color_add = color_add + (
                 jax.lax.stop_gradient(color_add) * carrier[:, None]

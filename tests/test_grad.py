@@ -112,6 +112,54 @@ class TestGradients:
         # adds discrete-boundary noise, so the gate is directional.
         assert report["cosine"] > 0.9, report
 
+    def test_ior_grad_fullframe_score_function(self):
+        # the dielectric reflect/refract LOTTERY probability (Schlick) is
+        # where most of d/d_ior lives; detached autodiff measured it 20x
+        # undersized full-frame.  With the lottery score term
+        # (materials.Scatter.logp) AD lands within ~1.5x of FD — the
+        # residual is the deterministic TIR-boundary flip (a discontinuity
+        # in sample space, not a probability shift; outside score scope).
+        scene, cs = book_scenes.three_spheres()
+        w = h = 24
+        spp, depth = 128, 6
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        die_idx = int(
+            np.argwhere(np.asarray(scene.materials.type) == 1)[0, 0]
+        )
+
+        def mean_img(params, key):
+            s = params_mod.apply_params(
+                scene, {"material_parameters": params}
+            )
+            return jnp.mean(
+                renderer.render_image(
+                    s, cam, key, width=w, height=h,
+                    samples_per_pixel=spp, trace_depth=depth,
+                ).color
+            )
+
+        p0 = scene.materials.parameter
+        grad_fn = jax.jit(jax.grad(mean_img))
+        ad = np.mean([
+            float(grad_fn(p0, jax.random.PRNGKey(k))[die_idx])
+            for k in range(4)
+        ])
+        eps = 0.02
+        fds = []
+        for k in range(3):
+            kk = jax.random.PRNGKey(k)
+            hi = float(mean_img(p0.at[die_idx].add(eps), kk))
+            lo = float(mean_img(p0.at[die_idx].add(-eps), kk))
+            fds.append((hi - lo) / (2 * eps))
+        fd = float(np.mean(fds))
+        assert np.isfinite(ad), ad
+        assert np.sign(ad) == np.sign(fd), (ad, fd)
+        # detached-only was ~20x under; gate at 2.5x either way
+        assert abs(fd) / 2.5 < abs(ad) < abs(fd) * 2.5, (ad, fd)
+
     def test_volume_density_grad_score_function(self):
         # density enters ONLY through sampling decisions (Beer-Lambert
         # free path + scatter/survive branch); detached autodiff measured
