@@ -146,6 +146,7 @@ def replay(
         th=jnp.ones((3, n)), rad=jnp.zeros((3, n)),
         active=zero, valid=zero, started=zero, depth_ct=zero,
         csum=jnp.zeros((3, n)), cnt=zero,
+        lp=zero,  # per-sample lottery log-probability (score function)
     )
 
     # ONE bulk winner-parameter gather for every iteration up front
@@ -226,6 +227,7 @@ def replay(
         started = started + jnp.where(regen, 1.0, 0.0)
         active = jnp.where(regen, 1.0, active)
         was_active = active > 0.5
+        lp = jnp.where(regen, 0.0, state["lp"])
 
         # ---- one bounce along the tape ---------------------------------
         ub = _uniforms_hash(
@@ -389,6 +391,19 @@ def replay(
         lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
         take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
         take_metal = (metallic > 0.0) & (u_choice2 < metallic)
+        # lottery log-probability (score-function term, mirrors
+        # materials.Scatter.logp): detached replay decisions miss the
+        # probability shift of gloss/metallic/ior
+        lp_inc = jnp.where(
+            take_spec,
+            jnp.log(jnp.maximum(refl_chance, 1e-12)),
+            jnp.log(jnp.maximum(1.0 - refl_chance, 1e-12))
+            + jnp.where(
+                take_metal,
+                jnp.log(jnp.maximum(metallic, 1e-12)),
+                jnp.log(jnp.maximum(1.0 - metallic, 1e-12)),
+            ),
+        )
         spec_like = take_spec | take_metal
         sdx = jnp.where(spec_like, spx, lmx)
         sdy = jnp.where(spec_like, spy, lmy)
@@ -410,7 +425,11 @@ def replay(
             onx = jnp.where(exiting, -drx, drx)
             ony = jnp.where(exiting, -dry, dry)
             onz = jnp.where(exiting, -drz, drz)
-            ior = parameter
+            # guard non-dielectric lanes: 1/0 = inf upstream of the
+            # now-differentiable refl_prob NaNs reverse mode (see
+            # core/materials.py)
+            is_diel = mtype > 0.5
+            ior = jnp.where(is_diel, jnp.maximum(parameter, 1e-3), 1.5)
             ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
             cosine = jnp.where(exiting, ior * ddot, -ddot)
             dt = dx * onx + dy * ony + dz * onz
@@ -424,11 +443,20 @@ def replay(
             rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
             refl_prob = mk._schlick(cosine, ior)
             do_refract = can_refract & (u_choice > refl_prob)
+            diel_lp = jnp.where(
+                can_refract,
+                jnp.where(
+                    do_refract,
+                    jnp.log(jnp.maximum(1.0 - refl_prob, 1e-12)),
+                    jnp.log(jnp.maximum(refl_prob, 1e-12)),
+                ),
+                0.0,
+            )
+            lp_inc = jnp.where(is_diel, diel_lp, lp_inc)
             drefl = dx * drx + dy * dry + dz * drz
             dlx = jnp.where(do_refract, rfx, dx - 2.0 * drefl * drx)
             dly = jnp.where(do_refract, rfy, dy - 2.0 * drefl * dry)
             dlz = jnp.where(do_refract, rfz, dz - 2.0 * drefl * drz)
-            is_diel = mtype > 0.5
             sdx = jnp.where(is_diel, dlx, sdx)
             sdy = jnp.where(is_diel, dly, sdy)
             sdz = jnp.where(is_diel, dlz, sdz)
@@ -445,6 +473,7 @@ def replay(
         else:
             skr = skg = skb = zero
         scatter_mask = hit
+        lp = lp + jnp.where(scatter_mask, lp_inc, 0.0)
         emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
         emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
         emb = jnp.where(scatter_mask, em_b, jnp.where(miss, skb, 0.0))
@@ -474,12 +503,20 @@ def replay(
         active = jnp.where(exhausted, 0.0, active)
         terminated = was_active & (active < 0.5)
         ok = terminated & (valid > 0.5)
-        csum = state["csum"] + jnp.where(ok, rad, 0.0)
-        cnt = state["cnt"] + jnp.where(ok, 1.0, 0.0)
+        # zero-valued score surrogates on BOTH accumulators (the valid
+        # count is itself a decision outcome; see render/renderer.py)
+        carrier = jnp.where(ok, lp - jax.lax.stop_gradient(lp), 0.0)
+        rad_ok = jnp.where(ok, rad, 0.0)
+        ok_f = jnp.where(ok, 1.0, 0.0)
+        csum = state["csum"] + rad_ok + (
+            jax.lax.stop_gradient(rad_ok) * carrier[None]
+        )
+        cnt = state["cnt"] + ok_f + jax.lax.stop_gradient(ok_f) * carrier
 
         return dict(
             o=o, d=d, th=th, rad=rad, active=active, valid=valid,
             started=started, depth_ct=depth_ct, csum=csum, cnt=cnt,
+            lp=lp,
         ), None
 
     # remat the scan body: recomputing one bounce from its carry is far
@@ -595,18 +632,20 @@ def sample_batch_diff(
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
             rt, bt = _aux_pairs(aux)
-            csum, _ = replay(
+            csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
                 sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt,
                 **statics,
             )
-            return csum
+            # cnt carries the count's score surrogate — the valid-count
+            # is a lottery-dependent outcome, and losses divide by it
+            return csum, cnt
 
         _, vjp_fn = jax.vjp(
             color_of, camera_row, centers, radii, records, sky_b, sky_t,
             aux,
         )
-        return vjp_fn(cot["color"]) + (
+        return vjp_fn((cot["color"], cot["count"])) + (
             jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
             jnp.zeros_like(seed_lo), jnp.zeros_like(seed_hi),
         )

@@ -257,14 +257,20 @@ def _roughness_to_alpha(roughness):
 
 
 def _smith_masking(cos_theta, roughness):
-    """microfacet.smith_masking_shadowing given cos(w, n)."""
+    """microfacet.smith_masking_shadowing given cos(w, n).
+
+    Degenerate lanes see constant division inputs: the floored
+    denominator alone keeps the primal finite, but its -num/den^2
+    transpose overflows f32 to inf and poisons reverse-mode through the
+    replay's differentiable refl_chance (see microfacet.smith_lambda)."""
     sq_cos = cos_theta * cos_theta
     sq_sin = jnp.maximum(0.0, 1.0 - sq_cos)
-    safe = jnp.maximum(sq_cos, 1e-24)
-    sq_tan = sq_sin / safe
+    degenerate = sq_cos < 1e-12
+    safe = jnp.where(degenerate, 1.0, sq_cos)
+    sq_tan = jnp.where(degenerate, 0.0, sq_sin) / safe
     alpha = _roughness_to_alpha(roughness)
     lam = (-1.0 + jnp.sqrt(1.0 + alpha * alpha * sq_tan)) / 2.0
-    lam = jnp.where(sq_cos < 1e-24, 0.0, lam)
+    lam = jnp.where(degenerate, 0.0, lam)
     return 1.0 / (1.0 + lam)
 
 

@@ -345,6 +345,68 @@ class TestReplayRectBox:
         assert float(jnp.max(jnp.abs(g[:, 4:7]))) > 1e-6
 
 
+def test_replay_ior_score_gradient_matches_wavefront():
+    """The replay mirrors the wavefront's lottery score terms: both
+    paths' d/d_ior on the same scene/loss must estimate the same
+    gradient (the wavefront's was FD-validated in test_grad; detached
+    replay decisions measured ~10x under)."""
+    from raytracing_in_one_weekend_tpu.core import materials as mats_mod
+    from raytracing_in_one_weekend_tpu.render import renderer
+
+    w = h = 20
+    s, d = 8, 6
+    scene, cs = book_scenes.three_spheres()
+    camera = camera_mod.make_camera(
+        cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+        focus_distance=cs.focus_distance,
+    )
+    cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+    lane_count = jnp.full((w * h,), s, jnp.int32)
+    die_idx = int(np.argwhere(np.asarray(scene.materials.type) == 1)[0, 0])
+
+    def replay_mean(param_tbl, seed):
+        s2 = scene._replace(
+            materials=scene.materials._replace(parameter=param_tbl)
+        )
+        packed = mats_mod.pack_materials(s2)
+        records = pallas_megatrace.pack_sphere_records(s2, packed)
+        out = megatrace_replay.sample_batch_diff(
+            lane_count, jnp.zeros((w * h,)), cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(seed), samples=s, trace_depth=d,
+            has_dielectrics=True, sky_on=True, jitter=False,
+            interpret=True,
+        )
+        img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+        return jnp.mean(img)
+
+    def wave_mean(param_tbl, key):
+        s2 = scene._replace(
+            materials=scene.materials._replace(parameter=param_tbl)
+        )
+        return jnp.mean(
+            renderer.render_image(
+                s2, camera, key, width=w, height=h,
+                samples_per_pixel=96, trace_depth=d,
+            ).color
+        )
+
+    p0 = scene.materials.parameter
+    g_rep = np.mean([
+        float(jax.grad(replay_mean)(p0, 100 + k)[die_idx]) for k in range(4)
+    ])
+    g_wav = np.mean([
+        float(
+            jax.jit(jax.grad(wave_mean))(p0, jax.random.PRNGKey(k))[die_idx]
+        )
+        for k in range(4)
+    ])
+    assert np.isfinite(g_rep) and np.isfinite(g_wav)
+    assert np.sign(g_rep) == np.sign(g_wav), (g_rep, g_wav)
+    assert abs(g_rep - g_wav) < max(0.6 * abs(g_wav), 1.5e-3), (g_rep, g_wav)
+
+
 def test_renderer_diff_fused_dispatch(monkeypatch):
     """render_batch's differentiable fused branch must run end-to-end.
 
