@@ -66,6 +66,13 @@ def set_rect_to(scene: Scene, xy_to: jnp.ndarray) -> Scene:
     return scene._replace(rects=scene.rects._replace(xy_to=xy_to))
 
 
+def set_texture_atlas(scene: Scene, atlas: jnp.ndarray) -> Scene:
+    """Image-texture texel grid (A, H, W, 3) — differentiable through the
+    nearest-neighbor lookup (each texel's gradient comes from the rays
+    that sampled it), i.e. texture painting by descent."""
+    return scene._replace(textures=scene.textures._replace(atlas=atlas))
+
+
 def set_triangle_vertices(scene: Scene, verts: jnp.ndarray) -> Scene:
     """Soup vertices (T, 3, 3) in (v0, v1, v2) order, re-packed to the
     edge form (Triangle.cs: edge_a = v2-v0, edge_b = v1-v0).  Geometry
@@ -92,6 +99,7 @@ _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "rect_from": set_rect_from,
     "rect_to": set_rect_to,
     "triangle_vertices": set_triangle_vertices,
+    "texture_atlas": set_texture_atlas,
 }
 
 
@@ -115,6 +123,7 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "rect_positions": lambda s: s.rects.pos,
         "rect_from": lambda s: s.rects.xy_from,
         "rect_to": lambda s: s.rects.xy_to,
+        "texture_atlas": lambda s: s.textures.atlas,
         "triangle_vertices": lambda s: jnp.stack(
             [
                 s.triangles.vert0,

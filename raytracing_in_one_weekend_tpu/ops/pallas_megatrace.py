@@ -835,10 +835,28 @@ def _bounce_step(
         ny = jnp.where(tri_wins, tny * t_inv, ny)
         nz = jnp.where(tri_wins, tnz * t_inv, nz)
 
-    # winner UV: baked per-vertex triangle UVs lerped in-kernel; every
-    # other kind carries uv = 0 (intersect._shading_attributes parity —
-    # spheres/rects/boxes have no texcoords there either)
+    # winner UV: triangles lerp baked per-vertex UVs; spheres get the
+    # Shirley Book-2 spherical mapping from the unit outward normal —
+    # a DELIBERATE deviation from HitTests.cs:123 (texCoord = 0), which
+    # made image textures on analytic spheres read a single texel; same
+    # precedent as the resurrected checker/perlin dead branches.
+    # rects/boxes keep uv = 0 (intersect._shading_attributes parity).
     uv_u = uv_v = zero
+    if tex_c is not None and tex_c[2] is not None:
+        sph_wins = hit
+        if rect_c is not None:
+            sph_wins = sph_wins & jnp.logical_not(rect_wins)
+        if box_c is not None:
+            sph_wins = sph_wins & jnp.logical_not(box_wins)
+        if tri_c is not None:
+            sph_wins = sph_wins & jnp.logical_not(tri_wins)
+        # (nx,ny,nz) on sphere-winner lanes are the unit outward normals.
+        # NOTE: first arctan2/arccos in the kernel — interpret-mode parity
+        # is oracled; re-verify Mosaic lowering on hardware.
+        su = (jnp.arctan2(-nz, nx) + jnp.pi) * (0.5 / jnp.pi)
+        sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+        uv_u = jnp.where(sph_wins, su, uv_u)
+        uv_v = jnp.where(sph_wins, sv, uv_v)
     if tri_c is not None and tex_c is not None and tex_c[2] is not None:
         uv_u = jnp.where(
             tri_wins,

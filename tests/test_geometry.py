@@ -253,3 +253,36 @@ class TestAabb:
         d = jnp.asarray([0.0, 0.0, -1.0])
         inv = geometry.safe_invert(d)
         assert np.all(np.isinf(np.asarray(inv[:2])))
+
+
+class TestSphereTexcoords:
+    """Shirley Book-2 spherical mapping on analytic spheres (deliberate
+    deviation from the reference's texCoord=0 at HitTests.cs:123)."""
+
+    def test_uv_at_canonical_points(self):
+        from raytracing_in_one_weekend_tpu.core.ray import Rays
+        from raytracing_in_one_weekend_tpu.ops import intersect
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        b.add_sphere((0.0, 0.0, 0.0), 1.0, b.lambert((1.0, 1.0, 1.0)))
+        scene = b.build()
+        # rays hitting +x, -x, +y (north pole toward v=1), -y, +z, -z
+        origins = jnp.asarray([
+            [3.0, 0.0, 0.0], [-3.0, 0.0, 0.0],
+            [0.0, 3.0, 0.0], [0.0, -3.0, 0.0],
+            [0.0, 0.0, 3.0], [0.0, 0.0, -3.0],
+        ])
+        dirs = -origins / 3.0
+        hit = intersect.nearest_hit(
+            scene, Rays(origins, dirs, jnp.zeros(6))
+        )
+        uv = np.asarray(hit.uv)
+        # u = (atan2(-z, x) + pi) / 2pi ; v = acos(-y) / pi
+        np.testing.assert_allclose(uv[0], [0.5, 0.5], atol=1e-5)  # +x
+        expect_mx_u = uv[1, 0]  # -x: atan2(0,-1)=pi -> u=1 (or 0, same seam)
+        assert abs(expect_mx_u - 1.0) < 1e-5 or abs(expect_mx_u) < 1e-5
+        np.testing.assert_allclose(uv[2, 1], 1.0, atol=1e-5)  # +y pole
+        np.testing.assert_allclose(uv[3, 1], 0.0, atol=1e-5)  # -y pole
+        np.testing.assert_allclose(uv[4], [0.25, 0.5], atol=1e-5)  # +z
+        np.testing.assert_allclose(uv[5], [0.75, 0.5], atol=1e-5)  # -z

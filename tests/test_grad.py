@@ -207,6 +207,45 @@ class TestGradients:
         assert np.sign(ad) == np.sign(fd), (ad, fd)
         assert abs(ad - fd) < max(0.25 * abs(fd), 2e-3), (ad, fd)
 
+    def test_texture_atlas_grad_texel_exact(self):
+        # differentiable texture painting: each texel's gradient flows
+        # from exactly the rays that sampled it (nearest-neighbor gather),
+        # so FD on a single texel is exact under common random numbers.
+        # Needs the Book-2 spherical sphere texcoords — with the
+        # reference's texCoord=0 only texel (0,0) ever received gradient.
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.textured_sphere()
+        w = h = 32
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+        )
+        key = jax.random.PRNGKey(3)
+
+        def loss(atlas):
+            s = params_mod.apply_params(scene, {"texture_atlas": atlas})
+            img = renderer.render_image(
+                s, cam, key, width=w, height=h, samples_per_pixel=8,
+                trace_depth=4, sub_pixel_jitter=False,
+            )
+            return jnp.mean(img.color**2)
+
+        a0 = scene.textures.atlas
+        g = jax.jit(jax.grad(loss))(a0)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        nonzero = int(jnp.sum(jnp.abs(g) > 0))
+        # many texels across the visible hemisphere carry signal
+        assert nonzero > 100, nonzero
+        idx = np.unravel_index(int(jnp.argmax(jnp.abs(g))), g.shape)
+        eps = 1e-2
+        fd = (
+            float(loss(a0.at[idx].add(eps)))
+            - float(loss(a0.at[idx].add(-eps)))
+        ) / (2 * eps)
+        assert abs(float(g[idx]) - fd) < max(0.02 * abs(fd), 1e-5), (
+            float(g[idx]), fd,
+        )
+
     def test_grad_is_nonzero_and_finite(self, scene_cam):
         scene, cam_settings = scene_cam
         loss = _make_loss(params_mod.set_sphere_centers, scene, cam_settings)

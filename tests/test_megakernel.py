@@ -833,6 +833,21 @@ class TestTextureKernel:
                 float(jnp.mean(ref.color[:, c])), rel=0.08
             )
 
+    def test_image_texture_on_sphere_matches_wavefront(self):
+        # Shirley Book-2 spherical texcoords on analytic spheres (a
+        # deliberate deviation from the reference's texCoord=0,
+        # HitTests.cs:123) — the wavefront and the kernel must agree on
+        # the mapping, and the mapping must actually vary across the
+        # sphere (single-texel regression).
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["textured_sphere"]()
+        ref, mref, out = self._run_pair(scene, cs, s=8, d=4, seed=31)
+        for c in range(3):
+            assert float(jnp.mean(out["color"][:, c])) == pytest.approx(
+                float(jnp.mean(ref.color[:, c])), rel=0.08
+            )
+
     def test_cubemap_sky_matches_wavefront(self):
         from raytracing_in_one_weekend_tpu.models import testbeds
 
