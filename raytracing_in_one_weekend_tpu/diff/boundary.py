@@ -318,10 +318,14 @@ def box_edge_gradients(
         [boxes.rot, boxes.pos, boxes.extents], axis=1
     )  # (B, 10)
 
+    # stratum-centered jitter: U[-0.5/m, 0.5/m) keeps the segment
+    # integration domain exactly [0, 1) (a trailing U[0,1/m) jitter would
+    # shift it past the far endpoint — harmless on the periodic phi
+    # circle, a systematic ~1/(2m) bias on line segments)
     ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
     ts = ts[None, None, :] + jax.random.uniform(
         rng.purpose_key(key, rng.Purpose.SAMPLE), (nb, 12, 1),
-        maxval=1.0 / m,
+        minval=-0.5 / m, maxval=0.5 / m,
     )  # (B, 12, M) stratified along each edge
 
     def sample_uv(th, efix, efree, t):
@@ -388,10 +392,14 @@ def rect_edge_gradients(
         [rects.rot, rects.pos, rects.xy_from, rects.xy_to], axis=1
     )  # (R, 11)
 
+    # stratum-centered jitter: U[-0.5/m, 0.5/m) keeps the segment
+    # integration domain exactly [0, 1) (a trailing U[0,1/m) jitter would
+    # shift it past the far endpoint — harmless on the periodic phi
+    # circle, a systematic ~1/(2m) bias on line segments)
     ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
     ts = ts[None, None, :] + jax.random.uniform(
         rng.purpose_key(key, rng.Purpose.SAMPLE), (nr, 4, 1),
-        maxval=1.0 / m,
+        minval=-0.5 / m, maxval=0.5 / m,
     )  # (R, 4, M)
 
     def corner(th, k):
@@ -470,41 +478,51 @@ class TriangleAdjacency(NamedTuple):
     flip: jnp.ndarray
 
 
-def soup_vertices(scene: Scene) -> jnp.ndarray:
-    """(T, 3, 3) world vertices (v0, v1, v2) from the edge-form soup
-    (Triangle.cs edge form: edge_a = v2-v0, edge_b = v1-v0)."""
-    tri = scene.triangles
-    return jnp.stack(
-        [tri.vert0, tri.vert0 + tri.edge_b, tri.vert0 + tri.edge_a], axis=1
-    )
+# re-exported: the ONE edge-form-to-soup reconstruction (scene.py)
+from raytracing_in_one_weekend_tpu.scene.scene import soup_vertices  # noqa: E402
 
 
 def build_triangle_adjacency(scene: Scene) -> TriangleAdjacency:
-    """Weld the template soup by exact vertex position and record, per
+    """Weld the template soup by QUANTIZED vertex position and record, per
     directed edge, the adjacent triangle and relative winding.  Host-side
-    NumPy; topology is static over an optimization (only positions move)."""
+    NumPy; topology is static over an optimization (only positions move).
+
+    Quantization (scene-scale-relative grid) rather than exact float
+    equality: v1/v2 are reconstructed as vert0 + edge (f32 differences),
+    which does not round-trip bit-exactly for generic coordinates — exact
+    welding silently classified most interior edges of OBJ-loaded meshes
+    as mesh boundary (always-silhouette)."""
     verts = _np.asarray(soup_vertices(scene))  # (T,3,3)
     t_count = verts.shape[0]
-    edge_map: dict[tuple[bytes, bytes], tuple[int, int]] = {}
+    span = float(max(verts.max() - verts.min(), 1e-6)) if t_count else 1.0
+    q = _np.round(verts / span * 1e5).astype(_np.int64)  # (T,3,3) grid keys
+
+    def key_of(t, e):
+        return q[t, e].tobytes()
+
+    # all directed edges per key — symmetric, so BOTH copies of a
+    # same-direction (reversed-winding) shared edge link to each other
+    edge_map: dict[tuple[bytes, bytes], list[tuple[int, int]]] = {}
     for t in range(t_count):
         for e in range(3):
-            a = verts[t, e].tobytes()
-            b = verts[t, (e + 1) % 3].tobytes()
-            edge_map.setdefault((a, b), (t, e))
+            edge_map.setdefault(
+                (key_of(t, e), key_of(t, (e + 1) % 3)), []
+            ).append((t, e))
     neighbor = _np.full((t_count, 3), -1, _np.int32)
     flip = _np.ones((t_count, 3), _np.float32)
     for t in range(t_count):
         for e in range(3):
-            a = verts[t, e].tobytes()
-            b = verts[t, (e + 1) % 3].tobytes()
-            opp = edge_map.get((b, a))
-            if opp is not None and opp[0] != t:
-                neighbor[t, e] = opp[0]
-                continue
-            same = edge_map.get((a, b))
-            if same is not None and same[0] != t:
-                neighbor[t, e] = same[0]
-                flip[t, e] = -1.0
+            a, b = key_of(t, e), key_of(t, (e + 1) % 3)
+            for ot, _ in edge_map.get((b, a), ()):
+                if ot != t:
+                    neighbor[t, e] = ot
+                    break
+            else:
+                for ot, _ in edge_map.get((a, b), ()):
+                    if ot != t:
+                        neighbor[t, e] = ot
+                        flip[t, e] = -1.0
+                        break
     return TriangleAdjacency(
         neighbor=jnp.asarray(neighbor), flip=jnp.asarray(flip)
     )
@@ -546,10 +564,14 @@ def triangle_edge_gradients(
     centroid = jnp.mean(verts, axis=1)
     sil = _triangle_silhouette_mask(verts, adjacency, camera.origin)
 
+    # stratum-centered jitter: U[-0.5/m, 0.5/m) keeps the segment
+    # integration domain exactly [0, 1) (a trailing U[0,1/m) jitter would
+    # shift it past the far endpoint — harmless on the periodic phi
+    # circle, a systematic ~1/(2m) bias on line segments)
     ts = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
     ts = ts[None, None, :] + jax.random.uniform(
         rng.purpose_key(key, rng.Purpose.SAMPLE), (t_count, 3, 1),
-        maxval=1.0 / m,
+        minval=-0.5 / m, maxval=0.5 / m,
     )  # (T,3,M)
 
     # endpoint pairs per directed edge: (va, vb) = (v_e, v_{e+1 mod 3})
@@ -644,8 +666,8 @@ def camera_edge_gradients(
         ts = ts[None, :] + jax.random.uniform(
             rng.purpose_key(jax.random.fold_in(key, fold),
                             rng.Purpose.SAMPLE),
-            (k_count, 1), maxval=1.0 / m,
-        )  # (K,M)
+            (k_count, 1), minval=-0.5 / m, maxval=0.5 / m,
+        )  # stratum-centered: keep the segment domain exactly [0, 1)  # (K,M)
         pw = (
             seg_a[:, None] * (1.0 - ts[..., None])
             + seg_b[:, None] * ts[..., None]

@@ -106,6 +106,12 @@ def optimize(
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(init_params)
 
+    if config.use_boundary and config.unbiased_l2:
+        raise ValueError(
+            "unbiased_l2 is not composed with use_boundary: the boundary "
+            "branch builds its own single-render L2 (the silhouette term "
+            "needs one g_image); raise samples_per_pixel there instead."
+        )
     if config.use_boundary:
         from raytracing_in_one_weekend_tpu.diff import boundary
 

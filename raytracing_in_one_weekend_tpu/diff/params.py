@@ -13,7 +13,7 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
-from raytracing_in_one_weekend_tpu.scene.scene import Scene
+from raytracing_in_one_weekend_tpu.scene.scene import Scene, soup_vertices
 
 
 def set_sphere_centers(scene: Scene, centers: jnp.ndarray) -> Scene:
@@ -124,13 +124,6 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "rect_from": lambda s: s.rects.xy_from,
         "rect_to": lambda s: s.rects.xy_to,
         "texture_atlas": lambda s: s.textures.atlas,
-        "triangle_vertices": lambda s: jnp.stack(
-            [
-                s.triangles.vert0,
-                s.triangles.vert0 + s.triangles.edge_b,
-                s.triangles.vert0 + s.triangles.edge_a,
-            ],
-            axis=1,
-        ),
+        "triangle_vertices": soup_vertices,
     }
     return {n: getters[n](scene) for n in names}

@@ -293,7 +293,10 @@ def point_inside_volume(scene: Scene, point: jnp.ndarray) -> jnp.ndarray:
     box = scene.boxes
     if box.rot.shape[0] > 0:
         is_vol = scene.materials.type[box.material] == MaterialType.PROBABILISTIC_VOLUME
-        inv_rot = math3.quat_conjugate(box.rot)  # (B,4)
+        # normalize like every other rect/box quat consumer (raw-quat
+        # descent drifts off unit norm; an unnormalized conjugate rotate
+        # scales local coords by |q|^2 and mis-classifies containment)
+        inv_rot = math3.quat_conjugate(math3.quat_normalize(box.rot))
         local = math3.quat_rotate(
             inv_rot[None], point[:, None, :] - box.pos[None]
         )  # (N,B,3)

@@ -173,6 +173,18 @@ class TextureSpec:
 ColorLike = Union[None, float, Sequence[float], TextureSpec]
 
 
+def soup_vertices(scene: "Scene") -> jnp.ndarray:
+    """(T, 3, 3) world vertices (v0, v1, v2) from the edge-form soup
+    (Triangle.cs edge form: edge_a = v2-v0, edge_b = v1-v0).  The ONE
+    reconstruction shared by diff/boundary (edge sampling) and
+    diff/params (the triangle_vertices parameterization) — the inverse of
+    params.set_triangle_vertices' re-pack."""
+    tri = scene.triangles
+    return jnp.stack(
+        [tri.vert0, tri.vert0 + tri.edge_b, tri.vert0 + tri.edge_a], axis=1
+    )
+
+
 def constant(color) -> TextureSpec:
     color = np.broadcast_to(np.asarray(color, np.float32), (3,))
     return TextureSpec(TextureType.CONSTANT, tuple(float(c) for c in color))

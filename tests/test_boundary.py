@@ -296,6 +296,27 @@ class TestTriangleBoundaryGradients:
         assert float(np.asarray(adj_ok.flip).min()) == 1.0
         assert float(np.asarray(adj_bad.flip).min()) == -1.0
 
+    def test_adjacency_welds_generic_float_mesh(self):
+        # regression: v1/v2 are reconstructed as vert0 + edge (f32
+        # differences), which does not round-trip bit-exactly for generic
+        # coordinates — exact-byte welding classified most interior edges
+        # of real meshes as always-silhouette boundary.  The quantized
+        # weld must close a scaled/translated icosphere completely.
+        from raytracing_in_one_weekend_tpu.models import meshes
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        out = meshes.icosphere(1)
+        v, f = np.asarray(out[0]), np.asarray(out[1])
+        b = SceneBuilder()
+        b.add_mesh(
+            v * 0.73 + np.asarray([0.123, -0.456, 0.789]), f,
+            b.lambert((0.5, 0.5, 0.5)),
+        )
+        adj = boundary.build_triangle_adjacency(b.build())
+        nb = np.asarray(adj.neighbor)
+        assert int((nb < 0).sum()) == 0, int((nb < 0).sum())
+        assert float(np.asarray(adj.flip).min()) == 1.0  # consistent winding
+
     def test_vertex_gradient_fullframe_allclose(self):
         scene = _quad_scene()
         adj = boundary.build_triangle_adjacency(scene)
