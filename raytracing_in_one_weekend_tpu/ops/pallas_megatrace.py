@@ -200,6 +200,33 @@ def _quat_rotate(qx, qy, qz, qw, vx, vy, vz):
     )
 
 
+def _atan2(y, x):
+    """Branchless atan2 from mul/add/div/select only — Mosaic has no
+    atan2 lowering (NotImplementedError on TC kernels).  Cephes atanf
+    minimax core on [0, tan(pi/8)] after octant reduction; max abs
+    error ~1e-6 rad, plenty for texture UVs."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    t = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    # t > tan(pi/8): atan(t) = pi/4 + atan((t-1)/(t+1)) keeps the
+    # polynomial argument inside its designed range.
+    hi = t > 0.41421356
+    z = jnp.where(hi, (t - 1.0) / (t + 1.0), t)
+    z2 = z * z
+    p = ((((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
+           + 1.99777106478e-1) * z2 - 3.33329491539e-1) * z2 * z + z)
+    r = jnp.where(hi, p + 0.25 * jnp.pi, p)
+    r = jnp.where(ay > ax, 0.5 * jnp.pi - r, r)
+    r = jnp.where(x < 0.0, jnp.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(c):
+    """acos(c) = atan2(sqrt(1-c^2), c); caller clips c to [-1, 1]."""
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    return _atan2(s, c)
+
+
 def _normalize3(x, y, z, eps=1e-12):
     inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
     return x * inv, y * inv, z * inv
@@ -851,10 +878,10 @@ def _bounce_step(
         if tri_c is not None:
             sph_wins = sph_wins & jnp.logical_not(tri_wins)
         # (nx,ny,nz) on sphere-winner lanes are the unit outward normals.
-        # NOTE: first arctan2/arccos in the kernel — interpret-mode parity
-        # is oracled; re-verify Mosaic lowering on hardware.
-        su = (jnp.arctan2(-nz, nx) + jnp.pi) * (0.5 / jnp.pi)
-        sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+        # jnp.arctan2/arccos have NO Mosaic lowering (hardware-verified
+        # NotImplementedError) — _atan2/_acos are select-based kernels.
+        su = (_atan2(-nz, nx) + jnp.pi) * (0.5 / jnp.pi)
+        sv = _acos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
         uv_u = jnp.where(sph_wins, su, uv_u)
         uv_v = jnp.where(sph_wins, sv, uv_v)
     if tri_c is not None and tex_c is not None and tex_c[2] is not None:
