@@ -20,9 +20,13 @@ reassociation (tests assert ~1e-4 channel agreement).  Discrete decisions
 tape — the a.e.-correct detached-decision gradient estimator, same policy
 as the wavefront's detached Pallas selection (render/integrator.py).
 
-Scope (gated by `replay_eligible`): sphere/rect/box scenes, constant
-textures, gradient/none sky, no volumes/motion/triangles — the BASELINE
-gradient configs (cover-scene class) plus Cornell-class rect/box scenes.
+Scope (gated by `replay_eligible`): sphere/rect/box scenes; constant,
+checker and image-atlas albedo textures (texel gradients flow to the
+atlas from exactly the rays that sampled each texel — nearest-neighbor
+index detached, same policy as the wavefront's texture_atlas gradients);
+gradient/none sky; no volumes/motion/triangles/perlin — the BASELINE
+gradient configs (cover-scene class) plus Cornell-class rect/box scenes
+and texture-painting inverse problems.
 The tape code indexes the KERNEL's padded row space: spheres [0, s_pad),
 rects [s_pad, s_pad + R_pad), boxes after (pack layouts are shared via
 mk.sphere_pad_count / mk.pack_aux_tables).  Reference math parity anchors
@@ -50,9 +54,16 @@ METAL_IOR = mk.METAL_IOR
 
 def replay_eligible(scene) -> bool:
     """Static gate for the tape-replay differentiable fused path
-    (spheres + oriented rects/boxes, constant textures, gradient/none
-    sky; no volumes, motion or triangles)."""
-    return mk.scene_eligible(scene, allow_rect_box=True)
+    (spheres + oriented rects/boxes; constant/checker/image albedo
+    textures — texture-atlas gradients included; gradient/none sky; no
+    volumes, motion, triangles or perlin marble — the marble turbulence
+    is not mirrored here, so such scenes keep the wavefront)."""
+    return mk.scene_eligible(
+        scene, allow_rect_box=True, allow_textures=True
+    ) and (
+        not scene.flags.has_procedural_textures
+        or scene.textures.perlin is None
+    )
 
 
 # --------------------------------------------------------------------------
@@ -110,6 +121,9 @@ def replay(
     seed,  # () int32
     rect_tables=None,  # (geo (R_pad, 16), rec (24, R_pad)) pack_aux_tables
     box_tables=None,  # (geo (B_pad, 16), rec (24, B_pad))
+    tex_tables=None,  # (texrec (16, M_pad), None, img|None) from
+    #   pack_texture_tables — perlin excluded by replay_eligible; texrec
+    #   main colors and img texels are differentiable leaves
     *,
     samples: int,
     trace_depth: int,
@@ -117,6 +131,7 @@ def replay(
     has_dielectrics: bool = True,
     sky_on: bool = True,
     jitter: bool = True,
+    img_dims: tuple = (0, 0),
 ):
     """Differentiable (color_sum (N,3), count (N,)) for one batch,
     replaying the kernel's persistent-lane loop along the recorded tape."""
@@ -157,16 +172,21 @@ def replay(
     #   0:3  sphere center | quat xyz      3  radius | quat w
     #   4:7  (unused)      | position      7:10 (unused) | box extents
     #   10:21 material rows 0-10           21 kind (0 sphere/1 rect/2 box)
+    #   22 material id; 23:23+TEX_ROWS per-material texture record
+    #   (pack_texture_tables rows, pre-gathered per entity) when textured
     has_rects = rect_tables is not None
     has_boxes = box_tables is not None
+    has_tex = tex_tables is not None
+    img = tex_tables[2] if has_tex else None
     iters = samples * trace_depth
     s_real = centers.shape[0]
     s_pad = mk.sphere_pad_count(s_real)
-    cols = 22
+    cols = 23
     sph_block = jnp.zeros((s_pad, cols), jnp.float32)
     sph_block = sph_block.at[:s_real, 0:3].set(centers)
     sph_block = sph_block.at[:s_real, 3].set(radii)
     sph_block = sph_block.at[:s_real, 10:21].set(records[:, :11])
+    sph_block = sph_block.at[:s_real, 22].set(records[:, 11])
     blocks = [sph_block]
     if has_rects:
         rgeo, rrec = rect_tables
@@ -174,6 +194,7 @@ def replay(
         rb = rb.at[:, 0:7].set(rgeo[:, 0:7])  # quat | pos
         rb = rb.at[:, 10:21].set(rrec[0:11, :].T)
         rb = rb.at[:, 21].set(1.0)
+        rb = rb.at[:, 22].set(rrec[14, :])
         blocks.append(rb)
     if has_boxes:
         bgeo, brec = box_tables
@@ -181,10 +202,21 @@ def replay(
         bb = bb.at[:, 0:10].set(bgeo[:, 0:10])  # quat | pos | extents
         bb = bb.at[:, 10:21].set(brec[0:11, :].T)
         bb = bb.at[:, 21].set(2.0)
+        bb = bb.at[:, 22].set(brec[21, :])
         blocks.append(bb)
     entity_rows = (
         jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
     )
+    if has_tex:
+        # one build-time texture-record gather per entity (texrec main
+        # colors stay differentiable through it); the per-lane atlas
+        # texel fetch below is the only in-scan gather
+        ent_ids = jax.lax.stop_gradient(
+            entity_rows[:, 22]
+        ).astype(jnp.int32)
+        entity_rows = jnp.concatenate(
+            [entity_rows, tex_tables[0].T[ent_ids]], axis=1
+        )
     w_all = jnp.clip(tape, 0.0, None).astype(jnp.int32)  # (IT, N)
     winner_rows = entity_rows[w_all.reshape(-1)].reshape(
         iters, n, entity_rows.shape[1]
@@ -363,6 +395,72 @@ def replay(
         gloss = rec[:, 7]
         metallic = rec[:, 8]
         parameter = rec[:, 9]
+
+        if has_tex:
+            # ---- procedural albedo override (kernel _bounce_textures;
+            # Texture.cs SampleColor semantics) ---------------------------
+            txw = wrow[:, 23:]
+            ttype = txw[:, 0]
+            main_r, main_g, main_b = txw[:, 1], txw[:, 2], txw[:, 3]
+            freq = txw[:, 7]
+            # checker: dominant-normal projection (textures._checker_uv)
+            anx, any_, anz = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+            use_x = (anx > any_) & (anx > anz)
+            use_y = jnp.logical_not(use_x) & (any_ > anx) & (any_ > anz)
+            v0 = jnp.where(use_x, nx, jnp.where(use_y, ny, nz))
+            v1 = jnp.where(use_x, ny, jnp.where(use_y, nz, nx))
+            v2 = jnp.where(use_x, nz, jnp.where(use_y, nx, ny))
+            safe0 = jnp.where(v0 == 0.0, 1.0, v0)
+            cu = 0.5 + 0.5 * (v1 / safe0)
+            cv = 0.5 + 0.5 * (v2 / safe0)
+            sines = jnp.sin(jnp.pi * freq * cu) * jnp.sin(
+                jnp.pi * freq * cv
+            )
+            is_chk = (ttype > 1.5) & (ttype < 2.5)
+            pick_main = is_chk & (sines < 0.0)
+            pick_sec = is_chk & jnp.logical_not(sines < 0.0)
+            alb_r = jnp.where(
+                pick_main, main_r, jnp.where(pick_sec, txw[:, 4], alb_r)
+            )
+            alb_g = jnp.where(
+                pick_main, main_g, jnp.where(pick_sec, txw[:, 5], alb_g)
+            )
+            alb_b = jnp.where(
+                pick_main, main_b, jnp.where(pick_sec, txw[:, 6], alb_b)
+            )
+            if img is not None:
+                # nearest-neighbor atlas fetch.  The texel INDEX is a
+                # detached decision (same policy as the wavefront's
+                # texture_atlas gradients: texels get cotangent from
+                # exactly the rays that sampled them) — stop_gradient on
+                # the UV kills the atan2/acos NaN transposes at poles and
+                # on idle lanes in one move.  Sphere winners take the
+                # Shirley Book-2 mapping; rect/box keep uv = 0 (kernel
+                # winner-UV section).
+                img_w, img_h = img_dims
+                su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
+                      + jnp.pi) * (0.5 / jnp.pi)
+                sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+                tex_u = jax.lax.stop_gradient(jnp.where(s_hit, su, 0.0))
+                tex_v = jax.lax.stop_gradient(jnp.where(s_hit, sv, 0.0))
+                cx = jnp.clip(
+                    (tex_u * img_w).astype(jnp.int32), 0, img_w - 1
+                )
+                cy = jnp.clip(
+                    (tex_v * img_h).astype(jnp.int32), 0, img_h - 1
+                )
+                roww = txw[:, 8].astype(jnp.int32) + cy
+                w_pad = img.shape[0] // 3
+                ah_pad = img.shape[1]
+                img_flat = img.reshape(-1)
+                is_img = (ttype > 3.5) & (ttype < 4.5)
+                texel = [
+                    img_flat[(c * w_pad + cx) * ah_pad + roww]
+                    for c in range(3)
+                ]
+                alb_r = jnp.where(is_img, texel[0] * main_r, alb_r)
+                alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
+                alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
 
         ua, ub_, uc, ud = ub[0], ub[1], ub[2], ub[3]
         u_choice, u_choice2 = ub[4], ub[5]
@@ -547,6 +645,9 @@ def sample_batch_diff(
     seed,
     rect_tables=None,  # (geo, rec) pack_aux_tables pair — differentiable
     box_tables=None,
+    tex_tables=None,  # (texrec, None, img|None) pack_texture_tables —
+    #   texrec + img are differentiable (atlas texel gradients); perlin
+    #   must be None (replay_eligible)
     *,
     samples: int,
     trace_depth: int,
@@ -554,24 +655,32 @@ def sample_batch_diff(
     sky_on: bool = True,
     jitter: bool = True,
     interpret: bool = False,
+    img_dims: tuple = (0, 0),
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
-    camera_row, rect/box geo+rec tables) via the tape replay.  Primal
-    values are the kernel's; only the `color` output's cotangent is
-    propagated (AOVs and counts are detached — losses are photometric).
-    Gradients wrt scene leaves (rect quat/pos, box extents, materials)
-    flow through the caller's pack_aux_tables/pack_materials."""
+    camera_row, rect/box geo+rec tables, texture record/atlas tables) via
+    the tape replay.  Primal values are the kernel's; only the `color`
+    output's cotangent is propagated (AOVs and counts are detached —
+    losses are photometric).  Gradients wrt scene leaves (rect quat/pos,
+    box extents, materials, atlas texels) flow through the caller's
+    pack_aux_tables/pack_materials/pack_texture_tables."""
     statics = dict(
         samples=samples, trace_depth=trace_depth,
         has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,
+        img_dims=img_dims,
     )
     # aux rides as a dict pytree through the custom_vjp so the arity is
-    # static per (has_rects, has_boxes) combination
+    # static per (has_rects, has_boxes, has_tex) combination
     aux = {}
     if rect_tables is not None:
         aux["rect_geo"], aux["rect_rec"] = rect_tables
     if box_tables is not None:
         aux["box_geo"], aux["box_rec"] = box_tables
+    if tex_tables is not None:
+        assert tex_tables[1] is None  # perlin marble: wavefront only
+        aux["texrec"] = tex_tables[0]
+        if tex_tables[2] is not None:
+            aux["tex_img"] = tex_tables[2]
 
     def _aux_pairs(aux):
         rt = (
@@ -582,7 +691,11 @@ def sample_batch_diff(
             (aux["box_geo"], aux["box_rec"]) if "box_geo" in aux
             else None
         )
-        return rt, bt
+        tt = (
+            (aux["texrec"], None, aux.get("tex_img"))
+            if "texrec" in aux else None
+        )
+        return rt, bt, tt
 
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
@@ -597,15 +710,15 @@ def sample_batch_diff(
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
                     aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
-        rt, bt = _aux_pairs(aux)
+        rt, bt, tt = _aux_pairs(aux)
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
             sky_b, sky_t, _seed_of(seed_lo, seed_hi),
-            rect_tables=rt, box_tables=bt,
+            rect_tables=rt, box_tables=bt, tex_tables=tt,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
-            interpret=interpret,
+            interpret=interpret, img_dims=img_dims,
         )
 
     @jax.custom_vjp
@@ -631,10 +744,10 @@ def sample_batch_diff(
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
-            rt, bt = _aux_pairs(aux)
+            rt, bt, tt = _aux_pairs(aux)
             csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
-                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt,
+                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, tt,
                 **statics,
             )
             # cnt carries the count's score surrogate — the valid-count

@@ -2296,11 +2296,14 @@ def sample_batch(
         # recorded under the hardware PRNG would silently replay different
         # uniforms (plausible-looking but wrong gradients)
         hw_prng = False
-        # the replay mirrors spheres/rects/boxes with constant textures
-        # only — a tape over unsupported features would replay the wrong
-        # state machine (megatrace_replay.replay_eligible is the gate)
+        # the replay mirrors spheres/rects/boxes with constant, checker
+        # and image-atlas albedo textures — a tape over unsupported
+        # features (triangles, volumes, motion, perlin marble, cubemap)
+        # would replay the wrong state machine
+        # (megatrace_replay.replay_eligible is the gate)
         assert tri_tables is None and tri_stream_tables is None
-        assert tex_tables is None and cube_table is None
+        assert (tex_tables is None or tex_tables[1] is None)
+        assert cube_table is None
         assert vol0 is None and move_offsets is None
         assert noise_uniforms is None
     if hw_prng is None:

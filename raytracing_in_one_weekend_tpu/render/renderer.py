@@ -121,20 +121,24 @@ def render_batch(
     # AOV (normal/albedo/weight) gradients are detached on this path
     # (photometric-loss scope; use the wavefront for AOV-regularized
     # losses by forcing ineligibility).
-    if (
-        differentiable
-        and noise_color == 0
-        and pallas_sphere.use_pallas()
-        and pallas_megatrace.scene_eligible(scene, allow_rect_box=True)
-    ):
+    if differentiable and noise_color == 0 and pallas_sphere.use_pallas():
         from raytracing_in_one_weekend_tpu.ops import megatrace_replay
 
+        diff_fused = megatrace_replay.replay_eligible(scene)
+    else:
+        diff_fused = False
+    if diff_fused:
         lane_count = jnp.where(row_active, per_pixel, 0)
         packed = materials.pack_materials(scene)
         records = pallas_megatrace.pack_sphere_records(scene, packed)
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
         )  # gradients wrt rect/box scene leaves flow through this pack
+        tex_all = pallas_megatrace.pack_texture_tables(scene)
+        # atlas texel / texture main-color gradients flow through this
+        # pack (replay_eligible guarantees perlin is None here)
+        tex_tables = tex_all[:3] if tex_all is not None else None
+        img_dims = tex_all[3] if tex_all is not None else (0, 0)
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         d = megatrace_replay.sample_batch_diff(
             lane_count,
@@ -148,6 +152,8 @@ def render_batch(
             seed,
             rect_tables=rect_tables,
             box_tables=box_tables,
+            tex_tables=tex_tables,
+            img_dims=img_dims,
             samples=samples,
             trace_depth=trace_depth,
             has_dielectrics=scene.flags.has_dielectrics,
