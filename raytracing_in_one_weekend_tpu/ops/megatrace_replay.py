@@ -20,16 +20,19 @@ reassociation (tests assert ~1e-4 channel agreement).  Discrete decisions
 tape — the a.e.-correct detached-decision gradient estimator, same policy
 as the wavefront's detached Pallas selection (render/integrator.py).
 
-Scope (gated by `replay_eligible`): sphere/rect/box scenes; constant,
-checker and image-atlas albedo textures (texel gradients flow to the
-atlas from exactly the rays that sampled each texel — nearest-neighbor
-index detached, same policy as the wavefront's texture_atlas gradients);
-gradient/none sky; no volumes/motion/triangles/perlin — the BASELINE
-gradient configs (cover-scene class) plus Cornell-class rect/box scenes
-and texture-painting inverse problems.
+Scope (gated by `replay_eligible`): sphere/rect/box scenes plus
+VMEM-resident triangle meshes (<= TRI_MAX rows — mesh vertex, shading
+normal and uv gradients); constant, checker and image-atlas albedo
+textures (texel gradients flow to the atlas from exactly the rays that
+sampled each texel — nearest-neighbor index detached, same policy as the
+wavefront's texture_atlas gradients); gradient/none sky; no
+volumes/motion/streamed-triangles/perlin — the BASELINE gradient configs
+(cover-scene class) plus Cornell-class rect/box scenes, mesh inverse
+rendering and texture-painting inverse problems.
 The tape code indexes the KERNEL's padded row space: spheres [0, s_pad),
-rects [s_pad, s_pad + R_pad), boxes after (pack layouts are shared via
-mk.sphere_pad_count / mk.pack_aux_tables).  Reference math parity anchors
+rects [s_pad, s_pad + R_pad), boxes after, then triangles (pack layouts
+are shared via mk.sphere_pad_count / mk.pack_aux_tables /
+mk.pack_tri_tables).  Reference math parity anchors
 are the same as ops/pallas_megatrace (View.cs:38-48 camera,
 HitTests.cs:23-113 sphere/rect/box, Material.cs:75-161 scatter,
 SampleBatchJob.cs:341-396 fold/termination).
@@ -54,15 +57,21 @@ METAL_IOR = mk.METAL_IOR
 
 def replay_eligible(scene) -> bool:
     """Static gate for the tape-replay differentiable fused path
-    (spheres + oriented rects/boxes; constant/checker/image albedo
-    textures — texture-atlas gradients included; gradient/none sky; no
-    volumes, motion, triangles or perlin marble — the marble turbulence
-    is not mirrored here, so such scenes keep the wavefront)."""
-    return mk.scene_eligible(
-        scene, allow_rect_box=True, allow_textures=True
-    ) and (
-        not scene.flags.has_procedural_textures
-        or scene.textures.perlin is None
+    (spheres + oriented rects/boxes + VMEM-resident triangle meshes;
+    constant/checker/image albedo textures — texture-atlas gradients
+    included; gradient/none sky; no volumes, motion, HBM-streamed
+    triangles or perlin marble — the marble turbulence is not mirrored
+    here, so such scenes keep the wavefront)."""
+    return (
+        mk.scene_eligible(
+            scene, allow_rect_box=True, allow_textures=True,
+            allow_triangles=True,
+        )
+        and scene.triangles.vert0.shape[0] <= mk.TRI_MAX
+        and (
+            not scene.flags.has_procedural_textures
+            or scene.textures.perlin is None
+        )
     )
 
 
@@ -121,6 +130,9 @@ def replay(
     seed,  # () int32
     rect_tables=None,  # (geo (R_pad, 16), rec (24, R_pad)) pack_aux_tables
     box_tables=None,  # (geo (B_pad, 16), rec (24, B_pad))
+    tri_tables=None,  # (geo (T_pad, 16), rec (32, T_pad)) pack_tri_tables
+    #   — edge_a/edge_b/vert0, per-vertex normals and uvs are
+    #   differentiable leaves (mesh vertex gradients)
     tex_tables=None,  # (texrec (16, M_pad), None, img|None) from
     #   pack_texture_tables — perlin excluded by replay_eligible; texrec
     #   main colors and img texels are differentiable leaves
@@ -169,19 +181,27 @@ def replay(
     # streaming a pre-gathered (IT, N, C) tensor).  Rows mirror the
     # KERNEL's padded row space — spheres [0, s_pad), rects, boxes — so
     # the tape code indexes this table directly.  Columns:
-    #   0:3  sphere center | quat xyz      3  radius | quat w
-    #   4:7  (unused)      | position      7:10 (unused) | box extents
-    #   10:21 material rows 0-10           21 kind (0 sphere/1 rect/2 box)
-    #   22 material id; 23:23+TEX_ROWS per-material texture record
+    #   0:3  sphere center | quat xyz | tri edge_a
+    #   3    radius | quat w
+    #   4:7  (unused) | position | tri edge_b
+    #   7:10 (unused) | box extents | tri vert0
+    #   10:21 material rows 0-10
+    #   21 kind (0 sphere / 1 rect / 2 box / 3 triangle)
+    #   22 material id
+    #   [triangle scenes only] 23:32 per-vertex normals (v0 v1 v2 xyz),
+    #   32:38 per-vertex uvs (u0 u1 u2, v0 v1 v2)
+    #   then TEX_ROWS per-material texture record columns
     #   (pack_texture_tables rows, pre-gathered per entity) when textured
     has_rects = rect_tables is not None
     has_boxes = box_tables is not None
+    has_tris = tri_tables is not None
     has_tex = tex_tables is not None
     img = tex_tables[2] if has_tex else None
     iters = samples * trace_depth
     s_real = centers.shape[0]
     s_pad = mk.sphere_pad_count(s_real)
-    cols = 23
+    cols = 38 if has_tris else 23
+    txbase = cols
     sph_block = jnp.zeros((s_pad, cols), jnp.float32)
     sph_block = sph_block.at[:s_real, 0:3].set(centers)
     sph_block = sph_block.at[:s_real, 3].set(radii)
@@ -204,6 +224,19 @@ def replay(
         bb = bb.at[:, 21].set(2.0)
         bb = bb.at[:, 22].set(brec[21, :])
         blocks.append(bb)
+    if has_tris:
+        tgeo, trec_t = tri_tables
+        tb = jnp.zeros((tgeo.shape[0], cols), jnp.float32)
+        tb = tb.at[:, 0:3].set(tgeo[:, 0:3])  # edge_a
+        tb = tb.at[:, 4:7].set(tgeo[:, 3:6])  # edge_b
+        tb = tb.at[:, 7:10].set(tgeo[:, 6:9])  # vert0
+        tb = tb.at[:, 10:21].set(trec_t[0:11, :].T)
+        tb = tb.at[:, 21].set(3.0)
+        tb = tb.at[:, 22].set(trec_t[11, :])
+        # per-vertex normals (rows 12-20) + uvs (rows 21-26), kernel
+        # pack_tri_tables layout
+        tb = tb.at[:, 23:38].set(trec_t[12:27, :].T)
+        blocks.append(tb)
     entity_rows = (
         jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
     )
@@ -269,11 +302,12 @@ def replay(
         hit = was_active & (code >= -0.5)
         miss = was_active & jnp.logical_not(hit)
 
-        c = wrow[:, 0:3].T  # (3, N) sphere center | quat xyz
+        c = wrow[:, 0:3].T  # (3, N) sphere center | quat xyz | tri edge_a
         r = wrow[:, 3]  # radius | quat w
         rec = wrow[:, 10:21]  # material rows 0-10
         kind = wrow[:, 21]
-        s_hit = hit & (kind < 0.5) if (has_rects or has_boxes) else hit
+        has_aux = has_rects or has_boxes or has_tris
+        s_hit = hit & (kind < 0.5) if has_aux else hit
 
         ox, oy, oz = o[0], o[1], o[2]
         dx, dy, dz = d[0], d[1], d[2]
@@ -357,6 +391,32 @@ def replay(
             ) + t_min
             t_hit = jnp.where(b_hit, tb, t_hit)
 
+        if has_tris:
+            # Möller–Trumbore recompute at the tape-confirmed winner
+            # (kernel _block_sweep; HitTests.cs:116-150).  The tape
+            # guarantees det != 0 and a valid barycentric hit on t3 lanes;
+            # other kinds' rows hold unrelated data there, so every
+            # division is where-guarded.
+            t3_hit = hit & (kind > 2.5)
+            eax, eay, eaz = wrow[:, 0], wrow[:, 1], wrow[:, 2]
+            ebx, eby, ebz = wrow[:, 4], wrow[:, 5], wrow[:, 6]
+            v0x, v0y, v0z = wrow[:, 7], wrow[:, 8], wrow[:, 9]
+            pvx = dy * eaz - dz * eay
+            pvy = dz * eax - dx * eaz
+            pvz = dx * eay - dy * eax
+            t_det = ebx * pvx + eby * pvy + ebz * pvz
+            t_inv_det = 1.0 / jnp.where(t3_hit & (t_det != 0.0), t_det, 1.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            t_bu = (tvx * pvx + tvy * pvy + tvz * pvz) * t_inv_det
+            qvx = tvy * ebz - tvz * eby
+            qvy = tvz * ebx - tvx * ebz
+            qvz = tvx * eby - tvy * ebx
+            t_bv = (dx * qvx + dy * qvy + dz * qvz) * t_inv_det
+            t_mt = (eax * qvx + eay * qvy + eaz * qvz) * t_inv_det
+            t_hit = jnp.where(t3_hit, t_mt, t_hit)
+
         px = ox + t_hit * dx
         py = oy + t_hit * dy
         pz = oz + t_hit * dz
@@ -389,6 +449,23 @@ def replay(
             ny = jnp.where(b_hit, bny, ny)
             nz = jnp.where(b_hit, bnz, nz)
 
+        if has_tris:
+            # barycentric vertex-normal lerp, normalized after (kernel
+            # triangle-normal section / Entity.cs:65)
+            t_w0 = 1.0 - t_bu - t_bv
+            tnx = (wrow[:, 23] * t_w0 + wrow[:, 26] * t_bu
+                   + wrow[:, 29] * t_bv)
+            tny = (wrow[:, 24] * t_w0 + wrow[:, 27] * t_bu
+                   + wrow[:, 30] * t_bv)
+            tnz = (wrow[:, 25] * t_w0 + wrow[:, 28] * t_bu
+                   + wrow[:, 31] * t_bv)
+            t_ninv = jax.lax.rsqrt(
+                jnp.maximum(tnx * tnx + tny * tny + tnz * tnz, 1e-24)
+            )
+            nx = jnp.where(t3_hit, tnx * t_ninv, nx)
+            ny = jnp.where(t3_hit, tny * t_ninv, ny)
+            nz = jnp.where(t3_hit, tnz * t_ninv, nz)
+
         mtype = rec[:, 0]
         alb_r, alb_g, alb_b = rec[:, 1], rec[:, 2], rec[:, 3]
         em_r, em_g, em_b = rec[:, 4], rec[:, 5], rec[:, 6]
@@ -399,7 +476,7 @@ def replay(
         if has_tex:
             # ---- procedural albedo override (kernel _bounce_textures;
             # Texture.cs SampleColor semantics) ---------------------------
-            txw = wrow[:, 23:]
+            txw = wrow[:, txbase:]
             ttype = txw[:, 0]
             main_r, main_g, main_b = txw[:, 1], txw[:, 2], txw[:, 3]
             freq = txw[:, 7]
@@ -441,8 +518,25 @@ def replay(
                 su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
                       + jnp.pi) * (0.5 / jnp.pi)
                 sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
-                tex_u = jax.lax.stop_gradient(jnp.where(s_hit, su, 0.0))
-                tex_v = jax.lax.stop_gradient(jnp.where(s_hit, sv, 0.0))
+                tex_u = jnp.where(s_hit, su, 0.0)
+                tex_v = jnp.where(s_hit, sv, 0.0)
+                if has_tris:
+                    # triangles: baked per-vertex uv lerp (kernel
+                    # winner-UV section)
+                    tex_u = jnp.where(
+                        t3_hit,
+                        wrow[:, 32] * t_w0 + wrow[:, 33] * t_bu
+                        + wrow[:, 34] * t_bv,
+                        tex_u,
+                    )
+                    tex_v = jnp.where(
+                        t3_hit,
+                        wrow[:, 35] * t_w0 + wrow[:, 36] * t_bu
+                        + wrow[:, 37] * t_bv,
+                        tex_v,
+                    )
+                tex_u = jax.lax.stop_gradient(tex_u)
+                tex_v = jax.lax.stop_gradient(tex_v)
                 cx = jnp.clip(
                     (tex_u * img_w).astype(jnp.int32), 0, img_w - 1
                 )
@@ -645,6 +739,9 @@ def sample_batch_diff(
     seed,
     rect_tables=None,  # (geo, rec) pack_aux_tables pair — differentiable
     box_tables=None,
+    tri_tables=None,  # (geo, rec) pack_tri_tables pair — differentiable
+    #   (mesh vertex/normal/uv + material gradients); VMEM-resident
+    #   triangle counts only (replay_eligible)
     tex_tables=None,  # (texrec, None, img|None) pack_texture_tables —
     #   texrec + img are differentiable (atlas texel gradients); perlin
     #   must be None (replay_eligible)
@@ -676,6 +773,8 @@ def sample_batch_diff(
         aux["rect_geo"], aux["rect_rec"] = rect_tables
     if box_tables is not None:
         aux["box_geo"], aux["box_rec"] = box_tables
+    if tri_tables is not None:
+        aux["tri_geo"], aux["tri_rec"] = tri_tables
     if tex_tables is not None:
         assert tex_tables[1] is None  # perlin marble: wavefront only
         aux["texrec"] = tex_tables[0]
@@ -691,11 +790,15 @@ def sample_batch_diff(
             (aux["box_geo"], aux["box_rec"]) if "box_geo" in aux
             else None
         )
+        trt = (
+            (aux["tri_geo"], aux["tri_rec"]) if "tri_geo" in aux
+            else None
+        )
         tt = (
             (aux["texrec"], None, aux.get("tex_img"))
             if "texrec" in aux else None
         )
-        return rt, bt, tt
+        return rt, bt, trt, tt
 
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
@@ -710,11 +813,11 @@ def sample_batch_diff(
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
                     aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
-        rt, bt, tt = _aux_pairs(aux)
+        rt, bt, trt, tt = _aux_pairs(aux)
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
             sky_b, sky_t, _seed_of(seed_lo, seed_hi),
-            rect_tables=rt, box_tables=bt, tex_tables=tt,
+            rect_tables=rt, box_tables=bt, tri_tables=trt, tex_tables=tt,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
@@ -744,10 +847,10 @@ def sample_batch_diff(
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
-            rt, bt, tt = _aux_pairs(aux)
+            rt, bt, trt, tt = _aux_pairs(aux)
             csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
-                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, tt,
+                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, trt, tt,
                 **statics,
             )
             # cnt carries the count's score surrogate — the valid-count

@@ -584,7 +584,10 @@ def _bounce_step(
             )  # (32, T): 0-10 material | 11 id | normals | uvs
             blk_u = jnp.sum(blk_hot * bu, axis=0, keepdims=True)
             blk_v = jnp.sum(blk_hot * bv, axis=0, keepdims=True)
-            return blk_best, blk_u, blk_v, blk_rec
+            # global winner row (tape mode: megatrace_replay gathers the
+            # winner's geo/record rows by this index; dead code otherwise)
+            blk_gidx = jnp.float32(st) + blk_idx.astype(jnp.float32)
+            return blk_best, blk_u, blk_v, blk_rec, blk_gidx
 
         def _block_skip(_):
             return (
@@ -592,11 +595,13 @@ def _bounce_step(
                 zero,
                 zero,
                 jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32),
+                zero,
             )
 
         tri_best = jnp.full((1, t_cols), BIG, jnp.float32)
         tri_u = zero
         tri_v = zero
+        tri_idx = zero
         trec = jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32)
         for st in range(0, t_rows, TRI_BLOCK):
             en = min(st + TRI_BLOCK, t_rows)
@@ -625,7 +630,7 @@ def _bounce_step(
                 & (b_near < jnp.minimum(tri_best, best_t))
             ).astype(jnp.float32)
             blk_pred = jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
-            blk_best, blk_u, blk_v, blk_rec = jax.lax.cond(
+            blk_best, blk_u, blk_v, blk_rec, blk_gidx = jax.lax.cond(
                 blk_pred,
                 lambda _, st=st, en=en: _block_sweep(st, en),
                 _block_skip,
@@ -635,6 +640,7 @@ def _bounce_step(
             tri_best = jnp.where(blk_wins, blk_best, tri_best)
             tri_u = jnp.where(blk_wins, blk_u, tri_u)
             tri_v = jnp.where(blk_wins, blk_v, tri_v)
+            tri_idx = jnp.where(blk_wins, blk_gidx, tri_idx)
             trec = jnp.where(blk_wins, blk_rec, trec)
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
@@ -1221,6 +1227,14 @@ def _bounce_step(
             widx = jnp.where(
                 box_wins,
                 jnp.float32(s + r_rows_n) + b_idx.astype(jnp.float32),
+                widx,
+            )
+        if tri_c is not None and not tri_stream:
+            # triangles append after the box pad in the combined row space
+            r_rows_n = rect_c[0].shape[0] if rect_c is not None else 0
+            b_rows_n = box_c[0].shape[0] if box_c is not None else 0
+            widx = jnp.where(
+                tri_wins, jnp.float32(s + r_rows_n + b_rows_n) + tri_idx,
                 widx,
             )
         return out, (widx, jnp.where(hit, 1.0, 0.0))
@@ -2296,12 +2310,12 @@ def sample_batch(
         # recorded under the hardware PRNG would silently replay different
         # uniforms (plausible-looking but wrong gradients)
         hw_prng = False
-        # the replay mirrors spheres/rects/boxes with constant, checker
-        # and image-atlas albedo textures — a tape over unsupported
-        # features (triangles, volumes, motion, perlin marble, cubemap)
-        # would replay the wrong state machine
+        # the replay mirrors spheres/rects/boxes/VMEM-resident triangles
+        # with constant, checker and image-atlas albedo textures — a tape
+        # over unsupported features (streamed triangles, volumes, motion,
+        # perlin marble, cubemap) would replay the wrong state machine
         # (megatrace_replay.replay_eligible is the gate)
-        assert tri_tables is None and tri_stream_tables is None
+        assert tri_stream_tables is None
         assert (tex_tables is None or tex_tables[1] is None)
         assert cube_table is None
         assert vol0 is None and move_offsets is None

@@ -115,8 +115,8 @@ def render_batch(
         return acc, _reduce_metrics(acc, d["rays"])
 
     # --- differentiable fused path (ops/megatrace_replay): fused-kernel
-    # primal + tape-replay VJP.  Sphere/rect/box gradient scope (Cornell
-    # class included); everything else keeps the differentiable wavefront
+    # primal + tape-replay VJP.  Sphere/rect/box/VMEM-triangle gradient
+    # scope (Cornell + mesh classes); everything else keeps the wavefront
     # below.  NOTE: only the COLOR accumulator's cotangent propagates —
     # AOV (normal/albedo/weight) gradients are detached on this path
     # (photometric-loss scope; use the wavefront for AOV-regularized
@@ -134,6 +134,9 @@ def render_batch(
         rect_tables, box_tables = pallas_megatrace.pack_aux_tables(
             scene, packed
         )  # gradients wrt rect/box scene leaves flow through this pack
+        tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
+        # gradients wrt triangle soup vertices/normals/uvs flow through
+        # this pack (replay_eligible caps the count at VMEM residence)
         tex_all = pallas_megatrace.pack_texture_tables(scene)
         # atlas texel / texture main-color gradients flow through this
         # pack (replay_eligible guarantees perlin is None here)
@@ -152,6 +155,7 @@ def render_batch(
             seed,
             rect_tables=rect_tables,
             box_tables=box_tables,
+            tri_tables=tri_tables,
             tex_tables=tex_tables,
             img_dims=img_dims,
             samples=samples,
@@ -160,8 +164,9 @@ def render_batch(
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
         )
-        # (no lane reorder here: the diff-fused gate excludes triangles,
-        # so the Morton-routed streamed-triangle path can never be taken)
+        # (no lane reorder here: the diff-fused gate caps triangles at
+        # VMEM residence, so the Morton-routed streamed-triangle path can
+        # never be taken)
         return _apply_deltas(acc, d, lane_count)
 
     noise_fusable = noise_color == 0 or noise_state is not None

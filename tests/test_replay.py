@@ -436,3 +436,187 @@ def test_renderer_diff_fused_dispatch(monkeypatch):
     )
     assert float(jnp.max(acc2.sample_count)) > 0
     assert float(metrics.total_rays) > 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle-mesh scope (VMEM-resident meshes in the diff-fused path)
+# ---------------------------------------------------------------------------
+
+
+def _mesh_scene():
+    """Ground sphere + smooth icosphere + face-normal cube (every triangle
+    normal mode), mirroring tests/test_megakernel.TestTriangleKernel."""
+    from raytracing_in_one_weekend_tpu.models import meshes
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.5, 0.5, 0.5)))
+    v, f, n, _ = meshes.icosphere(1)
+    b.add_mesh(v, f, b.metal((0.8, 0.7, 0.5), glossiness=0.9),
+               normals=n, translation=(-1.2, 1.0, 0.0))
+    v, f, _, _ = meshes.cube()
+    b.add_mesh(v, f, b.lambert((0.8, 0.3, 0.2)),
+               translation=(1.2, 0.5, 0.0), face_normals=True)
+    b.set_gradient_sky()
+    return b.build()
+
+
+def _smooth_triangle_scene():
+    """One triangle with DISTINCT per-vertex normals over a ground sphere:
+    interior vertex motion shifts the barycentrics, hence the interpolated
+    shading normal, hence the radiance — a smooth signal finite
+    differences can measure (face-normal meshes have ~zero interior
+    vertex gradient by construction; their signal is the silhouette
+    boundary term, diff/boundary's job)."""
+    import numpy as np
+
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.lambert((0.1, 0.7, 0.1)))
+    v = np.asarray(
+        [[-1.5, 0.3, 0.0], [1.5, 0.5, 0.0], [0.0, 2.2, -1.0]], np.float32
+    )
+    f = np.asarray([[0, 1, 2]], np.int32)
+    n = np.asarray(
+        [[0.6, 0.6, 0.52], [-0.6, 0.6, 0.52], [0.0, 0.2, 0.98]], np.float32
+    )
+    n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    b.add_mesh(v, f, b.lambert((0.8, 0.4, 0.2)), normals=n)
+    b.set_gradient_sky()
+    return b.build()
+
+
+class TestReplayTriangles:
+    def test_replay_reproduces_kernel_mesh(self):
+        w = h = 24
+        s, d = 4, 6
+        scene = _mesh_scene()
+        assert megatrace_replay.replay_eligible(scene)
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 2.0, 6.0]), jnp.asarray([0.0, 0.7, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 35.0, 1.0,
+            focus_distance=6.0,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        tri_t = pallas_megatrace.pack_tri_tables(scene, packed)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        out = pallas_megatrace.sample_batch(
+            lane_count, jnp.zeros((w * h,)), cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), tri_tables=tri_t, samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+            hw_prng=False, want_tape=True, interpret=True,
+        )
+        csum, cnt = megatrace_replay.replay(
+            out["tape"], lane_count, cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), tri_tables=tri_t, samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cnt), np.asarray(out["count"]), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(csum), np.asarray(out["color"]), rtol=2e-4,
+            atol=2e-4,
+        )
+
+    def test_vertex_gradients_match_finite_differences(self):
+        from raytracing_in_one_weekend_tpu.diff import gradcheck
+        from raytracing_in_one_weekend_tpu.diff import params as params_mod
+
+        w = h = 24
+        s, d = 4, 4
+        scene = _smooth_triangle_scene()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 1.0, 4.0]), jnp.asarray([0.0, 1.0, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 45.0, 1.0,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+
+        # interior mask from a 1-bounce tape: pixels whose winner is the
+        # triangle, eroded so FD never crosses the silhouette
+        out0 = pallas_megatrace.sample_batch(
+            lane_count, jnp.zeros((w * h,)), cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(5),
+            tri_tables=pallas_megatrace.pack_tri_tables(scene, packed),
+            samples=1, trace_depth=1,
+            has_dielectrics=False, sky_on=True, hw_prng=False,
+            want_tape=True, interpret=True, jitter=False,
+        )
+        s_pad = pallas_megatrace.sphere_pad_count(
+            scene.spheres.center.shape[0]
+        )
+        tri_win = (np.asarray(out0["tape"])[0] >= s_pad).reshape(h, w)
+        er = np.zeros_like(tri_win)
+        er[2:-2, 2:-2] = (
+            tri_win[2:-2, 2:-2]
+            & tri_win[:-4, 2:-2] & tri_win[4:, 2:-2]
+            & tri_win[2:-2, :-4] & tri_win[2:-2, 4:]
+        )
+        assert er.sum() > 10
+        mask = jnp.asarray(er.reshape(-1).astype(np.float32))
+
+        def loss(verts):
+            sc = params_mod.set_triangle_vertices(scene, verts)
+            tg = pallas_megatrace.pack_tri_tables(sc, packed)
+            o = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                sc.spheres.center, sc.spheres.radius, records,
+                sc.environment.sky_bottom, sc.environment.sky_top,
+                jnp.int32(5), tri_tables=tg, samples=s, trace_depth=d,
+                has_dielectrics=False, sky_on=True, jitter=False,
+                interpret=True,
+            )
+            img = o["color"] / jnp.maximum(o["count"], 1.0)[:, None]
+            return jnp.sum(jnp.sum(img**2, axis=-1) * mask) / jnp.sum(mask)
+
+        verts0 = params_mod.extract_params(
+            scene, ("triangle_vertices",)
+        )["triangle_vertices"]
+        report = gradcheck.check_grads(
+            loss, verts0, eps=1e-3, rtol=0.2, atol=3e-3
+        )
+        assert report["cosine"] > 0.99, report
+        assert report["rel_err"] < 0.1, report
+
+    def test_renderer_dispatches_mesh_to_diff_fused(self, monkeypatch):
+        import functools
+
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.render import film, renderer
+
+        monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        orig = megatrace_replay.sample_batch_diff
+        called = {}
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k, interpret=True)
+
+        monkeypatch.setattr(megatrace_replay, "sample_batch_diff", spy)
+        w = h = 12
+        scene = _mesh_scene()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 2.0, 6.0]), jnp.asarray([0.0, 0.7, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 35.0, 1.0,
+        )
+        acc = film.zero_accumulators(w * h)
+        acc2, metrics = renderer.render_batch(
+            scene, camera, acc, jax.random.PRNGKey(0),
+            width=w, height=h, samples=2, trace_depth=4,
+            differentiable=True,
+        )
+        assert called.get("hit"), "mesh scene did not take the diff-fused path"
+        assert float(jnp.max(acc2.sample_count)) > 0
+        assert float(metrics.total_rays) > 0
