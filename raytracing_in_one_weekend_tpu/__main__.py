@@ -31,8 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive samples-per-batch range")
     p.add_argument("--no-adaptive", action="store_true")
     p.add_argument("--interlacing", type=int, default=1)
-    p.add_argument("--denoise", action="store_true",
-                   help="AOV-guided a-trous denoise of the final image")
+    p.add_argument("--denoise", nargs="?", const="atrous",
+                   choices=("atrous", "learned"), default=None,
+                   help="AOV-guided denoise of the final image: 'atrous' "
+                        "(edge-avoiding wavelet) or 'learned' (the "
+                        "OIDN-analog U-Net, render/denoise_ml.py)")
     p.add_argument("--tonemap", choices=("gamma", "aces"), default="gamma")
     p.add_argument("--noise", choices=("white", "blue", "stbn"),
                    default="white",
@@ -100,7 +103,11 @@ def main(argv: list[str] | None = None) -> int:
         samples_per_batch_range=tuple(args.batch_range),
         adaptive_sampling=not args.no_adaptive,
         interlacing=args.interlacing,
-        denoise_mode=DenoiseMode.ATROUS if args.denoise else DenoiseMode.NONE,
+        denoise_mode={
+            None: DenoiseMode.NONE,
+            "atrous": DenoiseMode.ATROUS,
+            "learned": DenoiseMode.LEARNED,
+        }[args.denoise],
         noise_color={
             "white": NoiseColor.WHITE,
             "blue": NoiseColor.BLUE,

@@ -1,0 +1,288 @@
+"""Learned AOV-guided denoiser — the TPU-native OIDN.
+
+Reference slot: Intel Open Image Denoise, the ML denoiser the reference
+drives through P/Invoke (ThirdParty/Intel Open Image Denoise/
+OidnApi.cs:84-168, Jobs/DenoiseJobs.cs:11-40).  OIDN is a CNN ("RT"
+filter) consuming the HDR color + normal + albedo AOV triple; the
+a-trous filter in render/denoise.py fills the same slot with a
+hand-derived kernel.  This module is the *learned* counterpart: a
+compact U-Net written in pure JAX whose convolutions XLA maps straight
+onto the MXU — no native binary, no host round trip, jittable and
+differentiable end to end.
+
+Design notes (TPU-first):
+  * NHWC layout + HWIO kernels: XLA's native TPU convolution layout.
+  * Channel widths are multiples of 8 so every conv tiles the MXU
+    without padding waste.
+  * HDR handling mirrors OIDN's log transform: the net sees
+    log1p(color) and predicts a residual in log space, so radiance
+    scale (emissive scenes) cannot saturate activations.
+  * Trained in-repo (train() below) on noisy/clean pairs rendered by
+    the fused megakernel at low/high spp — the framework generates its
+    own supervision; shipped weights live in weights/denoiser.npz.
+
+API mirrors render/denoise.denoise: flat (P, 3) buffers in, flat
+(P, 3) out (the reference's shared-image binding contract,
+DenoiseJobs.cs:27-35).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, in_ch, out_ch) per conv; the graph below wires them into a
+# 3-level U-Net: enc0 -> pool -> enc1 -> pool -> mid -> up+skip -> dec1
+# -> up+skip -> dec0 -> head.  Widths are 8-multiples (MXU tiling).
+_LAYERS = (
+    ("enc0a", 9, 24), ("enc0b", 24, 24),
+    ("enc1a", 24, 32), ("enc1b", 32, 32),
+    ("mida", 32, 48), ("midb", 48, 48),
+    ("dec1a", 48 + 32, 32), ("dec1b", 32, 32),
+    ("dec0a", 32 + 24, 24), ("dec0b", 24, 24),
+    ("head", 24, 3),
+)
+
+WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights", "denoiser.npz",
+)
+
+
+def init_params(key: jax.Array) -> dict:
+    """He-normal 3x3 kernels + zero biases; the head starts at zero so
+    the untrained net is the identity (predicts zero residual)."""
+    params = {}
+    for name, cin, cout in _LAYERS:
+        key, sub = jax.random.split(key)
+        scale = jnp.sqrt(2.0 / (9 * cin))
+        w = jax.random.normal(sub, (3, 3, cin, cout), jnp.float32) * scale
+        if name == "head":
+            w = jnp.zeros_like(w)
+        params[name + "_w"] = w
+        params[name + "_b"] = jnp.zeros((cout,), jnp.float32)
+    return params
+
+
+def _conv(x, params, name, relu=True):
+    w = params[name + "_w"]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params[name + "_b"]
+    return jax.nn.relu(y) if relu else y
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    )
+
+
+def _up(x, like):
+    y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return y[:, : like.shape[1], : like.shape[2], :]
+
+
+def apply(params: dict, color, normal, albedo):
+    """Denoise a (B, H, W, 3) HDR color batch guided by its AOVs."""
+    logc = jnp.log1p(jnp.maximum(color, 0.0))
+    x = jnp.concatenate([logc, normal, albedo], axis=-1)
+    e0 = _conv(_conv(x, params, "enc0a"), params, "enc0b")
+    e1 = _conv(_conv(_pool(e0), params, "enc1a"), params, "enc1b")
+    m = _conv(_conv(_pool(e1), params, "mida"), params, "midb")
+    d1 = jnp.concatenate([_up(m, e1), e1], axis=-1)
+    d1 = _conv(_conv(d1, params, "dec1a"), params, "dec1b")
+    d0 = jnp.concatenate([_up(d1, e0), e0], axis=-1)
+    d0 = _conv(_conv(d0, params, "dec0a"), params, "dec0b")
+    res = _conv(d0, params, "head", relu=False)
+    return jnp.expm1(jnp.maximum(logc + res, 0.0))
+
+
+@functools.lru_cache(maxsize=1)
+def load_params(path: str = WEIGHTS_PATH) -> dict | None:
+    """Shipped weights, or None when the file is absent (callers fall
+    back to the a-trous filter)."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _denoise_jit(params, color, normal, albedo, *, width, height):
+    c = color.reshape(1, height, width, 3)
+    n = normal.reshape(1, height, width, 3)
+    a = albedo.reshape(1, height, width, 3)
+    return apply(params, c, n, a).reshape(-1, 3)
+
+
+def denoise(
+    color: jnp.ndarray,
+    normal: jnp.ndarray,
+    albedo: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    params: dict | None = None,
+) -> jnp.ndarray:
+    """Flat-buffer entry point (render/denoise.denoise contract).
+
+    Uses the shipped weights when `params` is None; raises if neither is
+    available (the driver gates on load_params())."""
+    if params is None:
+        params = load_params()
+    if params is None:
+        raise FileNotFoundError(
+            f"no denoiser weights at {WEIGHTS_PATH}; run "
+            "`python -m raytracing_in_one_weekend_tpu.render.denoise_ml` "
+            "to train, or use DenoiseMode.ATROUS"
+        )
+    return _denoise_jit(
+        params, color, normal, albedo, width=width, height=height
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-repo training: the framework renders its own supervision
+# ---------------------------------------------------------------------------
+
+
+def _training_scenes():
+    from raytracing_in_one_weekend_tpu.models import book_scenes, testbeds
+
+    return {
+        "cover": book_scenes.cover_scene,
+        "three_spheres": book_scenes.three_spheres,
+        "checkered": testbeds.checkered_spheres,
+        "simple_light": testbeds.simple_light,
+        "cornell": book_scenes.cornell_box,
+    }
+
+
+def render_pairs(
+    *, size: int = 128, noisy_spp: int = 4, clean_spp: int = 256,
+    trace_depth: int = 6, noisy_per_scene: int = 4, seed: int = 0,
+    scenes: dict | None = None,
+):
+    """Render (noisy color/normal/albedo, clean color) training tuples
+    with the production forward path (one clean reference per scene,
+    several independently-seeded noisy renders against it)."""
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.render import renderer
+
+    scenes = scenes or _training_scenes()
+    out = []
+    for si, (name, fn) in enumerate(sorted(scenes.items())):
+        scene, cs = fn()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        clean = renderer.render_image(
+            scene, camera, jax.random.PRNGKey(seed + 7919 * si),
+            width=size, height=size, samples_per_pixel=clean_spp,
+            trace_depth=trace_depth, differentiable=False,
+        )
+        for k in range(noisy_per_scene):
+            noisy = renderer.render_image(
+                scene, camera,
+                jax.random.PRNGKey(seed + 104729 * si + 31 * k + 1),
+                width=size, height=size, samples_per_pixel=noisy_spp,
+                trace_depth=trace_depth, differentiable=False,
+            )
+            out.append((
+                np.asarray(noisy.color, np.float32),
+                np.asarray(noisy.normal, np.float32),
+                np.asarray(noisy.albedo, np.float32),
+                np.asarray(clean.color, np.float32),
+                name,
+            ))
+        print(f"rendered pairs for {name}", flush=True)
+    return out
+
+
+def _crops(pairs, size, crop, n_crops, rng):
+    """Random-crop (N, crop, crop, C) training batches from the pairs."""
+    xs, ys = [], []
+    for nc, nn, na, cc, _ in pairs:
+        nc = nc.reshape(size, size, 3)
+        nn = nn.reshape(size, size, 3)
+        na = na.reshape(size, size, 3)
+        cc = cc.reshape(size, size, 3)
+        for _ in range(n_crops):
+            oy = rng.integers(0, size - crop + 1)
+            ox = rng.integers(0, size - crop + 1)
+            sl = (slice(oy, oy + crop), slice(ox, ox + crop))
+            xs.append(np.concatenate(
+                [nc[sl], nn[sl], na[sl]], axis=-1
+            ))
+            ys.append(cc[sl])
+    return np.stack(xs), np.stack(ys)
+
+
+def train(
+    *, size: int = 128, crop: int = 64, steps: int = 1500,
+    batch: int = 16, lr: float = 2e-3, seed: int = 0,
+    noisy_spp: int = 4, clean_spp: int = 256,
+    out_path: str = WEIGHTS_PATH, pairs=None,
+) -> dict:
+    """Train the denoiser on self-rendered pairs and save the weights."""
+    import optax
+
+    if pairs is None:
+        pairs = render_pairs(
+            size=size, noisy_spp=noisy_spp, clean_spp=clean_spp, seed=seed
+        )
+    rng = np.random.default_rng(seed)
+    xs, ys = _crops(pairs, size, crop, 24, rng)
+    print(f"training tensor: {xs.shape} -> {ys.shape}", flush=True)
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+
+    params = init_params(jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, xb, yb):
+        c, n, a = xb[..., 0:3], xb[..., 3:6], xb[..., 6:9]
+        pred = apply(p, c, n, a)
+        # log-space L1: OIDN-style HDR-robust objective
+        return jnp.mean(jnp.abs(
+            jnp.log1p(pred) - jnp.log1p(jnp.maximum(yb, 0.0))
+        ))
+
+    @jax.jit
+    def step(p, s, xb, yb):
+        l, g = jax.value_and_grad(loss_fn)(p, xb, yb)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    n = xs.shape[0]
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (batch,), 0, n)
+        params, opt_state, l = step(params, opt_state, xs[idx], ys[idx])
+        if i % 100 == 0 or i == steps - 1:
+            print(f"step {i}: loss {float(l):.5f}", flush=True)
+
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez(out_path, **{k: np.asarray(v) for k, v in params.items()})
+    print(f"saved {out_path}", flush=True)
+    load_params.cache_clear()
+    return params
+
+
+if __name__ == "__main__":
+    import sys
+
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = int(v) if v.lstrip("-").isdigit() else v
+    train(**kw)

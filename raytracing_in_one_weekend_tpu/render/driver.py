@@ -289,6 +289,17 @@ class ProgressiveRenderer:
                 normal=img.normal,
                 albedo=img.albedo,
             )
+        elif s.denoise_mode == DenoiseMode.LEARNED:
+            from raytracing_in_one_weekend_tpu.render import denoise_ml
+
+            img = film.CombinedImage(
+                color=denoise_ml.denoise(
+                    img.color, img.normal, img.albedo,
+                    width=s.width, height=s.height,
+                ),
+                normal=img.normal,
+                albedo=img.albedo,
+            )
         return img
 
     def images(self, tonemap: str = "gamma") -> dict[str, jnp.ndarray]:

@@ -24,12 +24,16 @@ class DenoiseMode(enum.IntEnum):
     """Denoiser selection (reference: Unity/Raytracer.cs denoiseMode).
 
     The reference binds Intel OIDN / NVidia OptiX native denoisers; the
-    TPU build replaces both with an on-device AOV-guided a-trous filter
-    (render/denoise.py) consuming the same color/normal/albedo channels.
+    TPU build replaces both with on-device AOV-guided filters consuming
+    the same color/normal/albedo channels: a hand-derived a-trous
+    wavelet filter (render/denoise.py) and a learned U-Net running on
+    the MXU (render/denoise_ml.py — the OIDN-analog CNN, trained
+    in-repo on self-rendered pairs).
     """
 
     NONE = 0
     ATROUS = 1
+    LEARNED = 2
 
 
 @dataclasses.dataclass(frozen=True)
