@@ -538,6 +538,265 @@ def main_texture(
     )
 
 
+def main_mesh(outdir: str = "gallery", steps: int = 400) -> None:
+    """Mesh sculpting by descent: recover a smooth radial displacement
+    field on an icosphere from two rendered views.
+
+    The optimization variable is one displacement scalar per WELDED
+    vertex (sculpt-along-normal, the standard parameterization — free
+    (V, 3) positions have a tangential null space the photometric loss
+    cannot see, measured as an Adam random walk); each step derives the
+    triangle soup (T, 3, 3) AND the area-weighted per-vertex shading
+    normals from it (params_of is one jax.vjp pullback, so the weld
+    constraint and the normal recomputation are chain rules — descent
+    cannot crack the surface, and the shading responds to the
+    deformation through the barycentric normal lerp in the diff-fused
+    replay).  Silhouette terms come from
+    diff/boundary.triangle_edge_gradients over the welded adjacency; a
+    mild graph-Laplacian smoother damps MC wrinkles; two views keep the
+    far hemisphere constrained.  Writes mesh_{target,init,final}.png.
+    """
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.diff import boundary
+    from raytracing_in_one_weekend_tpu.diff import params as params_mod
+    from raytracing_in_one_weekend_tpu.models import meshes
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+    from raytracing_in_one_weekend_tpu.utils import image as image_mod
+
+    import optax
+
+    w = h = 160
+    v, f, n, _ = meshes.icosphere(2)
+    v = np.asarray(v, np.float32)
+    f = np.asarray(f, np.int32)
+
+    # area-weighted vertex normals as a differentiable function of the
+    # unique vertices — recomputed every step (and baked into the
+    # target), so the SHADING responds to the deformation.  With frozen
+    # shading normals the photometric loss sees a deformation only
+    # through silhouettes, which under-determines 162 vertices: measured
+    # runs matched both views' outlines while the interior geometry
+    # stayed wrong.
+    f_j = jnp.asarray(f)
+    f_flat_orig = jnp.asarray(f.reshape(-1), jnp.int32)
+
+    def vertex_normals(uniq):
+        fv = uniq[f_j]  # (T, 3, 3) face order
+        nf = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        vn = jnp.zeros_like(uniq).at[f_flat_orig].add(
+            jnp.repeat(nf, 3, axis=0)
+        )
+        return vn / jnp.maximum(
+            jnp.linalg.norm(vn, axis=1, keepdims=True), 1e-12
+        )
+
+    # fix the winding sign once against the known outward unit sphere
+    _vn0 = np.asarray(vertex_normals(jnp.asarray(v)))
+    n_sign = 1.0 if float((_vn0 * v).sum()) > 0.0 else -1.0
+
+    def build(verts_unique):
+        b = SceneBuilder()
+        b.add_sphere((0.0, -1000.0, 0.0), 1000.0,
+                     b.lambert((0.5, 0.5, 0.5)))
+        vn = n_sign * np.asarray(
+            vertex_normals(jnp.asarray(verts_unique, jnp.float32))
+        )
+        b.add_mesh(np.asarray(verts_unique, np.float32), f,
+                   b.lambert((0.75, 0.35, 0.2)), normals=vn,
+                   translation=(0.0, 1.0, 0.0))
+        b.set_gradient_sky()
+        return b.build()
+
+    # target: a smooth radial bump field (positions move; shading
+    # normals follow as a function of the positions)
+    d = v / np.linalg.norm(v, axis=1, keepdims=True)
+    bump = 1.0 + 0.18 * np.sin(3.0 * d[:, 0]) * np.cos(2.5 * d[:, 1])
+    v_true = (v * bump[:, None]).astype(np.float32)
+
+    scene = build(v)  # template: topology from the unit sphere
+    # Two views: a single view leaves the far hemisphere photometrically
+    # unconstrained, and Adam normalizes its pure-noise gradients up to
+    # full-size steps — unseen vertices random-walked ~0.2 units over
+    # 200 steps.  Front + back cameras constrain (almost) every vertex.
+    cameras = [
+        camera_mod.make_camera(
+            jnp.asarray([0.0, 1.4, 3.2]), jnp.asarray([0.0, 1.0, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 42.0, 1.0,
+        ),
+        camera_mod.make_camera(
+            jnp.asarray([0.9, 1.7, -3.0]), jnp.asarray([0.0, 1.0, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 42.0, 1.0,
+        ),
+    ]
+    key = jax.random.PRNGKey(11)
+
+    def render(s, cam=None):
+        return renderer.render_image(
+            s, cam or cameras[0], key, width=w, height=h,
+            samples_per_pixel=64, trace_depth=4, differentiable=False,
+        ).color
+
+    def save(color, path):
+        img = film.CombinedImage(
+            color=color, normal=jnp.zeros_like(color),
+            albedo=jnp.zeros_like(color),
+        )
+        image_mod.write_png(
+            path, np.asarray(film.finalize(img, w, h)["color"])
+        )
+
+    true_scene = build(v_true)
+    targets = [render(true_scene, c) for c in cameras]
+    save(targets[0], f"{outdir}/mesh_target.png")
+    save(render(scene), f"{outdir}/mesh_init.png")
+
+    # soup slot -> unique vertex scatter map.  add_mesh keeps the
+    # (v0, v1, v2) slot order but SceneBuilder.build() Morton-sorts soup
+    # ROWS by centroid — recover the row permutation by matching
+    # quantized vertex keys so gradients scatter to the right vertices
+    # (the first cut skipped this and descent diverged: every soup
+    # gradient landed on an unrelated unique vertex).
+    from raytracing_in_one_weekend_tpu.scene import scene as scene_mod
+
+    off_np = np.asarray([0.0, 1.0, 0.0], np.float32)
+    orig_soup = (v + off_np)[f]  # (T, 3, 3) in face order
+    built_soup = np.asarray(scene_mod.soup_vertices(scene))
+    span = float(max(built_soup.max() - built_soup.min(), 1e-6))
+
+    def _key(tri):
+        return np.round(tri / span * 1e5).astype(np.int64).tobytes()
+
+    built_row = {_key(built_soup[t]): t for t in range(built_soup.shape[0])}
+    faces_built = np.empty_like(f)
+    for i in range(f.shape[0]):
+        faces_built[built_row[_key(orig_soup[i])]] = f[i]
+    faces_flat = jnp.asarray(faces_built.reshape(-1), jnp.int32)  # (T*3,)
+
+    adjacency = boundary.build_triangle_adjacency(scene)
+
+    def make_vg(cam, target):
+        return boundary.value_and_grad_with_boundary(
+            lambda p, k: renderer.render_image(
+                params_mod.apply_params(scene, p), cam, k,
+                width=w, height=h, samples_per_pixel=8, trace_depth=4,
+            ).color,
+            lambda img: jnp.mean((img - target) ** 2),
+            lambda p: params_mod.apply_params(scene, p),
+            cam, w, h,
+            boundary.BoundaryConfig(
+                samples_per_edge=8, trace_depth=4, probe_spp=4
+            ),
+            triangle_adjacency=adjacency,
+        )
+
+    vgs = [make_vg(c, t) for c, t in zip(cameras, targets)]
+
+    # uniform-Laplacian smoothness on the welded graph: keeps the noisy
+    # MC gradients from wrinkling the surface (standard mesh-sculpting
+    # regularizer; the true deformation is smooth, so it costs nothing)
+    nbrs = [set() for _ in range(v.shape[0])]
+    for tri in f:
+        for a, b2 in ((0, 1), (1, 2), (2, 0)):
+            nbrs[tri[a]].add(int(tri[b2]))
+            nbrs[tri[b2]].add(int(tri[a]))
+    max_deg = max(len(s) for s in nbrs)
+    nbr_idx = np.zeros((v.shape[0], max_deg), np.int32)
+    nbr_msk = np.zeros((v.shape[0], max_deg), np.float32)
+    for i, s in enumerate(nbrs):
+        for j, q in enumerate(sorted(s)):
+            nbr_idx[i, j] = q
+            nbr_msk[i, j] = 1.0
+    nbr_idx = jnp.asarray(nbr_idx)
+    nbr_msk = jnp.asarray(nbr_msk)
+    deg = jnp.sum(nbr_msk, axis=1, keepdims=True)
+
+    def laplacian_t(t):
+        return jnp.sum(t[nbr_idx] * nbr_msk, axis=1) / deg[:, 0] - t
+
+    # the mesh was baked with translation (0, 1, 0): optimize in world
+    # space and compare against the translated truth
+    off = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    vw_init = jnp.asarray(v) + off
+    vw_true = jnp.asarray(v_true) + off
+
+    # Sculpt along the RADIAL direction: one displacement scalar per
+    # welded vertex, uniq(t) = off + dir * (1 + t).  Free per-vertex
+    # (V, 3) positions were measured to drift: the photometric loss only
+    # sees the SURFACE, so tangential vertex motion is a near-null space
+    # — the full-3D gradient was only cos = 0.19 aligned with the truth
+    # direction (consistently across seeds) and Adam's per-coordinate
+    # normalization walked the null components far from the truth while
+    # the image still matched.  Displacement-along-normal is the
+    # standard sculpting parameterization and removes that null space.
+    dirs = jnp.asarray(d, jnp.float32)
+
+    def uniq_of(t):
+        return off + dirs * (1.0 + t)[:, None]
+
+    # faces_built maps built soup rows -> unique ids; normals live as
+    # vertex COLUMNS (Triangles.normals layout)
+    faces_built_j = jnp.asarray(faces_built, jnp.int32)
+
+    def params_of(t):
+        uniq = uniq_of(t)
+        soup = uniq[faces_flat].reshape(-1, 3, 3)
+        nrm = n_sign * vertex_normals(uniq)
+        nrm_soup = jnp.transpose(nrm[faces_built_j], (0, 2, 1))
+        return {"triangle_vertices": soup, "triangle_normals": nrm_soup}
+
+    lam = 0.02  # mild smoothness on the displacement FIELD (truth is
+    # smooth; this damps MC wrinkles without a pin-to-init bias)
+
+    opt = optax.adam(
+        optax.cosine_decay_schedule(8e-3, steps, alpha=0.1)
+    )
+
+    @jax.jit
+    def step(t, opt_state, k):
+        p, pullback = jax.vjp(params_of, t)
+        k1, k2 = jax.random.split(k)
+        loss = 0.0
+        g_p = jax.tree.map(jnp.zeros_like, p)
+        for vg, kk in zip(vgs, (k1, k2)):
+            li, g = vg(p, kk)
+            loss = loss + li
+            g_p = jax.tree.map(jnp.add, g_p, g)
+        (g_t,) = pullback(g_p)
+        g_t = g_t + lam * jax.grad(
+            lambda tt: jnp.sum(laplacian_t(tt) ** 2)
+        )(t)
+        up, opt_state = opt.update(g_t, opt_state, t)
+        return optax.apply_updates(t, up), opt_state, loss
+
+    t_par = jnp.zeros((v.shape[0],), jnp.float32)
+    t_true = jnp.asarray(bump - 1.0, jnp.float32)
+    opt_state = opt.init(t_par)
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        t_par, opt_state, loss = step(t_par, opt_state,
+                                      jax.random.PRNGKey(1000 + i))
+        losses.append(float(loss))
+        if i % 25 == 0:
+            print(f"step {i}: loss {losses[-1]:.5f}", flush=True)
+    dt = time.perf_counter() - t0
+
+    final_scene = params_mod.apply_params(scene, params_of(t_par))
+    save(render(final_scene), f"{outdir}/mesh_final.png")
+    e0 = np.abs(np.asarray(t_true))
+    e1 = np.abs(np.asarray(t_par - t_true))
+    print(f"steps={steps} wall={dt:.1f}s ({dt/steps*1e3:.0f} ms/step)")
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+    print(f"mean radial displacement err {e0.mean():.4f} -> "
+          f"{e1.mean():.4f}; max {e0.max():.4f} -> {e1.max():.4f}")
+    seen = d[:, 1] > -0.3  # the ground-facing cap is outside both views
+    print(f"  seen vertices ({int(seen.sum())}): "
+          f"{e0[seen].mean():.4f} -> {e1[seen].mean():.4f}; "
+          f"hidden cap ({int((~seen).sum())}): "
+          f"{e0[~seen].mean():.4f} -> {e1[~seen].mean():.4f}")
+
+
 def _quat_mul(a, b):
     """Hamilton product of (…,4) quats in (x,y,z,w) layout: rotation b
     followed by a."""
@@ -562,5 +821,7 @@ if __name__ == "__main__":
         main_camera(_out)
     elif _mode == "texture":
         main_texture(_out)
+    elif _mode == "mesh":
+        main_mesh(_out)
     else:
         main(_out)

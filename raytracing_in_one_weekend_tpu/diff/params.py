@@ -73,6 +73,17 @@ def set_texture_atlas(scene: Scene, atlas: jnp.ndarray) -> Scene:
     return scene._replace(textures=scene.textures._replace(atlas=atlas))
 
 
+def set_triangle_normals(scene: Scene, normals: jnp.ndarray) -> Scene:
+    """Per-vertex shading normals (T, 3, 3) — component rows, vertex
+    COLUMNS (Triangles.normals layout).  Differentiable through the
+    barycentric lerp in both integrators, so normals can be a traced
+    function of the vertex positions (recompute-normals-each-step mesh
+    sculpting) or optimized directly (normal-map style)."""
+    return scene._replace(
+        triangles=scene.triangles._replace(normals=normals)
+    )
+
+
 def set_triangle_vertices(scene: Scene, verts: jnp.ndarray) -> Scene:
     """Soup vertices (T, 3, 3) in (v0, v1, v2) order, re-packed to the
     edge form (Triangle.cs: edge_a = v2-v0, edge_b = v1-v0).  Geometry
@@ -99,6 +110,7 @@ _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "rect_from": set_rect_from,
     "rect_to": set_rect_to,
     "triangle_vertices": set_triangle_vertices,
+    "triangle_normals": set_triangle_normals,
     "texture_atlas": set_texture_atlas,
 }
 
@@ -125,5 +137,6 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "rect_to": lambda s: s.rects.xy_to,
         "texture_atlas": lambda s: s.textures.atlas,
         "triangle_vertices": soup_vertices,
+        "triangle_normals": lambda s: s.triangles.normals,
     }
     return {n: getters[n](scene) for n in names}

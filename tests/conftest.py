@@ -7,6 +7,20 @@ config must be overridden after import, before first backend use.
 """
 
 import os
+import resource
+
+# The XLA CPU compiler segfaulted deterministically ~190 tests into the
+# suite (test_replay's wavefront-grad jit, inside
+# backend_compile_and_load) while the same compile succeeds standalone —
+# the 8 MiB default main-thread stack is marginal for LLVM's recursive
+# passes once the process is warm.  Let the main stack grow to the hard
+# limit before jax loads.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):  # pragma: no cover
+        pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -353,6 +353,11 @@ def test_replay_ior_score_gradient_matches_wavefront():
     from raytracing_in_one_weekend_tpu.core import materials as mats_mod
     from raytracing_in_one_weekend_tpu.render import renderer
 
+    # drop ~190 prior tests' live executables before the suite's biggest
+    # CPU compile (the wavefront-grad jit below segfaulted the XLA CPU
+    # backend only in full-suite runs; see conftest stack-limit note)
+    jax.clear_caches()
+
     w = h = 20
     s, d = 8, 6
     scene, cs = book_scenes.three_spheres()
@@ -620,3 +625,34 @@ class TestReplayTriangles:
         assert called.get("hit"), "mesh scene did not take the diff-fused path"
         assert float(jnp.max(acc2.sample_count)) > 0
         assert float(metrics.total_rays) > 0
+
+    def test_normal_gradients_flow_end_to_end(self):
+        """triangle_normals is an optimizable parameter: gradients reach
+        scene.triangles.normals through BOTH integrators' barycentric
+        lerps (wavefront here on CPU; the replay covers it via the
+        pack_tri_tables rec rows in the FD test above)."""
+        from raytracing_in_one_weekend_tpu.diff import params as params_mod
+        from raytracing_in_one_weekend_tpu.render import renderer
+
+        w = h = 16
+        scene = _smooth_triangle_scene()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 1.0, 4.0]), jnp.asarray([0.0, 1.0, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 45.0, 1.0,
+        )
+
+        def loss(nrm):
+            s = params_mod.apply_params(scene, {"triangle_normals": nrm})
+            img = renderer.render_image(
+                s, camera, jax.random.PRNGKey(0), width=w, height=h,
+                samples_per_pixel=2, trace_depth=3,
+            ).color
+            return jnp.mean(img)
+
+        n0 = params_mod.extract_params(scene, ("triangle_normals",))[
+            "triangle_normals"
+        ]
+        g = jax.grad(loss)(n0)
+        gn = np.asarray(g)
+        assert np.isfinite(gn).all()
+        assert float(np.abs(gn).max()) > 1e-6
