@@ -21,6 +21,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--scene", default="cover",
                    help="scene name from models.book_scenes / models.testbeds")
+    p.add_argument("--scene-file", default=None, metavar="SCENE.json",
+                   help="render a declarative scene file (scene/io.py "
+                        "format) instead of a registry scene; uses the "
+                        "file's camera when it carries one")
+    p.add_argument("--import-legacy", default=None, metavar="SCENE.asset",
+                   help="render a reference legacy Unity .asset scene "
+                        "(scene/unity_legacy.py importer)")
+    p.add_argument("--material-map", default=None, metavar="MAP.json",
+                   help="GUID -> material spec JSON for --import-legacy "
+                        "(the reference repo lacks its material assets)")
+    p.add_argument("--export-scene", default=None, metavar="OUT.json",
+                   help="write the selected scene (registry or imported) "
+                        "as a declarative scene file and exit")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=64,
@@ -94,7 +107,40 @@ def main(argv: list[str] | None = None) -> int:
         RenderSettings,
     )
 
-    scene, camera_settings = resolve_scene(args.scene)
+    if args.scene_file:
+        from raytracing_in_one_weekend_tpu.scene import io as scene_io
+
+        builder, camera_settings = scene_io.load_scene(args.scene_file)
+        if camera_settings is None:
+            _, camera_settings = resolve_scene(args.scene)
+        scene = builder.build()
+    elif args.import_legacy:
+        import json as _json
+
+        from raytracing_in_one_weekend_tpu.scene import unity_legacy
+
+        material_map = None
+        if args.material_map:
+            with open(args.material_map) as fh:
+                material_map = _json.load(fh)
+        builder, camera_settings = unity_legacy.import_legacy_scene(
+            args.import_legacy, material_map=material_map
+        )
+        scene = builder.build()
+    else:
+        builder = None
+        scene, camera_settings = resolve_scene(args.scene)
+
+    if args.export_scene:
+        from raytracing_in_one_weekend_tpu.scene import io as scene_io
+
+        scene_io.save_scene(
+            builder if builder is not None else scene, args.export_scene,
+            camera=camera_settings,
+        )
+        if not args.quiet:
+            print(f"scene written to {args.export_scene}", file=sys.stderr)
+        return 0
     settings = RenderSettings(
         width=args.width,
         height=args.height,
