@@ -35,6 +35,15 @@ def set_material_parameters(scene: Scene, parameter: jnp.ndarray) -> Scene:
     return scene._replace(materials=scene.materials._replace(parameter=parameter))
 
 
+def set_sphere_move_offsets(scene: Scene, move: jnp.ndarray) -> Scene:
+    """Motion-blur destination offsets (S, 3) (Entity.cs:124-127
+    TransformAtTime); differentiable through both integrators' moved-
+    center intersections — optimizable motion recovery."""
+    return scene._replace(
+        spheres=scene.spheres._replace(move_offset=move)
+    )
+
+
 def set_box_rotations(scene: Scene, rot: jnp.ndarray) -> Scene:
     """Raw world-from-local quaternions (x,y,z,w); consumers normalize
     (math3.quat_normalize), so optimizing the raw coordinates is gauge-
@@ -100,6 +109,7 @@ def set_triangle_vertices(scene: Scene, verts: jnp.ndarray) -> Scene:
 _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "sphere_centers": set_sphere_centers,
     "sphere_radii": set_sphere_radii,
+    "sphere_move_offsets": set_sphere_move_offsets,
     "texture_colors": set_texture_colors,
     "material_parameters": set_material_parameters,
     "box_rotations": set_box_rotations,
@@ -126,6 +136,7 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
     getters = {
         "sphere_centers": lambda s: s.spheres.center,
         "sphere_radii": lambda s: s.spheres.radius,
+        "sphere_move_offsets": lambda s: s.spheres.move_offset,
         "texture_colors": lambda s: s.textures.main_color,
         "material_parameters": lambda s: s.materials.parameter,
         "box_rotations": lambda s: s.boxes.rot,

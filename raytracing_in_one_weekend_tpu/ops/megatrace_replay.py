@@ -59,13 +59,15 @@ def replay_eligible(scene) -> bool:
     """Static gate for the tape-replay differentiable fused path
     (spheres + oriented rects/boxes + VMEM-resident triangle meshes;
     constant/checker/image albedo textures — texture-atlas gradients
-    included; gradient/none sky; no volumes, motion, HBM-streamed
-    triangles or perlin marble — the marble turbulence is not mirrored
-    here, so such scenes keep the wavefront)."""
+    included; convex probabilistic volumes — Beer–Lambert free-path
+    score gradients for density; unit-shutter sphere motion blur;
+    gradient/none sky; no HBM-streamed triangles or perlin marble — the
+    marble turbulence is not mirrored here, so such scenes keep the
+    wavefront)."""
     return (
         mk.scene_eligible(
             scene, allow_rect_box=True, allow_textures=True,
-            allow_triangles=True,
+            allow_triangles=True, allow_volumes=True, allow_motion=True,
         )
         and scene.triangles.vert0.shape[0] <= mk.TRI_MAX
         and (
@@ -136,6 +138,11 @@ def replay(
     tex_tables=None,  # (texrec (16, M_pad), None, img|None) from
     #   pack_texture_tables — perlin excluded by replay_eligible; texrec
     #   main colors and img texels are differentiable leaves
+    move_vectors=None,  # (S, 3) sphere motion offsets (unit shutter) —
+    #   differentiable leaf; enables the motion-blur mirror
+    vol0=None,  # (8,) camera_containment_row — differentiable leaf;
+    #   enables the convex-volume-walk mirror (Beer–Lambert density
+    #   gradients ride the free-path score terms in lp)
     *,
     samples: int,
     trace_depth: int,
@@ -168,6 +175,8 @@ def replay(
     zero = jnp.zeros((n,), jnp.float32)
     one = jnp.ones((n,), jnp.float32)
 
+    has_motion = move_vectors is not None
+    has_volumes = vol0 is not None
     state0 = dict(
         o=jnp.zeros((3, n)), d=jnp.zeros((3, n)),
         th=jnp.ones((3, n)), rad=jnp.zeros((3, n)),
@@ -175,6 +184,15 @@ def replay(
         csum=jnp.zeros((3, n)), cnt=zero,
         lp=zero,  # per-sample lottery log-probability (score function)
     )
+    if has_motion:
+        state0["ptime"] = zero  # shutter time of the current path
+    if has_volumes:
+        # inside-volume medium state (kernel rows: id -1 = vacuum,
+        # density, albedo rgb, emission rgb); traced so carried density
+        # keeps its gradient across bounces
+        state0["med"] = jnp.concatenate(
+            [-jnp.ones((1, n)), jnp.zeros((7, n))], axis=0
+        )
 
     # ONE bulk winner-parameter gather for every iteration up front
     # (TPU per-lane gathers inside the scan measured 8x slower than
@@ -201,12 +219,19 @@ def replay(
     s_real = centers.shape[0]
     s_pad = mk.sphere_pad_count(s_real)
     cols = 38 if has_tris else 23
+    mvbase = cols
+    if has_motion:
+        cols += 3  # sphere move offsets (zero on other kinds' rows)
     txbase = cols
     sph_block = jnp.zeros((s_pad, cols), jnp.float32)
     sph_block = sph_block.at[:s_real, 0:3].set(centers)
     sph_block = sph_block.at[:s_real, 3].set(radii)
     sph_block = sph_block.at[:s_real, 10:21].set(records[:, :11])
     sph_block = sph_block.at[:s_real, 22].set(records[:, 11])
+    if has_motion:
+        sph_block = sph_block.at[:s_real, mvbase:mvbase + 3].set(
+            move_vectors
+        )
     blocks = [sph_block]
     if has_rects:
         rgeo, rrec = rect_tables
@@ -293,6 +318,15 @@ def replay(
         active = jnp.where(regen, 1.0, active)
         was_active = active > 0.5
         lp = jnp.where(regen, 0.0, state["lp"])
+        if has_motion:
+            # shutter time (kernel: ptime = u[7] at regen)
+            ptime = jnp.where(regen, u[7], state["ptime"])
+        if has_volumes:
+            # camera-containment medium reset (kernel vol0_ref rows)
+            med = jnp.where(regen[None, :], vol0[:, None], state["med"])
+            in_id, in_den = med[0], med[1]
+            in_alb = med[2:5]
+            in_em = med[5:8]
 
         # ---- one bounce along the tape ---------------------------------
         ub = _uniforms_hash(
@@ -311,6 +345,11 @@ def replay(
 
         ox, oy, oz = o[0], o[1], o[2]
         dx, dy, dz = d[0], d[1], d[2]
+        if has_motion:
+            # TransformAtTime with the unit shutter (kernel motion path;
+            # Entity.cs:124-127): winner center at the path's time
+            mv = wrow[:, mvbase:mvbase + 3].T  # (3, N), zero off-sphere
+            c = c + mv * ptime[None, :]
         a = dx * dx + dy * dy + dz * dz
         b = (ox * dx + oy * dy + oz * dz) - (
             dx * c[0] + dy * c[1] + dz * c[2]
@@ -335,6 +374,10 @@ def replay(
         # same root rule as the kernel; the tape guarantees a hit exists
         t_hit = jnp.where(t_near > t_min, t_near, t_far)
         t_hit = jnp.where(s_hit, t_hit, 0.0)
+        if has_volumes:
+            # winner exit root for the convex volume walk (kernel
+            # t_exit_s; FindHits exit injection SampleBatchJob.cs:462-470)
+            t_exit = jnp.where(s_hit & (t_far > t_min), t_far, BIG)
 
         if has_rects or has_boxes:
             # winner-local ray for the oriented kinds (kernel rect/box
@@ -390,6 +433,37 @@ def replay(
                 test_x, dpx, jnp.where(test_y, dpy, dpz)
             ) + t_min
             t_hit = jnp.where(b_hit, tb, t_hit)
+            if has_volumes:
+                # slab exit for the convex walk (kernel b_far section;
+                # parallel axes get 1/1e-30 = 1e30 instead of the
+                # kernel's explicit inf — on tape-confirmed box hits the
+                # min/max chain selects a finite real axis either way,
+                # and 1e30 keeps the mul transposes NaN-free)
+                ibx = 1.0 / sdx_
+                iby = 1.0 / sdy_
+                ibz = 1.0 / sdz_
+                tx0 = (-ex_ - boX) * ibx
+                tx1 = (ex_ - boX) * ibx
+                ty0 = (-ey_ - boY) * iby
+                ty1 = (ey_ - boY) * iby
+                tz0 = (-ez_ - boZ) * ibz
+                tz1 = (ez_ - boZ) * ibz
+                b_far = jnp.minimum(
+                    jnp.maximum(tx0, tx1),
+                    jnp.minimum(
+                        jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)
+                    ),
+                ) + t_min
+                b_near = jnp.maximum(
+                    jnp.minimum(tx0, tx1),
+                    jnp.maximum(
+                        jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)
+                    ),
+                ) + t_min
+                exit_ok = (b_far > t_min) & (b_near < b_far)
+                t_exit = jnp.where(
+                    b_hit, jnp.where(exit_ok, b_far, BIG), t_exit
+                )
 
         if has_tris:
             # Möller–Trumbore recompute at the tape-confirmed winner
@@ -556,6 +630,81 @@ def replay(
                 alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
                 alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
 
+        scatter_mask = hit
+        if has_volumes:
+            # ---- probabilistic volume walk (kernel has_volumes section;
+            # SampleBatchJob.cs:212-303 entry/exit pairing + Beer-Lambert
+            # free path).  Decisions recompute bit-exactly from the
+            # mirrored uniforms + winner geometry; the free-path draw's
+            # density dependence is DETACHED and carried by the
+            # score-function lp terms instead (same policy as the
+            # wavefront, render/integrator.py) — detached autodiff alone
+            # measured d/d_density ~ 0.
+            in_vol = in_id >= 0.0
+            hit_is_vol = hit & (mtype > 1.5)
+            entering = (dx * nx + dy * ny + dz * nz) < 0.0
+            v_den = jnp.where(in_vol, in_den, parameter)
+            v_ar = jnp.where(in_vol, in_alb[0], alb_r)
+            v_ag = jnp.where(in_vol, in_alb[1], alb_g)
+            v_ab = jnp.where(in_vol, in_alb[2], alb_b)
+            v_er = jnp.where(in_vol, in_em[0], em_r)
+            v_eg = jnp.where(in_vol, in_em[1], em_g)
+            v_eb = jnp.where(in_vol, in_em[2], em_b)
+            v_id = jnp.where(in_vol, in_id, wrow[:, 22])
+            # the free-path draw comes from the BOUNCE uniforms block
+            # (kernel _bounce_step u[6:7], which is _batch_kernel's ub)
+            u_free = jnp.maximum(ub[6], 1e-12)
+            den_sg = jax.lax.stop_gradient(
+                jnp.maximum(v_den, 1e-12)
+            )
+            free_path = -jnp.log(u_free) / den_sg
+            best_t_w = jnp.where(hit, t_hit, BIG)
+            seg_len = jnp.where(in_vol, best_t_w, t_exit - best_t_w)
+            vol_candidate = hit & (in_vol | (hit_is_vol & entering))
+            vol_scatter = vol_candidate & (free_path < seg_len)
+            vol_t = jnp.where(in_vol, free_path, best_t_w + free_path)
+            pass_through = (
+                hit & jnp.logical_not(in_vol) & hit_is_vol & entering
+                & jnp.logical_not(vol_scatter)
+            )
+            exits_own = (
+                in_vol & hit & hit_is_vol & jnp.logical_not(entering)
+                & jnp.logical_not(vol_scatter)
+                & (jnp.abs(wrow[:, 22] - in_id) < 0.5)
+            )
+            skip = pass_through | exits_own
+            skip_t = jnp.where(pass_through, t_exit, best_t_w)
+            skip_t = jnp.where(skip, skip_t, 0.0)  # garbage-lane guard
+            scatter_mask = hit & jnp.logical_not(skip)
+
+            # score-function log-probability of the observed decisions
+            # (integrator._bounce_once volume logp): scatter at d has pdf
+            # rho*exp(-rho d); surviving segment L has prob exp(-rho L)
+            survive = vol_candidate & jnp.logical_not(vol_scatter)
+            rho = jnp.maximum(v_den, 1e-8)
+            d_obs = jax.lax.stop_gradient(
+                jnp.where(vol_scatter, free_path, 0.0)
+            )
+            l_obs = jax.lax.stop_gradient(
+                jnp.where(survive, jnp.minimum(seg_len, 1e6), 0.0)
+            )
+            lp = lp + jnp.where(
+                vol_scatter, jnp.log(rho) - rho * d_obs, 0.0
+            ) + jnp.where(survive, -rho * l_obs, 0.0)
+
+            # effective hit record: the in-medium scatter replaces the
+            # surface hit (position, backwards normal, medium emission)
+            eff_t = jnp.where(vol_scatter, vol_t, t_hit)
+            px = ox + eff_t * dx
+            py = oy + eff_t * dy
+            pz = oz + eff_t * dz
+            nx = jnp.where(vol_scatter, -dx, nx)
+            ny = jnp.where(vol_scatter, -dy, ny)
+            nz = jnp.where(vol_scatter, -dz, nz)
+            em_r = jnp.where(vol_scatter, v_er, em_r)
+            em_g = jnp.where(vol_scatter, v_eg, em_g)
+            em_b = jnp.where(vol_scatter, v_eb, em_b)
+
         ua, ub_, uc, ud = ub[0], ub[1], ub[2], ub[3]
         u_choice, u_choice2 = ub[4], ub[5]
 
@@ -656,6 +805,21 @@ def replay(
             srg = jnp.where(is_diel, jnp.where(do_refract, alb_g, 1.0), srg)
             srb = jnp.where(is_diel, jnp.where(do_refract, alb_b, 1.0), srb)
 
+        if has_volumes:
+            # isotropic in-medium scatter (kernel has_volumes scatter
+            # override; Material.cs:163-168)
+            vsx, vsy, vsz = _unit_sphere(uc, ud)
+            sdx = jnp.where(vol_scatter, vsx, sdx)
+            sdy = jnp.where(vol_scatter, vsy, sdy)
+            sdz = jnp.where(vol_scatter, vsz, sdz)
+            srr = jnp.where(vol_scatter, v_ar, srr)
+            srg = jnp.where(vol_scatter, v_ag, srg)
+            srb = jnp.where(vol_scatter, v_ab, srb)
+            # the material lotteries don't apply on in-medium scatters
+            # (isotropic, parameter-free); density's score terms were
+            # added above
+            lp_inc = jnp.where(vol_scatter, 0.0, lp_inc)
+
         # ---- sky + fold (SampleBatchJob.cs:341-396) --------------------
         if sky_on:
             tsky = 0.5 * (dy + 1.0)
@@ -664,7 +828,6 @@ def replay(
             skb = sky_bottom[2] + (sky_top[2] - sky_bottom[2]) * tsky
         else:
             skr = skg = skb = zero
-        scatter_mask = hit
         lp = lp + jnp.where(scatter_mask, lp_inc, 0.0)
         emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
         emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
@@ -688,6 +851,22 @@ def replay(
             o,
         )
         d = jnp.where(scatter_mask, jnp.stack([sdx, sdy, sdz]), d)
+        if has_volumes:
+            # pass-through / own-exit lanes advance past the boundary
+            # without scattering (kernel advance section; consumes one
+            # bounce iteration, integrator deviation note)
+            o = jnp.where(skip, o + (skip_t + SELF_EPS) * d, o)
+            # medium bookkeeping: enter on scatter, leave on skip, keep
+            # when scattering off a solid while inside
+            med_new = jnp.stack(
+                [v_id, v_den, v_ar, v_ag, v_ab, v_er, v_eg, v_eb]
+            )
+            med = jnp.where(vol_scatter[None, :], med_new, med)
+            med = med.at[0].set(
+                jnp.where(
+                    vol_scatter, v_id, jnp.where(skip, -1.0, med[0])
+                )
+            )
         active = jnp.where(miss, 0.0, active)
         valid = jnp.where(miss, 1.0, valid)
         depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
@@ -705,11 +884,16 @@ def replay(
         )
         cnt = state["cnt"] + ok_f + jax.lax.stop_gradient(ok_f) * carrier
 
-        return dict(
+        out = dict(
             o=o, d=d, th=th, rad=rad, active=active, valid=valid,
             started=started, depth_ct=depth_ct, csum=csum, cnt=cnt,
             lp=lp,
-        ), None
+        )
+        if has_motion:
+            out["ptime"] = ptime
+        if has_volumes:
+            out["med"] = med
+        return out, None
 
     # remat the scan body: recomputing one bounce from its carry is far
     # cheaper than round-tripping every intermediate to HBM for the VJP.
@@ -745,6 +929,9 @@ def sample_batch_diff(
     tex_tables=None,  # (texrec, None, img|None) pack_texture_tables —
     #   texrec + img are differentiable (atlas texel gradients); perlin
     #   must be None (replay_eligible)
+    move_vectors=None,  # (S, 3) sphere motion offsets — differentiable
+    vol0=None,  # (8,) camera_containment_row — differentiable; enables
+    #   the convex volume walk (density gradients via free-path score)
     *,
     samples: int,
     trace_depth: int,
@@ -780,6 +967,10 @@ def sample_batch_diff(
         aux["texrec"] = tex_tables[0]
         if tex_tables[2] is not None:
             aux["tex_img"] = tex_tables[2]
+    if move_vectors is not None:
+        aux["move"] = move_vectors
+    if vol0 is not None:
+        aux["vol0"] = vol0
 
     def _aux_pairs(aux):
         rt = (
@@ -798,7 +989,7 @@ def sample_batch_diff(
             (aux["texrec"], None, aux.get("tex_img"))
             if "texrec" in aux else None
         )
-        return rt, bt, trt, tt
+        return rt, bt, trt, tt, aux.get("move"), aux.get("vol0")
 
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
@@ -813,11 +1004,12 @@ def sample_batch_diff(
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
                     aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
-        rt, bt, trt, tt = _aux_pairs(aux)
+        rt, bt, trt, tt, mv, v0 = _aux_pairs(aux)
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
             sky_b, sky_t, _seed_of(seed_lo, seed_hi),
             rect_tables=rt, box_tables=bt, tri_tables=trt, tex_tables=tt,
+            move_offsets=mv, vol0=v0,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
@@ -847,10 +1039,11 @@ def sample_batch_diff(
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
-            rt, bt, trt, tt = _aux_pairs(aux)
+            rt, bt, trt, tt, mv, v0 = _aux_pairs(aux)
             csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
                 sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, trt, tt,
+                mv, v0,
                 **statics,
             )
             # cnt carries the count's score surrogate — the valid-count

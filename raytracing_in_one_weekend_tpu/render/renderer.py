@@ -142,6 +142,16 @@ def render_batch(
         # pack (replay_eligible guarantees perlin is None here)
         tex_tables = tex_all[:3] if tex_all is not None else None
         img_dims = tex_all[3] if tex_all is not None else (0, 0)
+        vol0 = (
+            pallas_megatrace.camera_containment_row(
+                scene, packed, camera.origin
+            )
+            if scene.flags.has_volumes
+            else None
+        )  # differentiable: the camera medium's density/albedo leaves
+        move_vectors = (
+            scene.spheres.move_offset if scene.flags.has_motion else None
+        )
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         d = megatrace_replay.sample_batch_diff(
             lane_count,
@@ -157,6 +167,8 @@ def render_batch(
             box_tables=box_tables,
             tri_tables=tri_tables,
             tex_tables=tex_tables,
+            move_vectors=move_vectors,
+            vol0=vol0,
             img_dims=img_dims,
             samples=samples,
             trace_depth=trace_depth,

@@ -656,3 +656,234 @@ class TestReplayTriangles:
         gn = np.asarray(g)
         assert np.isfinite(gn).all()
         assert float(np.abs(gn).max()) > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Volume + motion scope (convex volume walk / unit-shutter motion blur)
+# ---------------------------------------------------------------------------
+
+
+def _run_parity(scene, cs, *, w=20, h=20, s=4, d=6, seed=13):
+    """kernel (interpret, want_tape) vs replay on the same scene."""
+    from raytracing_in_one_weekend_tpu.core import materials as mats_mod
+
+    camera = camera_mod.make_camera(
+        cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+        aperture=cs.aperture, focus_distance=cs.focus_distance,
+    )
+    packed = mats_mod.pack_materials(scene)
+    records = pallas_megatrace.pack_sphere_records(scene, packed)
+    rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+    vol0 = (
+        pallas_megatrace.camera_containment_row(scene, packed, camera.origin)
+        if scene.flags.has_volumes else None
+    )
+    mv = scene.spheres.move_offset if scene.flags.has_motion else None
+    lane_count = jnp.full((w * h,), s, jnp.int32)
+    cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+    out = pallas_megatrace.sample_batch(
+        lane_count, jnp.zeros((w * h,)), cam_row,
+        scene.spheres.center, scene.spheres.radius, records,
+        scene.environment.sky_bottom, scene.environment.sky_top,
+        jnp.int32(seed), rect_tables=rect_t, box_tables=box_t,
+        vol0=vol0, move_offsets=mv,
+        samples=s, trace_depth=d,
+        has_dielectrics=scene.flags.has_dielectrics,
+        sky_on=scene.flags.sky == 1,
+        hw_prng=False, want_tape=True, interpret=True,
+    )
+    csum, cnt = megatrace_replay.replay(
+        out["tape"], lane_count, cam_row,
+        scene.spheres.center, scene.spheres.radius, records,
+        scene.environment.sky_bottom, scene.environment.sky_top,
+        jnp.int32(seed), rect_t, box_t, None, None, mv, vol0,
+        samples=s, trace_depth=d,
+        has_dielectrics=scene.flags.has_dielectrics,
+        sky_on=scene.flags.sky == 1,
+    )
+    return out, csum, cnt
+
+
+class TestReplayVolumesMotion:
+    @pytest.mark.parametrize("scene_name", ["volume", "cover_motion"])
+    def test_replay_reproduces_kernel(self, scene_name):
+        scene, cs = book_scenes.SCENES[scene_name]()
+        assert megatrace_replay.replay_eligible(scene)
+        out, csum, cnt = _run_parity(scene, cs)
+        np.testing.assert_allclose(
+            np.asarray(cnt), np.asarray(out["count"]), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(csum), np.asarray(out["color"]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_replay_reproduces_kernel_cornell_volumes(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["cornell_volumes"]()
+        assert megatrace_replay.replay_eligible(scene)
+        out, csum, cnt = _run_parity(scene, cs, s=2, d=6)
+        np.testing.assert_allclose(
+            np.asarray(cnt), np.asarray(out["count"]), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(csum), np.asarray(out["color"]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_motion_gradients_match_finite_differences(self):
+        """d/d_move_offset through the diff-fused path: the shutter-time
+        draw is parameter-independent, so interior-masked CRN FD
+        differentiates the same smooth estimator (test_grad protocol)."""
+        from raytracing_in_one_weekend_tpu.core import materials as mats_mod
+        from raytracing_in_one_weekend_tpu.diff import gradcheck
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        w = h = 24
+        s, d = 4, 4
+        b = SceneBuilder()
+        lam = b.lambert((0.2, 0.5, 0.8))
+        ground = b.lambert((0.5, 0.5, 0.5))
+        b.add_sphere((0.0, 0.0, -1.0), 0.5, lam,
+                     move_offset=(0.05, 0.08, 0.0))
+        b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+        b.set_gradient_sky()
+        scene = b.build()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 90.0, 1.0,
+        )
+        packed = mats_mod.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        mask = np.zeros((h, w), np.float32)
+        mask[10:14, 10:14] = 1.0  # inside the silhouette across the sweep
+        mask = jnp.asarray(mask.reshape(-1))
+
+        def loss(move):
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(5), move_vectors=move,
+                samples=s, trace_depth=d,
+                has_dielectrics=False, sky_on=True,
+                jitter=False, interpret=True,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            sq = jnp.sum(img**2, axis=-1)
+            return jnp.sum(sq * mask) / jnp.sum(mask)
+
+        report = gradcheck.check_grads(
+            loss, scene.spheres.move_offset, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report
+        assert report["rel_err"] < 0.15, report
+
+    def test_density_score_gradient_matches_wavefront(self):
+        """d/d_density rides the Beer-Lambert free-path score terms (the
+        wavefront's were FD-validated in test_grad); both estimators on
+        the same scene/loss must agree (detached decisions alone measured
+        d/d_density ~ 0)."""
+        from raytracing_in_one_weekend_tpu.core import materials as mats_mod
+        from raytracing_in_one_weekend_tpu.render import renderer
+
+        jax.clear_caches()
+        w = h = 20
+        s, d = 8, 6
+        scene, cs = book_scenes.SCENES["volume"]()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        vol_idx = int(
+            np.argwhere(np.asarray(scene.materials.type) == 2)[0, 0]
+        )
+
+        def replay_mean(param_tbl, seed):
+            s2 = scene._replace(
+                materials=scene.materials._replace(parameter=param_tbl)
+            )
+            packed = mats_mod.pack_materials(s2)
+            records = pallas_megatrace.pack_sphere_records(s2, packed)
+            vol0 = pallas_megatrace.camera_containment_row(
+                s2, packed, camera.origin
+            )
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(seed), vol0=vol0,
+                samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
+                jitter=False, interpret=True,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            return jnp.mean(img)
+
+        def wave_mean(param_tbl, key):
+            s2 = scene._replace(
+                materials=scene.materials._replace(parameter=param_tbl)
+            )
+            return jnp.mean(
+                renderer.render_image(
+                    s2, camera, key, width=w, height=h,
+                    samples_per_pixel=96, trace_depth=d,
+                ).color
+            )
+
+        p0 = scene.materials.parameter
+        g_rep = np.mean([
+            float(jax.grad(replay_mean)(p0, 300 + k)[vol_idx])
+            for k in range(4)
+        ])
+        g_wav = np.mean([
+            float(
+                jax.jit(jax.grad(wave_mean))(
+                    p0, jax.random.PRNGKey(50 + k)
+                )[vol_idx]
+            )
+            for k in range(4)
+        ])
+        assert np.isfinite(g_rep) and np.isfinite(g_wav)
+        assert np.sign(g_rep) == np.sign(g_wav), (g_rep, g_wav)
+        assert abs(g_rep - g_wav) < max(0.6 * abs(g_wav), 1.5e-3), (
+            g_rep, g_wav,
+        )
+
+    def test_renderer_dispatches_volume_motion_to_diff_fused(
+        self, monkeypatch
+    ):
+        """Volume and motion scenes now take the diff-fused branch."""
+        import functools
+
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.render import film, renderer
+
+        monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        called = {}
+        orig = megatrace_replay.sample_batch_diff
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k, interpret=True)
+
+        monkeypatch.setattr(megatrace_replay, "sample_batch_diff", spy)
+        for name in ("volume", "cover_motion"):
+            called.clear()
+            scene, cs = book_scenes.SCENES[name]()
+            w = h = 12
+            camera = camera_mod.make_camera(
+                cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+                focus_distance=cs.focus_distance,
+            )
+            acc = film.zero_accumulators(w * h)
+            acc2, metrics = renderer.render_batch(
+                scene, camera, acc, jax.random.PRNGKey(0),
+                width=w, height=h, samples=2, trace_depth=4,
+                differentiable=True,
+            )
+            assert called.get("hit"), f"{name} did not take diff-fused"
+            assert float(jnp.max(acc2.sample_count)) > 0
