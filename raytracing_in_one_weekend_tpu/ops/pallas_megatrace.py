@@ -2278,6 +2278,10 @@ def sample_batch(
     #   the in-kernel convex volume walk
     move_offsets: jnp.ndarray | None = None,  # (S, 3) sphere motion (unit
     #   shutter range): enables the in-kernel motion-blur path
+    lane_base: jnp.ndarray | int = 0,  # global id of lane 0 — RNG lane
+    #   keying offset for sharded multi-device batches (parallel/shard's
+    #   shard_map path gives each device a disjoint lane-id range so its
+    #   hash-PRNG streams match the single-device render bit-exactly)
     *,
     samples: int,
     trace_depth: int,
@@ -2326,7 +2330,10 @@ def sample_batch(
     n_pad = -(-n // RAY_TILE) * RAY_TILE
 
     pix = jnp.zeros((8, n_pad), jnp.float32)
-    pix = pix.at[0, :].set(jnp.arange(n_pad, dtype=jnp.float32))
+    pix = pix.at[0, :].set(
+        jnp.arange(n_pad, dtype=jnp.float32)
+        + jnp.asarray(lane_base, jnp.float32)
+    )
     pix = pix.at[1, :n].set(lane_count.astype(jnp.float32))
     pix = pix.at[2, :n].set(count_in.astype(jnp.float32))
     if pixel_index is None:

@@ -33,12 +33,23 @@ def measure(
     samples: int = 4,
     trace_depth: int = 6,
     batches: int = 3,
+    fused: bool | None = None,
 ) -> dict:
-    """Rays/s per mesh size + efficiency vs the single-device figure."""
+    """Rays/s per mesh size + efficiency vs the single-device figure.
+
+    fused=None auto-selects: on TPU devices the FUSED megakernel rides
+    shard_map (shard.sharded_fused_render_batch — pallas_call has no
+    GSPMD rule, so the plain-jit path would gather instead of scale); on
+    CPU the wavefront under GSPMD validates the collective program.
+    """
     from raytracing_in_one_weekend_tpu.core import camera as camera_mod
     from raytracing_in_one_weekend_tpu.models import book_scenes
+    from raytracing_in_one_weekend_tpu.ops import pallas_sphere
     from raytracing_in_one_weekend_tpu.parallel import shard
     from raytracing_in_one_weekend_tpu.render import film
+
+    if fused is None:
+        fused = pallas_sphere.use_pallas()
 
     scene, cs = book_scenes.cover_scene(grid=4)
     camera = camera_mod.make_camera(
@@ -57,8 +68,12 @@ def measure(
         scene_r = shard.place_scene(mesh, scene)
         key = jax.random.PRNGKey(0)
 
+        batch_fn = (
+            shard.sharded_fused_render_batch if fused
+            else shard.sharded_render_batch
+        )
         # warmup/compile
-        acc, metrics = shard.sharded_render_batch(
+        acc, metrics = batch_fn(
             mesh, scene_r, camera, acc, key,
             width=width, height=height, samples=samples,
             trace_depth=trace_depth,
@@ -68,11 +83,12 @@ def measure(
         per_batch = []
         for i in range(batches):
             t0 = time.perf_counter()
-            acc, metrics = shard.sharded_render_batch(
+            acc, metrics = batch_fn(
                 mesh, scene_r, camera, acc, jax.random.fold_in(key, i + 1),
                 width=width, height=height, samples=samples,
                 trace_depth=trace_depth,
             )
+            jax.block_until_ready(acc)
             rays = int(metrics.total_rays)
             per_batch.append(rays / (time.perf_counter() - t0))
         per_batch.sort()
@@ -86,6 +102,7 @@ def measure(
             for k, v in results.items()
         },
         "device_kind": str(all_devices[0]),
+        "path": "fused-shard_map" if fused else "wavefront-gspmd",
     }
     return report
 

@@ -112,3 +112,89 @@ class TestShardedTrain:
             )
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestShardedFused:
+    """shard_map fused-megakernel path (pallas_call has no GSPMD rule;
+    shard.sharded_fused_render_batch places one kernel per device)."""
+
+    @pytest.mark.parametrize("scene_name,sample_parallel", [
+        ("three_spheres", 1),
+        ("volume", 1),
+        ("three_spheres", 2),
+    ])
+    def test_matches_single_device_kernel_bitwise(
+        self, scene_name, sample_parallel
+    ):
+        from raytracing_in_one_weekend_tpu.core import (
+            materials as materials_mod,
+        )
+        from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
+
+        w = h = 16
+        samples = 4 * sample_parallel
+        depth = 5
+        scene, cs = book_scenes.SCENES[scene_name]()
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        mesh = shard.make_mesh(sample_parallel=sample_parallel)
+        acc = shard.place_accumulators(mesh, film.zero_accumulators(w * h))
+        key = jax.random.PRNGKey(3)
+        acc2, metrics = shard.sharded_fused_render_batch(
+            mesh, scene, cam, acc, key, width=w, height=h,
+            samples=samples, trace_depth=depth, interpret=True,
+        )
+
+        # single-device oracle: same seed; lane_base g*n covers the
+        # sample groups' disjoint RNG streams
+        packed = materials_mod.pack_materials(scene)
+        records = mk.pack_sphere_records(scene, packed)
+        vol0 = (
+            mk.camera_containment_row(scene, packed, cam.origin)
+            if scene.flags.has_volumes else None
+        )
+        seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
+        n = w * h
+        sg = mesh.shape[shard.SAMPLE_AXIS]
+        color = jnp.zeros((n, 3))
+        cnt = jnp.zeros((n,))
+        for g in range(sg):
+            d = mk.sample_batch(
+                jnp.full((n,), samples // sg, jnp.int32), jnp.zeros((n,)),
+                mk.pack_camera_row(cam, w, h),
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                seed0, vol0=vol0, lane_base=g * n,
+                samples=samples // sg, trace_depth=depth,
+                has_dielectrics=scene.flags.has_dielectrics,
+                sky_on=int(scene.flags.sky) == 1,
+                hw_prng=False, interpret=True,
+            )
+            color = color + d["color"]
+            cnt = cnt + d["count"]
+        np.testing.assert_array_equal(
+            np.asarray(acc2.color), np.asarray(color)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(acc2.sample_count), np.asarray(cnt)
+        )
+        assert float(metrics.total_rays) > 0
+
+    def test_rejects_ineligible_scene(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        scene, cs = testbeds.SCENES["mesh_huge"]()
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            focus_distance=cs.focus_distance,
+        )
+        mesh = shard.make_mesh()
+        acc = shard.place_accumulators(mesh, film.zero_accumulators(16 * 16))
+        with pytest.raises(ValueError, match="fused-kernel scope"):
+            shard.sharded_fused_render_batch(
+                mesh, scene, cam, acc, jax.random.PRNGKey(0),
+                width=16, height=16, samples=4, trace_depth=4,
+                interpret=True,
+            )
