@@ -27,7 +27,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_MRAYS = 40.0  # anchor: desktop-CPU Burst path tracer class
 
 WIDTH = HEIGHT = 512
-SAMPLES_PER_BATCH = 8
+SAMPLES_PER_BATCH = 64  # one timed batch = the FULL BASELINE config-3
+# workload (512x512 x 64spp).  Bigger batches amortize the persistent-lane
+# tile tails (a tile retires when its slowest lane finishes its samples) —
+# measured 57 MRays/s at 8 spp/batch -> 81 at 64 on the same chip; the
+# reference's own samplesPerBatchRange goes to 50 (Raytracer.cs:89).
 TRACE_DEPTH = 8
 BATCHES = 7  # timed batches (after warmup); median reported
 GRAD_EVERY = 0  # set >0 to interleave backward passes in the timing loop

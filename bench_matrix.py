@@ -31,7 +31,7 @@ DEFAULT_SCENES = [
     "mesh_huge", "final_book2",
 ]
 WIDTH = HEIGHT = 512
-SAMPLES, DEPTH, BATCHES = 8, 8, 7
+SAMPLES, DEPTH, BATCHES = 64, 8, 5  # 64 spp/batch amortizes tile tails (see bench.py)
 
 
 def measure(name: str, wavefront: bool) -> float:

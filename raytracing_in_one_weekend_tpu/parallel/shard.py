@@ -234,173 +234,216 @@ def sharded_fused_render_batch(
     shard = n // tiles
     s_local = samples // sgroups
 
-    packed = materials.pack_materials(scene)
-    records = mk.pack_sphere_records(scene, packed)
-    rect_tables, box_tables = mk.pack_aux_tables(scene, packed)
-    tri_tables = mk.pack_tri_tables(scene, packed)
-    tex_all = mk.pack_texture_tables(scene)
-    cube_all = (
-        mk.pack_cubemap_table(scene) if int(scene.flags.sky) == 2 else None
+    has_img = (
+        scene.textures.atlas is not None
+        and scene.flags.has_procedural_textures
     )
-    tables = dict(
-        cam_row=mk.pack_camera_row(camera, width, height),
-        centers=scene.spheres.center,
-        radii=scene.spheres.radius,
-        records=records,
-        sky_bottom=scene.environment.sky_bottom,
-        sky_top=scene.environment.sky_top,
-    )
-    if rect_tables is not None:
-        tables["rect_geo"], tables["rect_rec"] = rect_tables
-    if box_tables is not None:
-        tables["box_geo"], tables["box_rec"] = box_tables
-    if tri_tables is not None:
-        tables["tri_geo"], tables["tri_rec"] = tri_tables
-    img_dims = (0, 0)
-    if tex_all is not None:
-        tables["texrec"] = tex_all[0]
-        if tex_all[1] is not None:
-            tables["tex_perlin"] = tex_all[1]
-        if tex_all[2] is not None:
-            tables["tex_img"] = tex_all[2]
-        img_dims = tex_all[3]
-    cube_dims = (0, 0)
-    if cube_all is not None:
-        tables["cube"] = cube_all[0]
-        cube_dims = cube_all[1]
-    if scene.flags.has_volumes:
-        tables["vol0"] = mk.camera_containment_row(
-            scene, packed, camera.origin
-        )
-    if scene.flags.has_motion:
-        tables["move"] = scene.spheres.move_offset
     seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
-
     step = _fused_step(
-        mesh, frozenset(tables), n, shard, s_local, sgroups, trace_depth,
-        bool(scene.flags.has_dielectrics), int(scene.flags.sky) == 1,
-        bool(sub_pixel_jitter), bool(interpret), img_dims, cube_dims,
+        mesh, width, height, shard, s_local, sgroups, trace_depth,
+        scene.flags, bool(sub_pixel_jitter), bool(interpret),
+        scene.rects.rot.shape[0] > 0, scene.boxes.rot.shape[0] > 0,
+        scene.triangles.vert0.shape[0] > 0, bool(has_img),
+        scene.textures.perlin is not None,
     )
-    return step(acc, seed0, tables)
+    return step(scene, camera, acc, seed0)
 
 
 @functools.lru_cache(maxsize=64)
 def _fused_step(
-    mesh, table_keys, n, shard, s_local, sgroups, trace_depth,
-    has_dielectrics, sky_on, jitter, interpret, img_dims, cube_dims,
+    mesh, width, height, shard, s_local, sgroups, trace_depth,
+    flags, jitter, interpret, has_rects, has_boxes, has_tris, has_img,
+    has_perlin,
 ):
-    """Build (and cache) the jitted shard_map step for one (mesh, scene
-    topology, batch shape) — a fresh jit wrapper per call would retrace
-    every batch."""
+    """Build (and cache) the jitted packing + shard_map step for one
+    (mesh, scene topology, batch shape) — a fresh jit wrapper per call
+    retraced every batch, and eager per-call packing cost ~3x the kernel
+    in dispatch (measured 16 vs 54 MRays/s); packing is traced here so
+    XLA folds it into the step."""
+    from raytracing_in_one_weekend_tpu.core import materials
     from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
     from raytracing_in_one_weekend_tpu.render import film as film_mod
     from raytracing_in_one_weekend_tpu.render import renderer as renderer_mod
 
-    def body(acc, seed0, tables):
-        t = jax.lax.axis_index(TILE_AXIS)
-        g = jax.lax.axis_index(SAMPLE_AXIS)
-        base = (t * shard).astype(jnp.int32)
-        lane_count = jnp.full((shard,), s_local, jnp.int32)
-        pair = lambda a, b: (
-            (tables[a], tables[b]) if a in tables else None
-        )
-        tex_tables = (
-            (tables["texrec"], tables.get("tex_perlin"),
-             tables.get("tex_img"))
-            if "texrec" in tables else None
-        )
-        d = mk.sample_batch(
-            lane_count,
-            acc.sample_count,
-            tables["cam_row"],
-            tables["centers"],
-            tables["radii"],
-            tables["records"],
-            tables["sky_bottom"],
-            tables["sky_top"],
-            seed0,
-            pixel_index=base + jnp.arange(shard, dtype=jnp.int32),
-            rect_tables=pair("rect_geo", "rect_rec"),
-            box_tables=pair("box_geo", "box_rec"),
-            tri_tables=pair("tri_geo", "tri_rec"),
-            tex_tables=tex_tables,
-            img_dims=img_dims,
-            cube_table=tables.get("cube"),
-            cube_dims=cube_dims,
-            vol0=tables.get("vol0"),
-            move_offsets=tables.get("move"),
-            lane_base=base + g * jnp.int32(n),
-            samples=s_local,
-            trace_depth=trace_depth,
-            has_dielectrics=has_dielectrics,
-            sky_on=sky_on,
-            jitter=jitter,
-            interpret=interpret,
-        )
-        if sgroups > 1:
-            d = jax.tree.map(
-                lambda x: jax.lax.psum(x, SAMPLE_AXIS), d
-            )
-        fb_new = ((acc.sample_count == 0) & (d["count"] > 0))[:, None]
-        new_acc = film_mod.Accumulators(
-            color=acc.color + d["color"],
-            sample_count=acc.sample_count + d["count"],
-            normal=acc.normal + d["normal"],
-            albedo=acc.albedo + d["albedo"],
-            weight=acc.weight + d["weight"],
-            fallback_normal=jnp.where(
-                fb_new, d["fallback_normal"], acc.fallback_normal
-            ),
-            fallback_albedo=jnp.where(
-                fb_new, d["fallback_albedo"], acc.fallback_albedo
-            ),
-        )
-        # global metric reductions: local reduce + psum/pmin/pmax over
-        # the mesh (ReduceMetricsJob analog as ICI collectives)
-        axes = (TILE_AXIS, SAMPLE_AXIS)
-        count = new_acc.sample_count
-        wps = new_acc.weight / jnp.maximum(count, 1.0)
-        metrics = renderer_mod.BatchMetrics(
-            total_rays=jax.lax.psum(
-                jnp.sum(d["rays"].astype(jnp.float32)), axes
-            ),
-            total_samples=jax.lax.psum(jnp.sum(count), axes),
-            min_sample_count=jax.lax.pmin(jnp.min(count), axes),
-            max_sample_count=jax.lax.pmax(jnp.max(count), axes),
-            weight_min=jax.lax.pmin(
-                jnp.min(jnp.where(count > 0, wps, jnp.inf)), axes
-            ),
-            weight_max=jax.lax.pmax(
-                jnp.max(jnp.where(count > 0, wps, -jnp.inf)), axes
-            ),
-            pixel_rays=d["rays"].astype(jnp.int32),
-        )
-        return new_acc, metrics
+    n = width * height
+    sky_on = int(flags.sky) == 1
+    has_dielectrics = bool(flags.has_dielectrics)
 
-    pixel_spec = P(TILE_AXIS)
-    acc_spec = film_mod.Accumulators(
-        color=pixel_spec, sample_count=pixel_spec, normal=pixel_spec,
-        albedo=pixel_spec, weight=pixel_spec, fallback_normal=pixel_spec,
-        fallback_albedo=pixel_spec,
-    )
-    mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(
-            acc_spec,
-            P(),
-            {k: P() for k in table_keys},
-        ),
-        out_specs=(
-            acc_spec,
-            renderer_mod.BatchMetrics(
-                total_rays=P(), total_samples=P(), min_sample_count=P(),
-                max_sample_count=P(), weight_min=P(), weight_max=P(),
-                pixel_rays=pixel_spec,
+    table_keys = {"cam_row", "centers", "radii", "records", "sky_bottom",
+                  "sky_top"}
+    if has_rects:
+        table_keys |= {"rect_geo", "rect_rec"}
+    if has_boxes:
+        table_keys |= {"box_geo", "box_rec"}
+    if has_tris:
+        table_keys |= {"tri_geo", "tri_rec"}
+    if flags.has_procedural_textures:
+        table_keys |= {"texrec"}
+        if has_img:
+            table_keys |= {"tex_img"}
+        if has_perlin:
+            table_keys |= {"tex_perlin"}
+    if int(flags.sky) == 2:
+        table_keys |= {"cube"}
+    if flags.has_volumes:
+        table_keys |= {"vol0"}
+    if flags.has_motion:
+        table_keys |= {"move"}
+
+    def fn(scene, camera, acc, seed0):
+        # ---- packing, traced (XLA folds/caches it in the step) --------
+        packed = materials.pack_materials(scene)
+        records = mk.pack_sphere_records(scene, packed)
+        rect_tables, box_tables = mk.pack_aux_tables(scene, packed)
+        tri_tables = mk.pack_tri_tables(scene, packed)
+        tex_all = mk.pack_texture_tables(scene)
+        cube_all = (
+            mk.pack_cubemap_table(scene) if int(flags.sky) == 2 else None
+        )
+        tables = dict(
+            cam_row=mk.pack_camera_row(camera, width, height),
+            centers=scene.spheres.center,
+            radii=scene.spheres.radius,
+            records=records,
+            sky_bottom=scene.environment.sky_bottom,
+            sky_top=scene.environment.sky_top,
+        )
+        if rect_tables is not None:
+            tables["rect_geo"], tables["rect_rec"] = rect_tables
+        if box_tables is not None:
+            tables["box_geo"], tables["box_rec"] = box_tables
+        if tri_tables is not None:
+            tables["tri_geo"], tables["tri_rec"] = tri_tables
+        img_dims = (0, 0)
+        if tex_all is not None:
+            tables["texrec"] = tex_all[0]
+            if tex_all[1] is not None:
+                tables["tex_perlin"] = tex_all[1]
+            if tex_all[2] is not None:
+                tables["tex_img"] = tex_all[2]
+            img_dims = tex_all[3]
+        cube_dims = (0, 0)
+        if cube_all is not None:
+            tables["cube"] = cube_all[0]
+            cube_dims = cube_all[1]
+        if flags.has_volumes:
+            tables["vol0"] = mk.camera_containment_row(
+                scene, packed, camera.origin
+            )
+        if flags.has_motion:
+            tables["move"] = scene.spheres.move_offset
+        assert set(tables) == table_keys, (set(tables), table_keys)
+        return _mapped(img_dims, cube_dims)(acc, seed0, tables)
+
+    def _mapped(img_dims, cube_dims):
+        def body(acc, seed0, tables):
+
+            t = jax.lax.axis_index(TILE_AXIS)
+            g = jax.lax.axis_index(SAMPLE_AXIS)
+            base = (t * shard).astype(jnp.int32)
+            lane_count = jnp.full((shard,), s_local, jnp.int32)
+            pair = lambda a, b: (
+                (tables[a], tables[b]) if a in tables else None
+            )
+            tex_tables = (
+                (tables["texrec"], tables.get("tex_perlin"),
+                 tables.get("tex_img"))
+                if "texrec" in tables else None
+            )
+            d = mk.sample_batch(
+                lane_count,
+                acc.sample_count,
+                tables["cam_row"],
+                tables["centers"],
+                tables["radii"],
+                tables["records"],
+                tables["sky_bottom"],
+                tables["sky_top"],
+                seed0,
+                pixel_index=base + jnp.arange(shard, dtype=jnp.int32),
+                rect_tables=pair("rect_geo", "rect_rec"),
+                box_tables=pair("box_geo", "box_rec"),
+                tri_tables=pair("tri_geo", "tri_rec"),
+                tex_tables=tex_tables,
+                img_dims=img_dims,
+                cube_table=tables.get("cube"),
+                cube_dims=cube_dims,
+                vol0=tables.get("vol0"),
+                move_offsets=tables.get("move"),
+                lane_base=base + g * jnp.int32(n),
+                samples=s_local,
+                trace_depth=trace_depth,
+                has_dielectrics=has_dielectrics,
+                sky_on=sky_on,
+                jitter=jitter,
+                interpret=interpret,
+            )
+            if sgroups > 1:
+                d = jax.tree.map(
+                    lambda x: jax.lax.psum(x, SAMPLE_AXIS), d
+                )
+            fb_new = ((acc.sample_count == 0) & (d["count"] > 0))[:, None]
+            new_acc = film_mod.Accumulators(
+                color=acc.color + d["color"],
+                sample_count=acc.sample_count + d["count"],
+                normal=acc.normal + d["normal"],
+                albedo=acc.albedo + d["albedo"],
+                weight=acc.weight + d["weight"],
+                fallback_normal=jnp.where(
+                    fb_new, d["fallback_normal"], acc.fallback_normal
+                ),
+                fallback_albedo=jnp.where(
+                    fb_new, d["fallback_albedo"], acc.fallback_albedo
+                ),
+            )
+            # global metric reductions: local reduce + psum/pmin/pmax over
+            # the mesh (ReduceMetricsJob analog as ICI collectives)
+            axes = (TILE_AXIS, SAMPLE_AXIS)
+            count = new_acc.sample_count
+            wps = new_acc.weight / jnp.maximum(count, 1.0)
+            metrics = renderer_mod.BatchMetrics(
+                total_rays=jax.lax.psum(
+                    jnp.sum(d["rays"].astype(jnp.float32)), axes
+                ),
+                total_samples=jax.lax.psum(jnp.sum(count), axes),
+                min_sample_count=jax.lax.pmin(jnp.min(count), axes),
+                max_sample_count=jax.lax.pmax(jnp.max(count), axes),
+                weight_min=jax.lax.pmin(
+                    jnp.min(jnp.where(count > 0, wps, jnp.inf)), axes
+                ),
+                weight_max=jax.lax.pmax(
+                    jnp.max(jnp.where(count > 0, wps, -jnp.inf)), axes
+                ),
+                pixel_rays=d["rays"].astype(jnp.int32),
+            )
+            return new_acc, metrics
+
+        pixel_spec = P(TILE_AXIS)
+        acc_spec = film_mod.Accumulators(
+            color=pixel_spec, sample_count=pixel_spec, normal=pixel_spec,
+            albedo=pixel_spec, weight=pixel_spec, fallback_normal=pixel_spec,
+            fallback_albedo=pixel_spec,
+        )
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                acc_spec,
+                P(),
+                {k: P() for k in table_keys},
             ),
-        ),
-        check_vma=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
+            out_specs=(
+                acc_spec,
+                renderer_mod.BatchMetrics(
+                    total_rays=P(), total_samples=P(), min_sample_count=P(),
+                    max_sample_count=P(), weight_min=P(), weight_max=P(),
+                    pixel_rays=pixel_spec,
+                ),
+            ),
+            check_vma=False,
+        )
+        return mapped
+
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 def make_sharded_train_step(
