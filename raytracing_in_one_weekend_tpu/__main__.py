@@ -39,9 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=64,
                    help="total samples per pixel (slowest pixel)")
     p.add_argument("--depth", type=int, default=35, help="trace depth")
-    p.add_argument("--batch-range", type=int, nargs=2, default=(1, 8),
+    p.add_argument("--batch-range", type=int, nargs=2, default=(1, 48),
                    metavar=("MIN", "MAX"),
-                   help="adaptive samples-per-batch range")
+                   help="adaptive samples-per-batch range (the reference "
+                        "default is 1-50; bigger batches amortize the "
+                        "fused kernel's tile tails — see BENCHMARKS.md)")
     p.add_argument("--no-adaptive", action="store_true")
     p.add_argument("--interlacing", type=int, default=1)
     p.add_argument("--denoise", nargs="?", const="atrous",

@@ -475,24 +475,30 @@ def import_legacy_scene(
     for group in data.get("randomEntityGroups") or []:
         _expand_random_group(b, group, rng, overlap)
 
-    sky_type = int(data.get("skyType", 1))
-    if sky_type == 0:
-        b.set_no_sky()
-    elif sky_type == 2:
+    # The legacy serialized sky enum is {GradientSky=0, CubeMap=1} — NOT
+    # the runtime Environment.cs order.  Surveyed over all 25 assets:
+    # skyType 0 (or absent, for assets predating the field) pairs with
+    # stored gradient colors (white/blue on the book scenes, black on the
+    # Cornell/simple-light dark boxes); skyType 1 pairs with a skyCubemap
+    # GUID on exactly the cubemap scenes (Bunny, Cubemap Testbed, ...).
+    sky_type = int(data.get("skyType", 0))
+    bot = data.get("skyBottomColor")
+    top = data.get("skyTopColor")
+    gradient = (
+        _color(bot) if bot else (1.0, 1.0, 1.0),
+        _color(top) if top else (0.5, 0.7, 1.0),
+    )
+    if sky_type == 1:
         # cubemap .exr binaries are absent from the reference repo (only
-        # .meta survive) — gradient fallback, caller may set_cubemap_sky
+        # .meta survive) — fall back to the asset's stored gradient,
+        # caller may set_cubemap_sky
         warnings.warn(
             f"{path}: cubemap sky texture is absent from the reference "
-            "repo; using gradient sky"
+            "repo; using the stored gradient sky"
         )
-        b.set_gradient_sky()
+        b.set_gradient_sky(*gradient)
     else:
-        bot = data.get("skyBottomColor")
-        top = data.get("skyTopColor")
-        b.set_gradient_sky(
-            _color(bot) if bot else (1.0, 1.0, 1.0),
-            _color(top) if top else (0.5, 0.7, 1.0),
-        )
+        b.set_gradient_sky(*gradient)
 
     camera = CameraSettings(
         origin=tuple(_vec(data["cameraPosition"])),
