@@ -81,11 +81,15 @@ def main() -> None:
         film.combine(acc, WIDTH, HEIGHT).color
     )
 
+    # 8 spp/batch is the backward ceiling: the kernel's VMEM tape
+    # accumulator is (samples*depth, RAY_TILE) and 16x8 fails to compile;
+    # 2 -> 8 spp measured 28.5 -> 41.5 MRays/s (tile-tail amortization,
+    # same lever as the forward's 64-spp batches).
     def loss_fn(centers, key):
         s = params_mod.set_sphere_centers(scene, centers)
         img = renderer.render_image(
             s, camera, key, width=WIDTH, height=HEIGHT,
-            samples_per_pixel=2, trace_depth=TRACE_DEPTH,
+            samples_per_pixel=8, trace_depth=TRACE_DEPTH,
         )
         return jnp.mean((img.color - target) ** 2)
 
@@ -101,9 +105,9 @@ def main() -> None:
         jax.block_until_ready(g)
         per_iter.append(time.perf_counter() - t0)
     per_iter.sort()
-    # rays in fwd+bwd pass: 2 spp, conservatively counted as forward rays
+    # rays in fwd+bwd pass: 8 spp, conservatively counted as forward rays
     # only (the adjoint sweep re-traverses each, so true work is ~2x).
-    grad_rays = WIDTH * HEIGHT * 2 * TRACE_DEPTH
+    grad_rays = WIDTH * HEIGHT * 8 * TRACE_DEPTH
     fwdbwd_mrays = grad_rays / per_iter[len(per_iter) // 2] / 1e6
 
     # Headline = the reference's own metric: forward MillionRaysPerSecond
