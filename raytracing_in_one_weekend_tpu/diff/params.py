@@ -75,6 +75,16 @@ def set_rect_to(scene: Scene, xy_to: jnp.ndarray) -> Scene:
     return scene._replace(rects=scene.rects._replace(xy_to=xy_to))
 
 
+def set_environment_cubemap(scene: Scene, cubemap: jnp.ndarray) -> Scene:
+    """HDR environment-map faces (6, H, W, 3) — differentiable through
+    the miss-radiance fetch in both integrators (each texel's gradient
+    comes from exactly the rays that escaped into it): inverse
+    environment lighting."""
+    return scene._replace(
+        environment=scene.environment._replace(cubemap=cubemap)
+    )
+
+
 def set_texture_atlas(scene: Scene, atlas: jnp.ndarray) -> Scene:
     """Image-texture texel grid (A, H, W, 3) — differentiable through the
     nearest-neighbor lookup (each texel's gradient comes from the rays
@@ -122,6 +132,7 @@ _SETTERS: dict[str, Callable[[Scene, jnp.ndarray], Scene]] = {
     "triangle_vertices": set_triangle_vertices,
     "triangle_normals": set_triangle_normals,
     "texture_atlas": set_texture_atlas,
+    "environment_cubemap": set_environment_cubemap,
 }
 
 
@@ -147,6 +158,7 @@ def extract_params(scene: Scene, names: tuple[str, ...]) -> dict[str, jnp.ndarra
         "rect_from": lambda s: s.rects.xy_from,
         "rect_to": lambda s: s.rects.xy_to,
         "texture_atlas": lambda s: s.textures.atlas,
+        "environment_cubemap": lambda s: s.environment.cubemap,
         "triangle_vertices": soup_vertices,
         "triangle_normals": lambda s: s.triangles.normals,
     }

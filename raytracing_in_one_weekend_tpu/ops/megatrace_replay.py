@@ -68,6 +68,7 @@ def replay_eligible(scene) -> bool:
         mk.scene_eligible(
             scene, allow_rect_box=True, allow_textures=True,
             allow_triangles=True, allow_volumes=True, allow_motion=True,
+            allow_cubemap=True,
         )
         and scene.triangles.vert0.shape[0] <= mk.TRI_MAX
         and (
@@ -143,6 +144,9 @@ def replay(
     vol0=None,  # (8,) camera_containment_row — differentiable leaf;
     #   enables the convex-volume-walk mirror (Beer–Lambert density
     #   gradients ride the free-path score terms in lp)
+    cube_table=None,  # (3*W_pad, FH_pad) pack_cubemap_table planes —
+    #   differentiable leaf (environment-map texel gradients flow from
+    #   exactly the rays that missed into each texel)
     *,
     samples: int,
     trace_depth: int,
@@ -151,6 +155,7 @@ def replay(
     sky_on: bool = True,
     jitter: bool = True,
     img_dims: tuple = (0, 0),
+    cube_dims: tuple = (0, 0),
 ):
     """Differentiable (color_sum (N,3), count (N,)) for one batch,
     replaying the kernel's persistent-lane loop along the recorded tape."""
@@ -821,7 +826,60 @@ def replay(
             lp_inc = jnp.where(vol_scatter, 0.0, lp_inc)
 
         # ---- sky + fold (SampleBatchJob.cs:341-396) --------------------
-        if sky_on:
+        if cube_table is not None:
+            # major-axis cubemap fetch (kernel cube_c section /
+            # Texture.cs:172-210).  The texel INDEX is a detached
+            # decision (direction -> int cast has zero gradient anyway);
+            # texel VALUES stay differentiable through the gather —
+            # environment-map gradients flow from exactly the rays that
+            # missed into each texel.
+            c_w, c_h = cube_dims
+            ddx = jax.lax.stop_gradient(dx)
+            ddy = jax.lax.stop_gradient(dy)
+            ddz = jax.lax.stop_gradient(dz)
+            cax, cay, caz = jnp.abs(ddx), jnp.abs(ddy), jnp.abs(ddz)
+            cuse_x = (cax >= cay) & (cax >= caz)
+            cuse_y = (cay > cax) & (cay >= caz)
+            neg_off = jnp.where(
+                cuse_x,
+                jnp.where(ddx >= 0.0, 0.0, 1.0),
+                jnp.where(
+                    cuse_y,
+                    jnp.where(ddy >= 0.0, 0.0, 1.0),
+                    jnp.where(ddz >= 0.0, 0.0, 1.0),
+                ),
+            )
+            cu_num = jnp.where(
+                cuse_x,
+                jnp.where(ddx >= 0.0, -ddz, ddz),
+                jnp.where(cuse_y, ddx, jnp.where(ddz >= 0.0, ddx, -ddx)),
+            )
+            cv_num = jnp.where(
+                cuse_x, -ddy,
+                jnp.where(cuse_y, jnp.where(ddy >= 0.0, ddz, -ddz), -ddy),
+            )
+            cmajor = jnp.maximum(
+                jnp.where(cuse_x, cax, jnp.where(cuse_y, cay, caz)), 1e-12
+            )
+            cuu = cu_num / cmajor
+            cvv = cv_num / cmajor
+            face = jnp.where(
+                cuse_x, 0.0, jnp.where(cuse_y, 2.0, 4.0)
+            ) + neg_off
+            ccx = jnp.minimum(
+                ((cuu + 1.0) * (c_w / 2.0)).astype(jnp.int32), c_w - 1
+            )
+            ccy = jnp.minimum(
+                ((cvv + 1.0) * (c_h / 2.0)).astype(jnp.int32), c_h - 1
+            )
+            crow = face.astype(jnp.int32) * c_h + ccy
+            cw_pad = cube_table.shape[0] // 3
+            cfh_pad = cube_table.shape[1]
+            cube_flat = cube_table.reshape(-1)
+            skr = cube_flat[(0 * cw_pad + ccx) * cfh_pad + crow]
+            skg = cube_flat[(1 * cw_pad + ccx) * cfh_pad + crow]
+            skb = cube_flat[(2 * cw_pad + ccx) * cfh_pad + crow]
+        elif sky_on:
             tsky = 0.5 * (dy + 1.0)
             skr = sky_bottom[0] + (sky_top[0] - sky_bottom[0]) * tsky
             skg = sky_bottom[1] + (sky_top[1] - sky_bottom[1]) * tsky
@@ -932,6 +990,8 @@ def sample_batch_diff(
     move_vectors=None,  # (S, 3) sphere motion offsets — differentiable
     vol0=None,  # (8,) camera_containment_row — differentiable; enables
     #   the convex volume walk (density gradients via free-path score)
+    cube_table=None,  # pack_cubemap_table planes — differentiable
+    #   (environment-map texel gradients)
     *,
     samples: int,
     trace_depth: int,
@@ -940,6 +1000,7 @@ def sample_batch_diff(
     jitter: bool = True,
     interpret: bool = False,
     img_dims: tuple = (0, 0),
+    cube_dims: tuple = (0, 0),
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
     camera_row, rect/box geo+rec tables, texture record/atlas tables) via
@@ -951,7 +1012,7 @@ def sample_batch_diff(
     statics = dict(
         samples=samples, trace_depth=trace_depth,
         has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,
-        img_dims=img_dims,
+        img_dims=img_dims, cube_dims=cube_dims,
     )
     # aux rides as a dict pytree through the custom_vjp so the arity is
     # static per (has_rects, has_boxes, has_tex) combination
@@ -971,6 +1032,8 @@ def sample_batch_diff(
         aux["move"] = move_vectors
     if vol0 is not None:
         aux["vol0"] = vol0
+    if cube_table is not None:
+        aux["cube"] = cube_table
 
     def _aux_pairs(aux):
         rt = (
@@ -989,7 +1052,8 @@ def sample_batch_diff(
             (aux["texrec"], None, aux.get("tex_img"))
             if "texrec" in aux else None
         )
-        return rt, bt, trt, tt, aux.get("move"), aux.get("vol0")
+        return (rt, bt, trt, tt, aux.get("move"), aux.get("vol0"),
+                aux.get("cube"))
 
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
@@ -1004,12 +1068,13 @@ def sample_batch_diff(
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
                     aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
-        rt, bt, trt, tt, mv, v0 = _aux_pairs(aux)
+        rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
             sky_b, sky_t, _seed_of(seed_lo, seed_hi),
             rect_tables=rt, box_tables=bt, tri_tables=trt, tex_tables=tt,
             move_offsets=mv, vol0=v0,
+            cube_table=cube, cube_dims=cube_dims,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
@@ -1039,11 +1104,11 @@ def sample_batch_diff(
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
-            rt, bt, trt, tt, mv, v0 = _aux_pairs(aux)
+            rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
             csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
                 sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, trt, tt,
-                mv, v0,
+                mv, v0, cube,
                 **statics,
             )
             # cnt carries the count's score surrogate — the valid-count

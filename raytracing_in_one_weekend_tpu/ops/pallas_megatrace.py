@@ -2316,13 +2316,12 @@ def sample_batch(
         hw_prng = False
         # the replay mirrors spheres/rects/boxes/VMEM-resident triangles
         # with constant, checker and image-atlas albedo textures, convex
-        # volumes and unit-shutter motion — a tape over unsupported
-        # features (streamed triangles, perlin marble, cubemap) would
+        # volumes, unit-shutter motion and cubemap skies — a tape over
+        # unsupported features (streamed triangles, perlin marble) would
         # replay the wrong state machine
         # (megatrace_replay.replay_eligible is the gate)
         assert tri_stream_tables is None
         assert (tex_tables is None or tex_tables[1] is None)
-        assert cube_table is None
         assert noise_uniforms is None
     if hw_prng is None:
         hw_prng = not interpret

@@ -152,6 +152,10 @@ def render_batch(
         move_vectors = (
             scene.spheres.move_offset if scene.flags.has_motion else None
         )
+        cube_all = (
+            pallas_megatrace.pack_cubemap_table(scene)
+            if scene.flags.sky == 2 else None
+        )  # differentiable: environment-map texel gradients
         seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.int32)
         d = megatrace_replay.sample_batch_diff(
             lane_count,
@@ -169,6 +173,8 @@ def render_batch(
             tex_tables=tex_tables,
             move_vectors=move_vectors,
             vol0=vol0,
+            cube_table=cube_all[0] if cube_all is not None else None,
+            cube_dims=cube_all[1] if cube_all is not None else (0, 0),
             img_dims=img_dims,
             samples=samples,
             trace_depth=trace_depth,

@@ -887,3 +887,129 @@ class TestReplayVolumesMotion:
             )
             assert called.get("hit"), f"{name} did not take diff-fused"
             assert float(jnp.max(acc2.sample_count)) > 0
+
+
+class TestReplayCubemap:
+    """Cubemap-sky scope: miss radiance fetches the environment map
+    in-kernel; the replay mirrors the major-axis face select with a
+    detached texel index, so environment-map texel gradients flow from
+    exactly the rays that missed into each texel."""
+
+    def _setup(self):
+        from raytracing_in_one_weekend_tpu.core import (
+            materials as mats_mod,
+        )
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        w = h = 20
+        scene, cs = testbeds.SCENES["cubemap"]()
+        assert megatrace_replay.replay_eligible(scene)
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        packed = mats_mod.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+        cube, cdims = pallas_megatrace.pack_cubemap_table(scene)
+        return scene, cam, records, rect_t, box_t, cube, cdims, w, h
+
+    def test_replay_reproduces_kernel(self):
+        scene, cam, records, rect_t, box_t, cube, cdims, w, h = (
+            self._setup()
+        )
+        s, d = 4, 5
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(cam, w, h)
+        out = pallas_megatrace.sample_batch(
+            lane_count, jnp.zeros((w * h,)), cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), rect_tables=rect_t, box_tables=box_t,
+            cube_table=cube, cube_dims=cdims,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=False, hw_prng=False, want_tape=True, interpret=True,
+        )
+        csum, cnt = megatrace_replay.replay(
+            out["tape"], lane_count, cam_row,
+            scene.spheres.center, scene.spheres.radius, records,
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(13), rect_t, box_t, None, None, None, None, cube,
+            samples=s, trace_depth=d,
+            has_dielectrics=scene.flags.has_dielectrics,
+            sky_on=False, cube_dims=cdims,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cnt), np.asarray(out["count"]), atol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(csum), np.asarray(out["color"]), rtol=2e-4,
+            atol=2e-4,
+        )
+
+    def test_envmap_texel_gradient_matches_fd(self):
+        """Single-texel FD: the env-map gather is exact per texel (under
+        CRN the miss set is texel-value-independent), so AD == FD to
+        float precision — the texture_atlas precedent."""
+        scene, cam, records, rect_t, box_t, cube, cdims, w, h = (
+            self._setup()
+        )
+        s, d = 2, 4
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(cam, w, h)
+
+        def loss(cube):
+            o = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), cam_row,
+                scene.spheres.center, scene.spheres.radius, records,
+                scene.environment.sky_bottom, scene.environment.sky_top,
+                jnp.int32(5), rect_tables=rect_t, box_tables=box_t,
+                cube_table=cube, cube_dims=cdims,
+                samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics,
+                sky_on=False, jitter=False, interpret=True,
+            )
+            img = o["color"] / jnp.maximum(o["count"], 1.0)[:, None]
+            return jnp.mean(img)
+
+        g = np.asarray(jax.grad(loss)(cube))
+        assert np.isfinite(g).all()
+        assert (np.abs(g) > 0).sum() > 100  # many texels see rays
+        idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+        eps = 0.05
+        cp = cube.at[idx].add(eps)
+        cm = cube.at[idx].add(-eps)
+        fd = (float(loss(cp)) - float(loss(cm))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-3, atol=1e-7)
+
+    def test_renderer_dispatches_cubemap_to_diff_fused(self, monkeypatch):
+        import functools
+
+        from raytracing_in_one_weekend_tpu.models import testbeds
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.render import film, renderer
+
+        monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        called = {}
+        orig = megatrace_replay.sample_batch_diff
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k, interpret=True)
+
+        monkeypatch.setattr(megatrace_replay, "sample_batch_diff", spy)
+        scene, cs = testbeds.SCENES["cubemap"]()
+        w = h = 12
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        acc = film.zero_accumulators(w * h)
+        acc2, _ = renderer.render_batch(
+            scene, cam, acc, jax.random.PRNGKey(0),
+            width=w, height=h, samples=2, trace_depth=4,
+            differentiable=True,
+        )
+        assert called.get("hit"), "cubemap scene did not take diff-fused"
+        assert float(jnp.max(acc2.sample_count)) > 0
