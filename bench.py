@@ -97,18 +97,33 @@ def main() -> None:
     g = grad_fn(scene.spheres.center, key)  # warmup/compile
     jax.block_until_ready(g)
 
+    def rays_at(k):
+        # actual forward ray count for this key at the grad workload's
+        # 8 spp: the fused forward and the diff-fused primal derive the
+        # same seed from the key and trace identical paths, so the
+        # forward metrics count the grad pass's rays exactly (ADVICE r2:
+        # the old WIDTH*HEIGHT*spp*DEPTH formula assumed every path
+        # reaches full depth and overstated early-terminating scenes).
+        a, m = renderer.render_batch_jit(
+            scene, camera, film.zero_accumulators(WIDTH * HEIGHT), k,
+            jnp.asarray(0, jnp.int32),
+            width=WIDTH, height=HEIGHT, samples=8, trace_depth=TRACE_DEPTH,
+        )
+        return float(m.total_rays)
+
     grad_iters = 3
     per_iter = []
     for i in range(grad_iters):
+        k = jax.random.fold_in(key, 100 + i)
+        grad_rays = rays_at(k)
         t0 = time.perf_counter()
-        g = grad_fn(scene.spheres.center, jax.random.fold_in(key, 100 + i))
+        g = grad_fn(scene.spheres.center, k)
         jax.block_until_ready(g)
-        per_iter.append(time.perf_counter() - t0)
+        # forward rays only (the adjoint sweep re-traverses each, so
+        # true work is ~2x this count).
+        per_iter.append(grad_rays / (time.perf_counter() - t0) / 1e6)
     per_iter.sort()
-    # rays in fwd+bwd pass: 8 spp, conservatively counted as forward rays
-    # only (the adjoint sweep re-traverses each, so true work is ~2x).
-    grad_rays = WIDTH * HEIGHT * 8 * TRACE_DEPTH
-    fwdbwd_mrays = grad_rays / per_iter[len(per_iter) // 2] / 1e6
+    fwdbwd_mrays = per_iter[len(per_iter) // 2]
 
     # Headline = the reference's own metric: forward MillionRaysPerSecond
     # (Raytracer.cs:109,540).  The reference has no gradients; the

@@ -25,8 +25,11 @@ VMEM-resident triangle meshes (<= TRI_MAX rows — mesh vertex, shading
 normal and uv gradients); constant, checker and image-atlas albedo
 textures (texel gradients flow to the atlas from exactly the rays that
 sampled each texel — nearest-neighbor index detached, same policy as the
-wavefront's texture_atlas gradients); gradient/none sky; no
-volumes/motion/streamed-triangles/perlin — the BASELINE gradient configs
+wavefront's texture_atlas gradients); convex probabilistic volumes
+(Beer–Lambert free-path score gradients for density); unit-shutter
+sphere motion blur; gradient/none/cubemap sky (environment texel
+gradients).  OUT of scope: HBM-streamed triangles and perlin marble —
+those scenes keep the wavefront.  Covers the BASELINE gradient configs
 (cover-scene class) plus Cornell-class rect/box scenes, mesh inverse
 rendering and texture-painting inverse problems.
 The tape code indexes the KERNEL's padded row space: spheres [0, s_pad),

@@ -26,9 +26,11 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+    except RuntimeError as e:
+        # tolerate ONLY the already-initialized case; a misconfigured pod
+        # must fail loudly, not silently degrade to single-process
+        if "already" not in str(e).lower():
+            raise
 
 
 def is_primary_host() -> bool:

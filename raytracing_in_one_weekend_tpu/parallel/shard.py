@@ -397,15 +397,21 @@ def _fused_step(
                 ),
             )
             # global metric reductions: local reduce + psum/pmin/pmax over
-            # the mesh (ReduceMetricsJob analog as ICI collectives)
+            # the mesh (ReduceMetricsJob analog as ICI collectives).
+            # d was already psummed over SAMPLE_AXIS above (and with
+            # sgroups == 1 that axis is trivial), so the additive totals
+            # reduce over TILE_AXIS only — psumming them over both axes
+            # double-counts by sgroups (each sample-group device holds the
+            # identical sample-reduced value).  pmin/pmax are idempotent
+            # over the replicated axis and keep both.
             axes = (TILE_AXIS, SAMPLE_AXIS)
             count = new_acc.sample_count
             wps = new_acc.weight / jnp.maximum(count, 1.0)
             metrics = renderer_mod.BatchMetrics(
                 total_rays=jax.lax.psum(
-                    jnp.sum(d["rays"].astype(jnp.float32)), axes
+                    jnp.sum(d["rays"].astype(jnp.float32)), TILE_AXIS
                 ),
-                total_samples=jax.lax.psum(jnp.sum(count), axes),
+                total_samples=jax.lax.psum(jnp.sum(count), TILE_AXIS),
                 min_sample_count=jax.lax.pmin(jnp.min(count), axes),
                 max_sample_count=jax.lax.pmax(jnp.max(count), axes),
                 weight_min=jax.lax.pmin(

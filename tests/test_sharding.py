@@ -160,6 +160,7 @@ class TestShardedFused:
         sg = mesh.shape[shard.SAMPLE_AXIS]
         color = jnp.zeros((n, 3))
         cnt = jnp.zeros((n,))
+        rays = 0.0
         for g in range(sg):
             d = mk.sample_batch(
                 jnp.full((n,), samples // sg, jnp.int32), jnp.zeros((n,)),
@@ -174,13 +175,17 @@ class TestShardedFused:
             )
             color = color + d["color"]
             cnt = cnt + d["count"]
+            rays += float(jnp.sum(d["rays"]))
         np.testing.assert_array_equal(
             np.asarray(acc2.color), np.asarray(color)
         )
         np.testing.assert_array_equal(
             np.asarray(acc2.sample_count), np.asarray(cnt)
         )
-        assert float(metrics.total_rays) > 0
+        # metric totals must equal the single-device truth exactly — a
+        # sample axis > 1 must not inflate them by the group count
+        assert float(metrics.total_samples) == float(jnp.sum(cnt))
+        assert float(metrics.total_rays) == rays > 0
 
     def test_rejects_ineligible_scene(self):
         from raytracing_in_one_weekend_tpu.models import testbeds
