@@ -7,12 +7,17 @@ per-pixel progressive offsets into baked noise tiles (PerPixelNoise.cs:
 SpatioTemporalBlueNoiseData.cs).
 
 TPU-native redesign: white noise stays threefry (core/rng.py).  Blue /
-spatio-temporal-blue supply the PIXEL-CORRELATED draws (sub-pixel jitter +
-lens disk — where low-discrepancy visibly reduces noise) from synthesized
-tileable blue-noise textures (core/noise.make_blue_noise_tile — no baked
-assets), Cranley-Patterson-rotated per draw by the R2 sequence; the
-in-flight bounce draws remain white, a deliberate deviation (documented)
-that keeps the bounce loop fusion-friendly.
+spatio-temporal-blue supply the PIXEL-CORRELATED draws from the
+reference's own baked tables when the assets are available
+(core/stbn.py: HDR blue-noise EXRs for the blue flavor, the five NVIDIA
+STBN sets for the spatio-temporal flavor), falling back to synthesized
+tileable tiles (core/noise.make_blue_noise_tile) otherwise.  Flavored
+draws cover sub-pixel jitter + the lens disk (camera) and — with the
+real STBN assets — the FIRST-BOUNCE cosine-hemisphere scatter from the
+stbn_unitvec3_cosine set (RandomSource.cs:63-89's SpatioTemporalBlue
+arm), where pixel-correlation visibly reduces noise.  Deeper-bounce
+draws remain white, a documented deviation that keeps the bounce loop
+fusion-friendly.
 """
 
 from __future__ import annotations
@@ -21,30 +26,69 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from raytracing_in_one_weekend_tpu.core import noise
+from raytracing_in_one_weekend_tpu.core import noise, stbn
 from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
 
-TILE = 64  # reference blue-noise textures are 64x64 (BlueNoise.cs:6-41)
+TILE = 64  # synthesized-tile size (fallback when no baked assets exist)
 
 
 class NoiseState(NamedTuple):
-    """Sampler tables; tiles is (T, TILE, TILE, 4) — T=1 for plain blue,
-    T>1 temporal slices for the spatio-temporal flavor."""
+    """Sampler tables.
+
+    tiles — (T, S, S, 4) camera-draw uniforms (jitter xy, lens theta_u /
+    radius_u): T=1 synthesized or T>=1 baked textures for blue, temporal
+    slices for spatio-temporal blue.
+    cosine — (T, S, S, 3) tangent-space (y-up) cosine-hemisphere
+    directions from the real stbn_unitvec3_cosine set, or None (white
+    first-bounce scatter)."""
 
     tiles: jnp.ndarray
+    cosine: Optional[jnp.ndarray] = None
 
 
 def make_noise_state(
     color: NoiseColor, seed: int = 7, temporal: int = 8
 ) -> Optional[NoiseState]:
-    """Build sampler tables for the given flavor (None for white noise)."""
+    """Build sampler tables for the given flavor (None for white noise).
+
+    Prefers the reference's baked assets (core/stbn.find_asset_root);
+    synthesizes tiles when they aren't available."""
     if color == NoiseColor.WHITE:
         return None
-    t = 1 if color == NoiseColor.BLUE else temporal
+    if color == NoiseColor.BLUE:
+        baked = stbn.load_blue_noise()
+        if baked is not None:
+            return NoiseState(tiles=jnp.asarray(baked))
+        return NoiseState(
+            tiles=noise.make_blue_noise_tile(TILE, 4, seed)[None]
+        )
+    tables = stbn.load_stbn(temporal=temporal)
+    if tables is not None:
+        return NoiseState(
+            tiles=jnp.asarray(stbn.stbn_camera_tiles(tables)),
+            cosine=jnp.asarray(tables.cosine),
+        )
     tiles = jnp.stack(
-        [noise.make_blue_noise_tile(TILE, 4, seed + i) for i in range(t)]
+        [noise.make_blue_noise_tile(TILE, 4, seed + i) for i in range(temporal)]
     )
     return NoiseState(tiles=tiles)
+
+
+def _tile_lookup(table: jnp.ndarray, draw_index, width: int, height: int):
+    """Per-pixel fetch from a (T, S, S, C) table with the reference's
+    PerPixelNoise addressing: R2-offset pixel coords wrapped to the tile
+    (PerPixelNoise.cs:24-44), temporal slice cycling per draw."""
+    t, size = table.shape[0], table.shape[1]
+    draw_index = jnp.asarray(draw_index)
+    tile_idx = jnp.mod(draw_index.astype(jnp.int32), t)
+    offs = noise.per_pixel_noise_offset(
+        draw_index.astype(jnp.float32), size
+    )  # (2,) or (N, 2) int32
+
+    ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
+    tx = jnp.mod(xs + offs[..., 0], size)
+    ty = jnp.mod(ys + offs[..., 1], size)
+    return table[tile_idx, ty, tx]  # (N, C)
 
 
 def pixel_uniforms(
@@ -53,7 +97,7 @@ def pixel_uniforms(
     width: int,
     height: int,
 ) -> jnp.ndarray:
-    """(width*height, 4) pixel-correlated uniforms for one draw.
+    """(width*height, 4) pixel-correlated camera uniforms for one draw.
 
     Per-draw decorrelation follows the reference's PerPixelNoise: the R2
     sequence offsets the pixel's tile coordinates each draw
@@ -63,20 +107,27 @@ def pixel_uniforms(
 
     A (N,) per-pixel draw_index (the fused kernel's progressive per-lane
     counter under adaptive sampling) vectorizes every per-draw quantity."""
-    t = state.tiles.shape[0]
+    vals = _tile_lookup(state.tiles, draw_index, width, height)  # (N, 4)
     draw_index = jnp.asarray(draw_index)
-    tile_idx = jnp.mod(draw_index.astype(jnp.int32), t)
-    offs = noise.per_pixel_noise_offset(
-        draw_index.astype(jnp.float32), TILE
-    )  # (2,) or (N, 2) int32
-
-    ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
-    tx = jnp.mod(xs + offs[..., 0], TILE)
-    ty = jnp.mod(ys + offs[..., 1], TILE)
-    vals = state.tiles[tile_idx, ty, tx]  # (N, 4)
-
     rot = noise.r2_sequence(draw_index.astype(jnp.float32) + 0.5)
     rotation = jnp.concatenate(
         [rot, rot * 0.61803398875 + 0.1], axis=-1
     )  # (4,) or (N, 4)
     return jnp.mod(vals + jnp.broadcast_to(rotation, vals.shape), 1.0)
+
+
+def pixel_cosine(
+    state: Optional[NoiseState],
+    draw_index: jnp.ndarray,
+    width: int,
+    height: int,
+) -> Optional[jnp.ndarray]:
+    """(width*height, 3) tangent-space cosine-hemisphere directions for
+    one draw from the real STBN cosine set (RandomSource.cs:63-89), or
+    None when the flavor doesn't carry one.  Unit vectors — no
+    Cranley-Patterson rotation (that would break the distribution); the
+    R2 coordinate offsets alone decorrelate draws, exactly like the
+    reference's PerPixelNoise."""
+    if state is None or state.cosine is None:
+        return None
+    return _tile_lookup(state.cosine, draw_index, width, height)

@@ -274,16 +274,26 @@ def cornell_with_volumes() -> tuple[Scene, CameraSettings]:
 
 
 def textured_sphere() -> tuple[Scene, CameraSettings]:
-    """Textured Sphere (Book 2).asset: image-texture albedo (a procedural
-    earth-like byte image stands in for the imported texture)."""
-    h, w = 64, 128
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    land = (np.sin(xx * 0.21) * np.cos(yy * 0.17) + np.sin(xx * 0.05)) > 0.4
-    img = np.where(
-        land[..., None],
-        np.array([0.25, 0.5, 0.15], np.float32),
-        np.array([0.1, 0.2, 0.6], np.float32),
-    ).astype(np.float32)
+    """Textured Sphere (Book 2).asset: image-texture albedo — the
+    reference's actual Assets/Textures/earthmap.jpg when a reference
+    checkout is available (assets.load_texture: sRGB->linear, resized
+    for VMEM residence), else a procedural earth-like stand-in."""
+    from raytracing_in_one_weekend_tpu import assets
+
+    # 512 wide = a 1.5 MB kernel texture table; VMEM is ~16 MB/core and
+    # the megakernel's lane state + record tables need the rest
+    img = assets.load_texture("Textures/earthmap.jpg", max_width=512)
+    if img is None:
+        h, w = 64, 128
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        land = (
+            np.sin(xx * 0.21) * np.cos(yy * 0.17) + np.sin(xx * 0.05)
+        ) > 0.4
+        img = np.where(
+            land[..., None],
+            np.array([0.25, 0.5, 0.15], np.float32),
+            np.array([0.1, 0.2, 0.6], np.float32),
+        ).astype(np.float32)
     b = SceneBuilder()
     tex = b.add_image("earth", img)
     b.add_sphere((0.0, 0.0, 0.0), 2.0, b.lambert(tex))

@@ -154,13 +154,30 @@ MATERIAL_KINDS = ("lambert", "standard", "metal", "dielectric", "volume",
 def _add_material_from_spec(b: SceneBuilder, spec: MaterialSpec) -> int:
     """Material spec -> builder material id.  Specs are JSON-able dicts:
     {"kind": "metal", "albedo": [r,g,b], "glossiness": 0.8}; see
-    MATERIAL_KINDS and the SceneBuilder factory methods for fields."""
+    MATERIAL_KINDS and the SceneBuilder factory methods for fields.
+
+    An "image" field names a texture file (absolute, or relative to the
+    reference asset root — e.g. "Textures/earthmap.jpg") bound as the
+    albedo (the reference's ImageTexture slot, Texture.cs:61-78); it
+    falls back to the spec's constant albedo when the file is absent."""
     if isinstance(spec, int):
         return spec
     kind = spec.get("kind", "lambert")
     args = {k: v for k, v in spec.items() if k != "kind"}
     if kind not in MATERIAL_KINDS:
         raise ValueError(f"unknown material kind {kind!r}")
+    image_path = args.pop("image", None)
+    if image_path is not None:
+        from raytracing_in_one_weekend_tpu import assets
+
+        img = assets.load_texture(image_path, max_width=512)
+        if img is not None:
+            args["albedo"] = b.add_image(image_path, img)
+        else:
+            warnings.warn(
+                f"image texture {image_path!r} not found; using the "
+                "spec's constant albedo"
+            )
     return getattr(b, kind)(**args)
 
 

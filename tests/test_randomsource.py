@@ -9,10 +9,12 @@ import numpy as np
 import pytest
 
 from raytracing_in_one_weekend_tpu.core import camera as camera_mod
-from raytracing_in_one_weekend_tpu.core import randomsource
+from raytracing_in_one_weekend_tpu.core import randomsource, stbn
 from raytracing_in_one_weekend_tpu.models import book_scenes
 from raytracing_in_one_weekend_tpu.render import driver, film, renderer
 from raytracing_in_one_weekend_tpu.utils.config import NoiseColor, RenderSettings
+
+HAS_ASSETS = stbn.find_asset_root() is not None
 
 
 class TestNoiseState:
@@ -21,13 +23,24 @@ class TestNoiseState:
 
     def test_blue_single_tile(self):
         st = randomsource.make_noise_state(NoiseColor.BLUE)
-        assert st.tiles.shape == (1, 64, 64, 4)
+        # baked HDR EXR tiles when the reference assets are present,
+        # synthesized 64x64 otherwise — always 4 uniform channels
+        t, s, s2, c = st.tiles.shape
+        assert s == s2 and c == 4
+        assert (t, s) == ((8, 256) if HAS_ASSETS else (1, 64))
 
     def test_stbn_temporal_tiles(self):
         st = randomsource.make_noise_state(
             NoiseColor.SPATIO_TEMPORAL_BLUE, temporal=4
         )
-        assert st.tiles.shape == (4, 64, 64, 4)
+        t, s, s2, c = st.tiles.shape
+        assert t == 4 and s == s2 and c == 4
+        assert s == (128 if HAS_ASSETS else 64)
+        if HAS_ASSETS:
+            # the real cosine set rides along for first-bounce scatter
+            assert st.cosine.shape == (4, 128, 128, 3)
+        else:
+            assert st.cosine is None
 
     def test_uniforms_in_range_and_vary_per_draw(self):
         st = randomsource.make_noise_state(NoiseColor.BLUE)
@@ -41,16 +54,73 @@ class TestNoiseState:
         np.testing.assert_array_equal(u0, u0b)
 
     def test_blue_noise_is_high_frequency(self):
-        """Neighbor deltas of a blue-noise tile exceed white's on average
-        (the defining property: energy pushed to high frequencies)."""
+        """Neighbor deltas of a blue-noise tile exceed a same-histogram
+        white shuffle's on average (the defining property: energy pushed
+        to high frequencies).  Comparing against a shuffle of the tile's
+        own values makes the test distribution-agnostic (the baked HDR
+        tiles are not value-uniform)."""
         st = randomsource.make_noise_state(NoiseColor.BLUE)
         tile = np.asarray(st.tiles[0, :, :, 0])
-        white = np.random.default_rng(0).random(tile.shape)
+        white = np.random.default_rng(0).permuted(tile.ravel()).reshape(
+            tile.shape
+        )
 
         def neighbor_delta(x):
             return np.abs(np.diff(x, axis=0)).mean()
 
-        assert neighbor_delta(tile) > neighbor_delta(white) * 1.2
+        # measured ratios: synthesized tile 1.34x, baked HDR EXRs 1.16x
+        # (the HDR value skew compresses the delta spread)
+        assert neighbor_delta(tile) > neighbor_delta(white) * 1.1
+
+
+@pytest.mark.skipif(not HAS_ASSETS, reason="reference assets not present")
+class TestBakedAssets:
+    """Decode oracles for the reference's real noise tables
+    (SpatioTemporalBlueNoise.cs:57-78, BlueNoise.cs:6-41)."""
+
+    def test_stbn_scalar_slice_is_blue_uniform(self):
+        t = stbn.load_stbn(temporal=2)
+        sl = t.scalar[0]
+        assert sl.shape == (128, 128)
+        # byte/256 decode: uniform over [0, 1), never reaching 1
+        assert 0.0 <= sl.min() and sl.max() < 1.0
+        assert abs(sl.mean() - 0.498) < 0.02
+        white = np.random.default_rng(0).permuted(sl.ravel()).reshape(sl.shape)
+        # measured: the real per-slice spatial spectrum runs ~1.14x white
+        # (the sets trade some spatial blueness for the temporal axis)
+        assert np.abs(np.diff(sl, axis=0)).mean() > (
+            np.abs(np.diff(white, axis=0)).mean() * 1.1
+        )
+
+    def test_stbn_cosine_set_is_cosine_hemisphere(self):
+        t = stbn.load_stbn(temporal=2)
+        v = t.cosine[0].reshape(-1, 3)
+        norms = np.linalg.norm(v, axis=-1)
+        assert abs(norms.mean() - 1.0) < 0.02  # unit directions
+        # y-up hemisphere (channel order r, b, g per the reference)
+        assert (v[:, 1] >= -0.05).all()
+        # cosine weighting: E[y] = 2/3 for pdf cos(theta)/pi
+        assert abs(v[:, 1].mean() - 2.0 / 3.0) < 0.03
+
+    def test_stbn_unitvec2_maps_into_lens_channels(self):
+        t = stbn.load_stbn(temporal=2)
+        tiles = stbn.stbn_camera_tiles(t)
+        assert tiles.shape == (2, 128, 128, 4)
+        assert tiles.min() >= 0.0 and tiles.max() < 1.0
+        # reconstruct the unitvec2 point from (theta_u, radius_u)
+        theta = tiles[0, :, :, 2] * 2 * np.pi
+        r = np.sqrt(tiles[0, :, :, 3])
+        # atol covers the radius_u clip: byte quantization pushes some
+        # decoded norms to 1.02, capped back into the uniform domain
+        np.testing.assert_allclose(
+            np.stack([r * np.cos(theta), r * np.sin(theta)], -1),
+            t.unitvec2[0], atol=0.012,
+        )
+
+    def test_blue_noise_exr_decodes(self):
+        tiles = stbn.load_blue_noise(count=2)
+        assert tiles.shape == (2, 256, 256, 4)
+        assert tiles.min() >= 0.0 and tiles.max() < 1.0
 
 
 class TestRenderWithNoiseFlavors:
