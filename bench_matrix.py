@@ -7,6 +7,8 @@ processes contend ~100x):
     python bench_matrix.py cornell perlin  # a subset
     python bench_matrix.py --wavefront cornell   # force the wavefront
                                                  # fallback for comparison
+    python bench_matrix.py --noise=stbn cover    # sampler flavor
+                                                 # (blue | stbn)
 
 Ray counting matches the reference (every bounce of every sample,
 SampleBatchJob.cs:203); one line per scene:
@@ -34,10 +36,12 @@ WIDTH = HEIGHT = 512
 SAMPLES, DEPTH, BATCHES = 64, 8, 5  # 64 spp/batch amortizes tile tails (see bench.py)
 
 
-def measure(name: str, wavefront: bool) -> float:
+def measure(name: str, wavefront: bool, noise: str | None = None) -> float:
     from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.core import randomsource
     from raytracing_in_one_weekend_tpu.models import book_scenes, testbeds
     from raytracing_in_one_weekend_tpu.render import film, renderer
+    from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
 
     scenes = {**book_scenes.SCENES, **testbeds.SCENES}
     scene, cs = scenes[name]()
@@ -48,6 +52,13 @@ def measure(name: str, wavefront: bool) -> float:
     acc = film.zero_accumulators(WIDTH * HEIGHT)
     key = jax.random.PRNGKey(0)
     kw = dict(width=WIDTH, height=HEIGHT, samples=SAMPLES, trace_depth=DEPTH)
+    if noise:
+        color = {"blue": NoiseColor.BLUE,
+                 "stbn": NoiseColor.SPATIO_TEMPORAL_BLUE}[noise]
+        kw.update(
+            noise_color=int(color),
+            noise_state=randomsource.make_noise_state(color),
+        )
     acc, _ = renderer.render_batch_jit(
         scene, camera, acc, key, jnp.asarray(0, jnp.int32), **kw
     )
@@ -68,13 +79,19 @@ def measure(name: str, wavefront: bool) -> float:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     wavefront = "--wavefront" in sys.argv[1:]
+    noise = None
+    for a in sys.argv[1:]:
+        if a.startswith("--noise"):
+            noise = a.split("=", 1)[1] if "=" in a else "stbn"
     if wavefront:
         from raytracing_in_one_weekend_tpu.ops import pallas_megatrace
 
         pallas_megatrace.scene_eligible = lambda *a, **k: False
     mode = "wavefront" if wavefront else "fused"
+    if noise:
+        mode += f"+{noise}"
     for name in args or DEFAULT_SCENES:
-        mrays = measure(name, wavefront)
+        mrays = measure(name, wavefront, noise)
         print(f"{name} [{mode}] median: {mrays:.1f} MRays/s", flush=True)
 
 

@@ -120,6 +120,12 @@ def scatter(
     key: jax.Array,
     packed: jnp.ndarray | None = None,  # (M, 12) from pack_materials
     row: jnp.ndarray | None = None,  # (N, >=11) pre-fetched records
+    lambert_tsd: jnp.ndarray | None = None,  # (N, 3) pre-drawn
+    #   tangent-space (y-up) cosine-hemisphere directions — the STBN
+    #   unitvec3_cosine set (RandomSource.cs:63-89 SpatioTemporalBlue
+    #   arm); replaces the Lambert diffuse draw when lambert_tsd_on
+    lambert_tsd_on: jnp.ndarray | bool = False,  # traced bool: use the
+    #   pre-drawn set this bounce (the renderer gates it to bounce 0)
 ) -> Scatter:
     """Scatter all rays at once (reference dispatch: Material.cs:68-174)."""
     mats = scene.materials
@@ -173,6 +179,16 @@ def scatter(
 
     specular_dir = math3.reflect(ray_direction, rough_normal)
     lambert_dir = sampling.cosine_hemisphere(uc, ud, normal)
+    if lambert_tsd is not None:
+        # reference normalizes after the tangent->world map
+        # (Tools.cs:30-46); the baked set's byte quantization leaves
+        # norms at 1 +- 0.02
+        stbn_dir = math3.normalize(math3.tangent_to_world(lambert_tsd, normal))
+        lambert_dir = jnp.where(
+            jnp.broadcast_to(lambert_tsd_on, lambert_dir.shape[:1])[:, None],
+            stbn_dir,
+            lambert_dir,
+        )
 
     take_specular = (reflection_chance > 0.0) & (u_choice < reflection_chance)
     take_metal = (metallic > 0.0) & (u_choice2 < metallic)

@@ -304,7 +304,7 @@ def _smith_masking(cos_theta, roughness):
 def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
     sky_on: bool, has_volumes: bool = False, has_motion: bool = False,
-    want_winner: bool = False,
+    want_winner: bool = False, cos_tsd=None,
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -313,7 +313,11 @@ def _bounce_step(
     (8, T) block of U[0,1) uniforms; consts is
     ((cx, cy, cz, csmr2, sph_rec_ref), rect|None, box|None, sky_b, sky_t)
     with rect = (geo_ref (R,16), rec_ref (24,R)) and box likewise — all
-    VMEM-resident."""
+    VMEM-resident.  cos_tsd, when given, is a ((1,T),)*3 tangent-space
+    cosine-hemisphere direction (the STBN unitvec3_cosine set,
+    RandomSource.cs:63-89) replacing the Lambert draw on FIRST-bounce
+    lanes (depth < 0.5 — a lane's first bounce happens in its regen
+    iteration, so the per-sample fetch is current exactly there)."""
     sph_c, rect_c, box_c, tri_c, tex_c, cube_c, sky_b, sky_t = consts
     cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
     s = cx.shape[0]
@@ -994,6 +998,20 @@ def _bounce_step(
     spy = dy - 2.0 * spec_dot * rny
     spz = dz - 2.0 * spec_dot * rnz
     lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
+    if cos_tsd is not None:
+        # pre-drawn STBN cosine direction, tangent->world about the hit
+        # normal (Tools.cs:30-46) then normalized (byte quantization
+        # leaves the baked vectors at |v| = 1 +- 0.02); first bounce only
+        tsx, tsy, tsz = cos_tsd
+        (btx, bty, btz), (bbx, bby, bbz) = _basis(nx, ny, nz)
+        wx = tsx * btx + tsy * nx + tsz * bbx
+        wy = tsx * bty + tsy * ny + tsz * bby
+        wz = tsx * btz + tsy * nz + tsz * bbz
+        wx, wy, wz = _normalize3(wx, wy, wz)
+        fb = depth < 0.5
+        lmx = jnp.where(fb, wx, lmx)
+        lmy = jnp.where(fb, wy, lmy)
+        lmz = jnp.where(fb, wz, lmz)
 
     take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
     take_metal = (metallic > 0.0) & (u_choice2 < metallic)
@@ -1725,6 +1743,26 @@ def pack_noise_uniforms(noise_state, count_in, width, height, samples):
     return stacked.transpose(2, 0, 1).reshape(4 * samples, -1)
 
 
+def pack_noise_cosine(noise_state, count_in, width, height, samples):
+    """Pre-draw the batch's pixel-correlated FIRST-BOUNCE cosine scatter
+    directions (randomsource.pixel_cosine — the real STBN
+    unitvec3_cosine set, exact wavefront parity) as (3*samples, N) rows
+    [channel-major: row c*samples + k].  None when the flavor carries no
+    cosine set (white/blue, or synthesized fallback)."""
+    if noise_state is None or noise_state.cosine is None:
+        return None
+    from raytracing_in_one_weekend_tpu.core import randomsource
+
+    draws = [
+        randomsource.pixel_cosine(
+            noise_state, count_in.astype(jnp.int32) + k, width, height
+        )
+        for k in range(samples)
+    ]  # samples x (N, 3)
+    stacked = jnp.stack(draws)  # (samples, N, 3)
+    return stacked.transpose(2, 0, 1).reshape(3 * samples, -1)
+
+
 def _bounce_textures(
     tex_c, mat_id, alb, normal, point, uv, t_cols,
 ):
@@ -1893,7 +1931,7 @@ def _batch_kernel(
     has_tex: bool = False, has_perlin: bool = False, has_img: bool = False,
     img_dims: tuple = (0, 0),
     has_cube: bool = False, cube_dims: tuple = (0, 0),
-    has_noise: bool = False,
+    has_noise: bool = False, has_cos: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
     want_tape: bool = False,
 ):
@@ -1928,6 +1966,7 @@ def _batch_kernel(
         )
     cube_c = (aux.pop(0), cube_dims) if has_cube else None
     noise_ref = aux.pop(0) if has_noise else None
+    cos_ref = aux.pop(0) if has_cos else None
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -2035,18 +2074,19 @@ def _batch_kernel(
                 (8, t_shape[1]), seed_ref[0, 0],
                 it * jnp.int32(1013904223), lane,
             )
-        if noise_ref is not None:
-            # pixel-correlated camera draws: the batch's per-sample
-            # uniforms are pre-drawn XLA-side (randomsource.pixel_uniforms
-            # — exact wavefront parity) into rows c*samples + k; the lane
-            # fetches its next sample's row with a samples-row one-hot
-            # over the `started` counter (tiny: samples <= 50 rows)
+        if noise_ref is not None or cos_ref is not None:
+            # pixel-correlated per-sample draws are pre-drawn XLA-side
+            # (randomsource.pixel_uniforms / pixel_cosine — exact
+            # wavefront parity) into rows c*samples + k; the lane fetches
+            # its next sample's row with a samples-row one-hot over the
+            # `started` counter (tiny: samples <= 50 rows)
             s_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (samples, t_shape[1]), 0
             )
             s_hot = (s_iota == started.astype(jnp.int32)).astype(
                 jnp.float32
             )
+        if noise_ref is not None:
             cam_u = tuple(
                 jnp.sum(
                     s_hot * noise_ref[c * samples : (c + 1) * samples, :],
@@ -2056,6 +2096,20 @@ def _batch_kernel(
             )
         else:
             cam_u = (u[0:1], u[1:2], u[2:3], u[3:4])
+        if cos_ref is not None:
+            # this sample's pre-drawn tangent-space cosine direction
+            # (rows c*samples + k); consumed by _bounce_step on
+            # first-bounce lanes, which are exactly this iteration's
+            # regen lanes (depth_ct == 0 only right after regen)
+            cos_tsd = tuple(
+                jnp.sum(
+                    s_hot * cos_ref[c * samples : (c + 1) * samples, :],
+                    axis=0, keepdims=True,
+                )
+                for c in range(3)
+            )
+        else:
+            cos_tsd = None
         if jitter:
             jx, jy = cam_u[0], cam_u[1]
         else:
@@ -2132,7 +2186,7 @@ def _batch_kernel(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
             has_volumes=has_volumes, has_motion=has_motion,
-            want_winner=want_tape,
+            want_winner=want_tape, cos_tsd=cos_tsd,
         )
         if want_tape:
             carry, (widx, whit) = carry
@@ -2297,6 +2351,10 @@ def sample_batch(
     cube_dims: tuple = (0, 0),
     noise_uniforms: jnp.ndarray | None = None,  # (4*samples, N) pre-drawn
     #   pixel-correlated camera draws (pack_noise_uniforms)
+    noise_cosine: jnp.ndarray | None = None,  # (3*samples, N) pre-drawn
+    #   tangent-space cosine-hemisphere directions (pack_noise_cosine,
+    #   the real STBN unitvec3_cosine set) for the first-bounce Lambert
+    #   draw (RandomSource.cs:63-89)
     want_tape: bool = False,  # also return the replay tape (forces the
     #   reproducible hash PRNG; see megatrace_replay)
 ):
@@ -2323,6 +2381,7 @@ def sample_batch(
         assert tri_stream_tables is None
         assert (tex_tables is None or tex_tables[1] is None)
         assert noise_uniforms is None
+        assert noise_cosine is None
     if hw_prng is None:
         hw_prng = not interpret
     n = lane_count.shape[0]
@@ -2424,6 +2483,16 @@ def sample_batch(
                 memory_space=pltpu.VMEM,
             )
         )
+    if noise_cosine is not None:
+        nc = jnp.zeros((3 * samples, n_pad), jnp.float32)
+        nc = nc.at[:, :n].set(noise_cosine)
+        inputs.append(nc)
+        in_specs.append(
+            pl.BlockSpec(
+                (3 * samples, RAY_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
@@ -2448,6 +2517,7 @@ def sample_batch(
             has_cube=cube_table is not None,
             cube_dims=cube_dims,
             has_noise=noise_uniforms is not None,
+            has_cos=noise_cosine is not None,
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
             want_tape=want_tape,

@@ -85,6 +85,10 @@ def trace(
     trace_depth: int,
     differentiable: bool = True,
     active: jnp.ndarray | None = None,
+    first_bounce_tsd: jnp.ndarray | None = None,  # (N, 3) pre-drawn
+    #   tangent-space cosine directions for the FIRST bounce's Lambert
+    #   draw (the STBN unitvec3_cosine set, RandomSource.cs:63-89);
+    #   deeper bounces stay white
 ) -> TraceResult:
     """Trace a wavefront of rays to completion (one full path per ray).
 
@@ -107,6 +111,7 @@ def trace(
 
     mega = (
         not differentiable
+        and first_bounce_tsd is None  # megatrace has no pre-drawn-set slot
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(scene)
     )
@@ -203,7 +208,8 @@ def trace(
     def bounce(state: PathState, bounce_index):
         bkey = rng.bounce_key(key, bounce_index)
         new_state = _bounce_once(
-            scene, state, bkey, bounce_index, packed, sph_records
+            scene, state, bkey, bounce_index, packed, sph_records,
+            first_bounce_tsd,
         )
         # Per-pixel ray counting (the reference increments
         # Diagnostics.RayCount every bounce, SampleBatchJob.cs:203).
@@ -235,6 +241,7 @@ def _bounce_once(
     scene: Scene, state: PathState, key: jax.Array, bounce_index,
     packed: jnp.ndarray | None = None,
     sph_records: jnp.ndarray | None = None,
+    first_bounce_tsd: jnp.ndarray | None = None,
 ) -> PathState:
     mats = scene.materials
     if packed is None:
@@ -354,6 +361,10 @@ def _bounce_once(
     sc = materials.scatter(
         scene, state.direction, eff_normal, eff_point, eff_uv, eff_material,
         key, packed=packed, row=row,
+        lambert_tsd=first_bounce_tsd,
+        lambert_tsd_on=(
+            bounce_index == 0 if first_bounce_tsd is not None else False
+        ),
     )
     # material-lottery decisions join the path's score accumulator
     # (materials.Scatter.logp: specular/metal lotteries, dielectric

@@ -227,6 +227,12 @@ def render_batch(
             )
             if noise_color != 0 else None
         )  # pixel-order columns (lanes are pixel-order, see NOTE below)
+        noise_c = (
+            pallas_megatrace.pack_noise_cosine(
+                noise_state, acc.sample_count, width, height, samples
+            )
+            if noise_color != 0 else None
+        )  # first-bounce STBN cosine directions (None without the set)
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -252,6 +258,8 @@ def render_batch(
             count_in_k = acc.sample_count[order]
             if noise_u is not None:
                 noise_u = noise_u[:, order]
+            if noise_c is not None:
+                noise_c = noise_c[:, order]
         else:
             pixel_index = None
             lane_count_k = lane_count
@@ -276,6 +284,7 @@ def render_batch(
             cube_table=cube_all[0] if cube_all is not None else None,
             cube_dims=cube_all[1] if cube_all is not None else (0, 0),
             noise_uniforms=noise_u,
+            noise_cosine=noise_c,
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset
@@ -296,9 +305,12 @@ def render_batch(
     def one_sample(carry, sample_index):
         acc_c = carry
         skey = rng.sample_key(key, sample_index)
+        first_bounce_tsd = None
         if noise_color != 0 and noise_state is not None:
             # Pixel-correlated sampler flavors (RandomSource.cs NoiseColor):
-            # blue / spatio-temporal blue drive jitter + lens draws.
+            # blue / spatio-temporal blue drive jitter + lens draws, and
+            # — when the real STBN cosine set is loaded — the first
+            # bounce's Lambert scatter (RandomSource.cs:63-89).
             from raytracing_in_one_weekend_tpu.core import randomsource
 
             u4 = randomsource.pixel_uniforms(
@@ -310,6 +322,9 @@ def render_batch(
             rays = camera_mod.generate_rays(
                 camera, coords, skey, lens_uv=u4[:, 2:4]
             )
+            first_bounce_tsd = randomsource.pixel_cosine(
+                noise_state, draw_base + sample_index, width, height
+            )
         else:
             coords = camera_mod.pixel_coords(
                 width, height, skey if sub_pixel_jitter else None,
@@ -319,7 +334,7 @@ def render_batch(
         lane_active = row_active & (sample_index < per_pixel)
         result = integrator.trace(
             scene, rays, skey, trace_depth, differentiable=differentiable,
-            active=lane_active,
+            active=lane_active, first_bounce_tsd=first_bounce_tsd,
         )
 
         valid = result.valid & row_active

@@ -947,12 +947,15 @@ class TestNoiseKernel:
         noise_u = pallas_megatrace.pack_noise_uniforms(
             state, jnp.zeros((w * h,)), w, h, s
         )
+        noise_c = pallas_megatrace.pack_noise_cosine(
+            state, jnp.zeros((w * h,)), w, h, s
+        )  # None unless the real STBN cosine set is loaded
         out = pallas_megatrace.sample_batch(
             jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
             pallas_megatrace.pack_camera_row(camera, w, h),
             scene.spheres.center, scene.spheres.radius, _records(scene),
             scene.environment.sky_bottom, scene.environment.sky_top,
-            jnp.int32(71), noise_uniforms=noise_u,
+            jnp.int32(71), noise_uniforms=noise_u, noise_cosine=noise_c,
             samples=s, trace_depth=d,
             has_dielectrics=scene.flags.has_dielectrics, sky_on=True,
             interpret=True,
