@@ -159,11 +159,17 @@ def replay(
     jitter: bool = True,
     img_dims: tuple = (0, 0),
     cube_dims: tuple = (0, 0),
+    lane0=0,  # () int32: global RNG-lane id of lane 0 (sharded batches:
+    #   each device's disjoint lane range keys its hash-PRNG streams,
+    #   mirroring the kernel's lane_base — parallel/shard.py)
+    pixel0=0,  # () int32: pixel id rendered by lane 0 (sharded batches:
+    #   this shard's row-major offset into the full image)
 ):
     """Differentiable (color_sum (N,3), count (N,)) for one batch,
     replaying the kernel's persistent-lane loop along the recorded tape."""
     n = lane_count.shape[0]
-    lanes = jnp.arange(n, dtype=jnp.int32)
+    lanes = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(lane0, jnp.int32)
+    pixels = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(pixel0, jnp.int32)
     per_pixel = lane_count.astype(jnp.float32)
     seed = jnp.asarray(seed, jnp.int32)
 
@@ -177,8 +183,8 @@ def replay(
     lens_radius = cam[18]
     width = cam[19]
     height = cam[20]
-    py_row = jnp.floor(lanes.astype(jnp.float32) / width)
-    px_row = lanes.astype(jnp.float32) - py_row * width
+    py_row = jnp.floor(pixels.astype(jnp.float32) / width)
+    px_row = pixels.astype(jnp.float32) - py_row * width
 
     zero = jnp.zeros((n,), jnp.float32)
     one = jnp.ones((n,), jnp.float32)
@@ -284,9 +290,6 @@ def replay(
             [entity_rows, tex_tables[0].T[ent_ids]], axis=1
         )
     w_all = jnp.clip(tape, 0.0, None).astype(jnp.int32)  # (IT, N)
-    winner_rows = entity_rows[w_all.reshape(-1)].reshape(
-        iters, n, entity_rows.shape[1]
-    )
 
     def iteration(state, per_it):
         it, tape_row, wrow = per_it
@@ -956,13 +959,38 @@ def replay(
             out["med"] = med
         return out, None
 
-    # remat the scan body: recomputing one bounce from its carry is far
-    # cheaper than round-tripping every intermediate to HBM for the VJP.
-    # (Coarser 4-iteration checkpoint blocks were measured SLOWER — 101 vs
-    # 93 ms — the recompute outweighs the carry-traffic savings.)
+    # Two-level scan: the winner-parameter gather runs per BLOCK of
+    # trace_depth iterations inside the outer body instead of as one
+    # bulk (iters, N, C) pre-gather — at 512x512 x 16 spp the bulk
+    # tensor + its VJP cotangent alone blew past HBM (measured 22.3G
+    # needed vs 15.75G); per-block it peaks at (depth, N, C).  The
+    # per-ITERATION gathers that measured 8x slower stay avoided — each
+    # block still gathers in one batched op.  Both levels are
+    # checkpointed: the outer body stores only the block-entry carry,
+    # the inner per-iteration checkpoint keeps the block's own backward
+    # from materializing every bounce temporary.  (Round 1 measured
+    # 4-iteration checkpoint blocks 9% slower than per-iteration remat
+    # with the bulk pre-gather; the block gather is what buys 16-64 spp
+    # tapes, the 9% is the price.)
+    block = trace_depth
+    n_blocks = iters // block
+    tape_blocks = tape.reshape(n_blocks, block, n)
+    w_blocks = w_all.reshape(n_blocks, block, n)
+
+    def block_body(state, xs):
+        b_idx, tape_blk, w_blk = xs
+        wrows = entity_rows[w_blk.reshape(-1)].reshape(
+            block, n, entity_rows.shape[1]
+        )
+        its = b_idx * block + jnp.arange(block, dtype=jnp.int32)
+        state, _ = jax.lax.scan(
+            jax.checkpoint(iteration), state, (its, tape_blk, wrows)
+        )
+        return state, None
+
     state, _ = jax.lax.scan(
-        jax.checkpoint(iteration), state0,
-        (jnp.arange(iters, dtype=jnp.int32), tape, winner_rows),
+        jax.checkpoint(block_body), state0,
+        (jnp.arange(n_blocks, dtype=jnp.int32), tape_blocks, w_blocks),
     )
     return state["csum"].T, state["cnt"]
 
@@ -1004,6 +1032,11 @@ def sample_batch_diff(
     interpret: bool = False,
     img_dims: tuple = (0, 0),
     cube_dims: tuple = (0, 0),
+    lane_base=0,  # () int32: global RNG-lane id of lane 0 — sharded
+    #   batches give each device a disjoint range so kernel + replay
+    #   PRNG streams match the single-device render bit-exactly
+    pixel_base=0,  # () int32: pixel id rendered by lane 0 — this
+    #   shard's row-major offset into the full image
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
     camera_row, rect/box geo+rec tables, texture record/atlas tables) via
@@ -1061,23 +1094,36 @@ def sample_batch_diff(
     # custom_vjp functions must not close over traced values: the
     # non-differentiated operands ride along as float32 args with zero
     # cotangents.
-    # The seed rides as two f32-exact halves (s32 -> f32 would quantize
-    # seeds >= 2^24 and collapse distinct batch streams).
-    def _seed_of(seed_lo, seed_hi):
+    # Integer scalars (seed, lane/pixel bases) ride as two f32-exact
+    # 16-bit halves (s32 -> f32 would quantize values >= 2^24: distinct
+    # batch seeds would collapse, and sharded lane bases g*n + t*shard
+    # cross 2^24 at 1080p x 8 sample groups).
+    def _i32_of(lo, hi):
         return (
-            (seed_hi.astype(jnp.int32) << jnp.int32(16))
-            | seed_lo.astype(jnp.int32)
+            (hi.astype(jnp.int32) << jnp.int32(16)) | lo.astype(jnp.int32)
+        )
+
+    def _halves(v):
+        v = jnp.asarray(v, jnp.int32)
+        return (
+            (v & jnp.int32(0xFFFF)).astype(jnp.float32),
+            ((v >> jnp.int32(16)) & jnp.int32(0x7FFF)).astype(jnp.float32),
         )
 
     def _kernel_fwd(camera_row, centers, radii, records, sky_b, sky_t,
-                    aux, lane_f, count_f, seed_lo, seed_hi, want_tape):
+                    aux, lane_f, count_f, ints, want_tape):
         rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
+        lane0 = _i32_of(ints[2], ints[3])
+        pix0 = _i32_of(ints[4], ints[5])
+        n = lane_f.shape[0]
         return mk.sample_batch(
             lane_f, count_f, camera_row, centers, radii, records,
-            sky_b, sky_t, _seed_of(seed_lo, seed_hi),
+            sky_b, sky_t, _i32_of(ints[0], ints[1]),
+            pixel_index=pix0 + jnp.arange(n, dtype=jnp.int32),
             rect_tables=rt, box_tables=bt, tri_tables=trt, tex_tables=tt,
             move_offsets=mv, vol0=v0,
             cube_table=cube, cube_dims=cube_dims,
+            lane_base=lane0,
             samples=samples, trace_depth=trace_depth,
             has_dielectrics=has_dielectrics, sky_on=sky_on,
             jitter=jitter, hw_prng=False, want_tape=want_tape,
@@ -1086,32 +1132,34 @@ def sample_batch_diff(
 
     @jax.custom_vjp
     def _run(camera_row, centers, radii, records, sky_b, sky_t, aux,
-             lane_f, count_f, seed_lo, seed_hi):
+             lane_f, count_f, ints):
         # primal-only path (no grad requested): skip the tape entirely
         return _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                           sky_t, aux, lane_f, count_f, seed_lo, seed_hi,
+                           sky_t, aux, lane_f, count_f, ints,
                            want_tape=False)
 
     def _fwd(camera_row, centers, radii, records, sky_b, sky_t, aux,
-             lane_f, count_f, seed_lo, seed_hi):
+             lane_f, count_f, ints):
         out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                          sky_t, aux, lane_f, count_f, seed_lo, seed_hi,
+                          sky_t, aux, lane_f, count_f, ints,
                           want_tape=True)
         tape = out.pop("tape")
         return out, (tape, camera_row, centers, radii, records,
-                     sky_b, sky_t, aux, lane_f, count_f, seed_lo, seed_hi)
+                     sky_b, sky_t, aux, lane_f, count_f, ints)
 
     def _bwd(res, cot):
         (tape, camera_row, centers, radii, records, sky_b, sky_t, aux,
-         lane_f, count_f, seed_lo, seed_hi) = res
+         lane_f, count_f, ints) = res
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
             rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
             csum, cnt = replay(
                 tape, lane_f, camera_row, centers, radii, records,
-                sky_b, sky_t, _seed_of(seed_lo, seed_hi), rt, bt, trt, tt,
+                sky_b, sky_t, _i32_of(ints[0], ints[1]), rt, bt, trt, tt,
                 mv, v0, cube,
+                lane0=_i32_of(ints[2], ints[3]),
+                pixel0=_i32_of(ints[4], ints[5]),
                 **statics,
             )
             # cnt carries the count's score surrogate — the valid-count
@@ -1124,15 +1172,16 @@ def sample_batch_diff(
         )
         return vjp_fn((cot["color"], cot["count"])) + (
             jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
-            jnp.zeros_like(seed_lo), jnp.zeros_like(seed_hi),
+            jnp.zeros_like(ints),
         )
 
     _run.defvjp(_fwd, _bwd)
-    seed_i = jnp.asarray(seed, jnp.int32)
+    ints = jnp.stack(
+        _halves(seed) + _halves(lane_base) + _halves(pixel_base)
+    )
     return _run(
         camera_row, centers, radii, records, sky_bottom, sky_top, aux,
         lane_count.astype(jnp.float32),
         count_in.astype(jnp.float32),
-        (seed_i & jnp.int32(0xFFFF)).astype(jnp.float32),
-        ((seed_i >> jnp.int32(16)) & jnp.int32(0x7FFF)).astype(jnp.float32),
+        ints,
     )

@@ -2047,16 +2047,19 @@ def _batch_kernel(
     )
     if want_tape:
         # replay tape rows: -2 idle, -1 miss, else combined winner index
-        # (padded sphere/rect/box row space; see _bounce_step want_winner)
-        state0 = state0 + (
-            jnp.full((samples * trace_depth, t_shape[1]), -2.0,
-                     jnp.float32),
+        # (padded sphere/rect/box row space; see _bounce_step
+        # want_winner).  Rows are STORED directly to the output ref at a
+        # dynamic sublane offset each iteration; the idle fill covers
+        # early-out-skipped iterations.  (Round 2 carried the whole
+        # (samples*depth, T) tape through the fori_loop state with a
+        # one-hot accumulate — O(iters^2 * T) VPU work that also capped
+        # compilation at 8 spp x depth 8; the direct store is O(iters * T)
+        # and lifts the ceiling to 64-spp launches.)
+        tape_ref[:, :] = jnp.full(
+            (samples * trace_depth, t_shape[1]), -2.0, jnp.float32
         )
 
     def iteration(it, state):
-        if want_tape:
-            tape_acc = state[-1]
-            state = state[:-1]
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz, got, events,
          depth_ct, started,
@@ -2195,15 +2198,8 @@ def _batch_kernel(
                 jnp.where(whit > 0.5, widx, -1.0),
                 -2.0,
             )  # (1, T)
-            it_hot = (
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (samples * trace_depth, 1), 0
-                )
-                == it
-            ).astype(jnp.float32)
-            # one-hot row accumulate: static-shape alternative to a
-            # dynamic sublane store
-            tape_acc = tape_acc + it_hot * (code + 2.0)
+            # direct dynamic-sublane store of this iteration's row
+            tape_ref[pl.ds(it, 1), :] = code
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz,
          got, events, _,
@@ -2251,8 +2247,6 @@ def _batch_kernel(
             wsum, rays, fnx, fny, fnz, fax, fay, faz,
             in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
             ptime)
-        if want_tape:
-            new_state = new_state + (tape_acc,)
         return new_state
 
     if early_out:
@@ -2277,8 +2271,6 @@ def _batch_kernel(
     out_ref[18:BATCH_OUT_ROWS, :] = jnp.zeros(
         (BATCH_OUT_ROWS - 18, t_shape[1]), jnp.float32
     )
-    if want_tape:
-        tape_ref[:, :] = state[-1]
 
 
 def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:

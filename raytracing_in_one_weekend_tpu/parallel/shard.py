@@ -464,13 +464,19 @@ def make_sharded_train_step(
     samples_per_pixel: int,
     trace_depth: int,
 ):
-    """Jitted, mesh-sharded inverse-rendering train step.
+    """Jitted, mesh-sharded inverse-rendering train step (GSPMD).
 
     Scene parameters are replicated; the rendered image and target are
     pixel-sharded; the photometric loss mean and the parameter gradients
     contract over the sharded pixel axis, which GSPMD lowers to psum over
     ICI (the BASELINE 'gradients all-reduced overlapped with the backward
     sweep' north star — XLA's latency-hiding scheduler does the overlap).
+
+    NOTE: on TPU the differentiable render dispatches the diff-fused
+    kernel (a pallas_call), which GSPMD CANNOT partition — this plain-jit
+    step then replicates/gathers instead of scaling.  It remains correct
+    (and is the right step for the wavefront/CPU path); for the fused
+    path at scale use make_sharded_fused_train_step below.
     """
     from raytracing_in_one_weekend_tpu.diff import params as params_mod
     from raytracing_in_one_weekend_tpu.render import renderer as renderer_mod
@@ -490,6 +496,164 @@ def make_sharded_train_step(
     @jax.jit
     def train_step(params, opt_state, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_sharded_fused_train_step(
+    mesh: Mesh,
+    scene_template,
+    camera,
+    target_image,
+    optimizer,
+    *,
+    width: int,
+    height: int,
+    samples_per_pixel: int,
+    trace_depth: int,
+    interpret: bool = False,
+):
+    """Mesh-sharded train step over the DIFFERENTIABLE FUSED path
+    (megatrace_replay.sample_batch_diff under shard_map).
+
+    `pallas_call` has no GSPMD partitioning rule, so taking gradients
+    through the fused kernel under plain jit (make_sharded_train_step)
+    replicates instead of scaling; here shard_map places one
+    kernel-fwd + tape-replay-VJP per device on its pixel shard, with the
+    forward path's lane_base RNG keying (pixel_base = the shard's
+    row-major offset) so the sharded gradients equal the single-device
+    gradients bit-for-bit modulo float reduction order
+    (tests/test_sharding.py oracles them on the 8-device CPU mesh).
+    The mesh's sample axis splits samples-per-pixel into independent
+    streams whose color/count deltas psum over ICI inside the
+    differentiated function; parameter gradients psum over BOTH axes
+    (the config-5 'gradients all-reduced with the backward sweep' north
+    star as explicit shard_map collectives).
+
+    Scope = the diff-fused scope (megatrace_replay.replay_eligible);
+    ineligible scenes raise — use make_sharded_train_step's wavefront.
+    """
+    from raytracing_in_one_weekend_tpu.core import materials
+    from raytracing_in_one_weekend_tpu.diff import params as params_mod
+    from raytracing_in_one_weekend_tpu.ops import megatrace_replay
+    from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
+
+    if not megatrace_replay.replay_eligible(scene_template):
+        raise ValueError(
+            "scene outside the diff-fused (tape replay) scope; use "
+            "make_sharded_train_step (wavefront under GSPMD)"
+        )
+    n = width * height
+    tiles = mesh.shape[TILE_AXIS]
+    sgroups = mesh.shape[SAMPLE_AXIS]
+    if n % tiles != 0:
+        raise ValueError(f"pixels {n} must divide over {tiles} tiles")
+    if samples_per_pixel % sgroups != 0:
+        raise ValueError(
+            f"samples_per_pixel={samples_per_pixel} must divide over "
+            f"sample axis {sgroups}"
+        )
+    shard = n // tiles
+    s_local = samples_per_pixel // sgroups
+    flags = scene_template.flags
+    sky_on = int(flags.sky) == 1
+
+    target_image = jax.device_put(target_image, pixel_sharding(mesh))
+
+    def device_loss(params, target_shard, seed0):
+        """Per-device loss contribution; runs INSIDE shard_map so the
+        pallas_call + custom_vjp never meet the GSPMD partitioner."""
+        t = jax.lax.axis_index(TILE_AXIS)
+        g = jax.lax.axis_index(SAMPLE_AXIS)
+        base = (t * shard).astype(jnp.int32)
+
+        scene = params_mod.apply_params(scene_template, params)
+        packed = materials.pack_materials(scene)
+        records = mk.pack_sphere_records(scene, packed)
+        rect_tables, box_tables = mk.pack_aux_tables(scene, packed)
+        tri_tables = mk.pack_tri_tables(scene, packed)
+        tex_all = mk.pack_texture_tables(scene)
+        tex_tables = tex_all[:3] if tex_all is not None else None
+        img_dims = tex_all[3] if tex_all is not None else (0, 0)
+        cube_all = (
+            mk.pack_cubemap_table(scene) if int(flags.sky) == 2 else None
+        )
+        vol0 = (
+            mk.camera_containment_row(scene, packed, camera.origin)
+            if flags.has_volumes else None
+        )
+        move_vectors = (
+            scene.spheres.move_offset if flags.has_motion else None
+        )
+        d = megatrace_replay.sample_batch_diff(
+            jnp.full((shard,), s_local, jnp.int32),
+            jnp.zeros((shard,), jnp.float32),
+            mk.pack_camera_row(camera, width, height),
+            scene.spheres.center,
+            scene.spheres.radius,
+            records,
+            scene.environment.sky_bottom,
+            scene.environment.sky_top,
+            seed0,
+            rect_tables=rect_tables,
+            box_tables=box_tables,
+            tri_tables=tri_tables,
+            tex_tables=tex_tables,
+            move_vectors=move_vectors,
+            vol0=vol0,
+            cube_table=cube_all[0] if cube_all is not None else None,
+            cube_dims=cube_all[1] if cube_all is not None else (0, 0),
+            img_dims=img_dims,
+            samples=s_local,
+            trace_depth=trace_depth,
+            has_dielectrics=bool(flags.has_dielectrics),
+            sky_on=sky_on,
+            lane_base=base + g * jnp.int32(n),
+            pixel_base=base,
+            interpret=interpret,
+        )
+        color, cnt = d["color"], d["count"]
+        if sgroups > 1:
+            # sample-group deltas combine BEFORE the ratio estimator;
+            # differentiable (psum transposes to a per-device cotangent
+            # broadcast, so each group backprops its own contribution)
+            color = jax.lax.psum(color, SAMPLE_AXIS)
+            cnt = jax.lax.psum(cnt, SAMPLE_AXIS)
+        img = color / jnp.maximum(cnt, 1.0)[:, None]
+        # this tile's contribution to the full-image mean
+        return jnp.sum((img - target_shard) ** 2) / (n * 3)
+
+    def body(params, target_shard, seed0):
+        loss, grads = jax.value_and_grad(device_loss)(
+            params, target_shard, seed0
+        )
+        # loss: tile contributions sum over TILE (identical over SAMPLE
+        # after the in-loss psum).  grads: shard_map transposes the
+        # in-loss psum(color, SAMPLE) to another psum, so each device's
+        # cotangent — and hence its grad contribution — carries an extra
+        # sgroups factor (verified exactly 2x on a 2-group mesh); psum
+        # over BOTH axes then divide it back out.
+        loss = jax.lax.psum(loss, TILE_AXIS)
+        grads = jax.tree.map(
+            lambda x: jax.lax.psum(x, (TILE_AXIS, SAMPLE_AXIS)) / sgroups,
+            grads,
+        )
+        return loss, grads
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
+        loss, grads = mapped(params, target_image, seed0)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss

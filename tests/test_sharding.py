@@ -187,6 +187,80 @@ class TestShardedFused:
         assert float(metrics.total_samples) == float(jnp.sum(cnt))
         assert float(metrics.total_rays) == rays > 0
 
+    @pytest.mark.parametrize("sample_parallel", [1, 2])
+    def test_fused_train_grads_match_single_device(self, sample_parallel):
+        """Gradient oracle for the sharded DIFF-FUSED path: shard_map'd
+        kernel-fwd + replay-VJP gradients (psum over the mesh) must equal
+        the single-device gradients up to float reduction order."""
+        import optax
+
+        from raytracing_in_one_weekend_tpu.core import (
+            materials as materials_mod,
+        )
+        from raytracing_in_one_weekend_tpu.diff import params as params_mod
+        from raytracing_in_one_weekend_tpu.ops import megatrace_replay
+        from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
+
+        w = h = 16
+        n = w * h
+        spp = 4 * sample_parallel
+        depth = 5
+        scene, cs = book_scenes.SCENES["three_spheres"]()
+        cam = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        mesh = shard.make_mesh(sample_parallel=sample_parallel)
+        sg = mesh.shape[shard.SAMPLE_AXIS]
+        target = jnp.zeros((n, 3), jnp.float32)
+        key = jax.random.PRNGKey(7)
+        seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
+
+        params0 = {"sphere_centers": scene.spheres.center}
+
+        # --- single-device truth: same estimator, same seeds ----------
+        def single_loss(params):
+            s = params_mod.apply_params(scene, params)
+            packed = materials_mod.pack_materials(s)
+            records = mk.pack_sphere_records(s, packed)
+            color = jnp.zeros((n, 3))
+            cnt = jnp.zeros((n,))
+            for g in range(sg):
+                d = megatrace_replay.sample_batch_diff(
+                    jnp.full((n,), spp // sg, jnp.int32), jnp.zeros((n,)),
+                    mk.pack_camera_row(cam, w, h),
+                    s.spheres.center, s.spheres.radius, records,
+                    s.environment.sky_bottom, s.environment.sky_top,
+                    seed0, lane_base=g * n,
+                    samples=spp // sg, trace_depth=depth,
+                    has_dielectrics=bool(s.flags.has_dielectrics),
+                    sky_on=int(s.flags.sky) == 1, interpret=True,
+                )
+                color = color + d["color"]
+                cnt = cnt + d["count"]
+            img = color / jnp.maximum(cnt, 1.0)[:, None]
+            return jnp.sum((img - target) ** 2) / (n * 3)
+
+        loss1, grads1 = jax.value_and_grad(single_loss)(params0)
+
+        # --- sharded step: one optimizer step exposes loss + params ---
+        optimizer = optax.sgd(1.0)  # update == -grad: recover grads
+        step = shard.make_sharded_fused_train_step(
+            mesh, scene, cam, target, optimizer,
+            width=w, height=h, samples_per_pixel=spp, trace_depth=depth,
+            interpret=True,
+        )
+        opt_state = optimizer.init(params0)
+        params1, _, loss8 = step(params0, opt_state, key)
+        grads8 = jax.tree.map(lambda a, b: a - b, params0, params1)
+
+        assert float(loss8) == pytest.approx(float(loss1), rel=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(grads8["sphere_centers"]),
+            np.asarray(grads1["sphere_centers"]),
+            rtol=2e-5, atol=1e-7,
+        )
+
     def test_rejects_ineligible_scene(self):
         from raytracing_in_one_weekend_tpu.models import testbeds
 
