@@ -401,8 +401,20 @@ def _mesh_huge():
     return meshes.mesh_huge()
 
 
+def sphere_field() -> tuple[Scene, CameraSettings]:
+    """~4k-sphere stress scene (the cover generator at grid=32): the
+    entity-count scaling target for the megakernel's blocked sphere
+    sweep (SPH_BLOCK cond-skipped chunks over Morton-sorted spheres,
+    engaged above SPH_CULL_MIN — the reference's maxBvhDepth=32 scenes,
+    Raytracer.cs:85)."""
+    from raytracing_in_one_weekend_tpu.models import book_scenes
+
+    return book_scenes.cover_scene(grid=32)
+
+
 SCENES = {
     "final_book2": final_scene_book2,
+    "sphere_field": sphere_field,
     "mesh_showcase": _mesh_showcase,
     "mesh_large": _mesh_large,
     "mesh_huge": _mesh_huge,

@@ -58,6 +58,11 @@ PLASTIC_IOR = mk.PLASTIC_IOR
 METAL_IOR = mk.METAL_IOR
 
 
+_UNROLL = 1  # inner-scan unroll: 2/4/8 all measured a WASH on-chip
+# (469 ms either way at 512^2 x 8 spp — the per-iteration jax.checkpoint
+# blocks cross-iteration fusion, so unrolling only duplicates code)
+
+
 def replay_eligible(scene) -> bool:
     """Static gate for the tape-replay differentiable fused path
     (spheres + oriented rects/boxes + VMEM-resident triangle meshes;
@@ -984,7 +989,8 @@ def replay(
         )
         its = b_idx * block + jnp.arange(block, dtype=jnp.int32)
         state, _ = jax.lax.scan(
-            jax.checkpoint(iteration), state, (its, tape_blk, wrows)
+            jax.checkpoint(iteration), state, (its, tape_blk, wrows),
+            unroll=_UNROLL,
         )
         return state, None
 
@@ -1130,6 +1136,14 @@ def sample_batch_diff(
             interpret=interpret, img_dims=img_dims,
         )
 
+    from jax.custom_derivatives import CustomVJPPrimal, SymbolicZero
+
+    def _unwrap(tree):
+        return jax.tree.map(
+            lambda a: a.value if isinstance(a, CustomVJPPrimal) else a,
+            tree, is_leaf=lambda a: isinstance(a, CustomVJPPrimal),
+        )
+
     @jax.custom_vjp
     def _run(camera_row, centers, radii, records, sky_b, sky_t, aux,
              lane_f, count_f, ints):
@@ -1140,16 +1154,46 @@ def sample_batch_diff(
 
     def _fwd(camera_row, centers, radii, records, sky_b, sky_t, aux,
              lane_f, count_f, ints):
-        out = _kernel_fwd(camera_row, centers, radii, records, sky_b,
-                          sky_t, aux, lane_f, count_f, ints,
-                          want_tape=True)
+        # symbolic_zeros=True wraps every leaf as CustomVJPPrimal so the
+        # bwd rule can DETECT unused-output cotangents (the AOV gate)
+        args = _unwrap((camera_row, centers, radii, records, sky_b,
+                        sky_t, aux, lane_f, count_f, ints))
+        out = _kernel_fwd(*args, want_tape=True)
         tape = out.pop("tape")
-        return out, (tape, camera_row, centers, radii, records,
-                     sky_b, sky_t, aux, lane_f, count_f, ints)
+        return out, (tape,) + args
 
     def _bwd(res, cot):
         (tape, camera_row, centers, radii, records, sky_b, sky_t, aux,
          lane_f, count_f, ints) = res
+
+        # Only the color sum's and valid count's cotangents propagate
+        # through the tape replay.  A loss touching the other outputs
+        # (AOV normal/albedo/weight/fallbacks) would silently lose its
+        # gradient paths — reject it LOUDLY at trace time instead; the
+        # wavefront path (differentiable=True with replay ineligibility,
+        # or noise_color != 0) carries full AOV gradients.
+        leaked = [
+            k for k, v in cot.items()
+            if k not in ("color", "count")
+            and not isinstance(v, SymbolicZero)
+        ]
+        if leaked:
+            raise NotImplementedError(
+                "the diff-fused tape replay propagates only the color "
+                "sum's and valid count's cotangents, but this loss also "
+                f"differentiates through {leaked}; route AOV-regularized "
+                "losses through the wavefront integrator "
+                "(render/renderer.py diff_fused gate)"
+            )
+        n = lane_f.shape[0]
+        cot_color = (
+            jnp.zeros((n, 3), jnp.float32)
+            if isinstance(cot["color"], SymbolicZero) else cot["color"]
+        )
+        cot_count = (
+            jnp.zeros((n,), jnp.float32)
+            if isinstance(cot["count"], SymbolicZero) else cot["count"]
+        )
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):
@@ -1170,12 +1214,12 @@ def sample_batch_diff(
             color_of, camera_row, centers, radii, records, sky_b, sky_t,
             aux,
         )
-        return vjp_fn((cot["color"], cot["count"])) + (
+        return vjp_fn((cot_color, cot_count)) + (
             jnp.zeros_like(lane_f), jnp.zeros_like(count_f),
             jnp.zeros_like(ints),
         )
 
-    _run.defvjp(_fwd, _bwd)
+    _run.defvjp(_fwd, _bwd, symbolic_zeros=True)
     ints = jnp.stack(
         _halves(seed) + _halves(lane_base) + _halves(pixel_base)
     )

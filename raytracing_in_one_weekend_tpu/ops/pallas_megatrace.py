@@ -48,6 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e30
 RAY_TILE = 1024
 SPHERE_PAD = 128
+SPH_BLOCK = 256  # sphere rows per cond-skipped sweep chunk (big scenes)
+SPH_CULL_MIN = 1024  # sphere count above which the blocked sweep engages
+# (at 480 cover-scene spheres per-block culling measured SLOWER — the
+# dense sweep stays the book-scale path; see the NOTE in _bounce_step)
 PAD_CENTER = 1e17
 REC_COLS = 24  # 0-10 material | 11 material id | 12-14 center | 15 1/r | 16-18 move offset
 OUT_ROWS = 16
@@ -319,7 +323,8 @@ def _bounce_step(
     lanes (depth < 0.5 — a lane's first bounce happens in its regen
     iteration, so the per-sample fetch is current exactly there)."""
     sph_c, rect_c, box_c, tri_c, tex_c, cube_c, sky_b, sky_t = consts
-    cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c
+    cx, cy, cz, c_sq_minus_r2, rec_ref, sph_mov = sph_c[:6]
+    sph_blocks = sph_c[6] if len(sph_c) > 6 else None
     s = cx.shape[0]
 
     (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
@@ -347,52 +352,166 @@ def _bounce_step(
     # the camera frustum, the r=1000 ground sphere pins its block, and a
     # sphere quadratic is ~3x cheaper than the Möller–Trumbore row that
     # makes the skip pay for triangles.  Keep the dense sweep.
-    if has_motion:
-        # TransformAtTime with the unit shutter range: w == rayTime
-        # (Entity.cs:124-127; gated by SceneFlags.motion_unit_time)
-        mx, my, mz = sph_mov
-        cx_t = cx + mx * ptime  # (S, T)
-        cy_t = cy + my * ptime
-        cz_t = cz + mz * ptime
-        d_dot_c = dx * cx_t + dy * cy_t + dz * cz_t
-        o_dot_c = ox * cx_t + oy * cy_t + oz * cz_t
-        c_t_sq = cx_t * cx_t + cy_t * cy_t + cz_t * cz_t
-        b = o_dot_d - d_dot_c
-        # sph col 3 holds -r^2 in motion mode (|c_t|^2 is ray-dependent)
-        c = (o_sq - 2.0 * o_dot_c) + c_t_sq + c_sq_minus_r2
-    else:
-        d_dot_c = dx * cx + dy * cy + dz * cz  # (S, T)
-        o_dot_c = ox * cx + oy * cy + oz * cz
-        b = o_dot_d - d_dot_c
-        c = (o_sq - 2.0 * o_dot_c) + c_sq_minus_r2
-    disc = b * b - a * c
-    has_root = disc > 0.0
-    sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
     inv_a = 1.0 / a
-    t_near = (-b - sq) * inv_a
-    t_far = (-b + sq) * inv_a
-    near_ok = has_root & (t_near > t_min)
-    far_ok = has_root & (t_far > t_min)
-    t_entry = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, BIG))
 
-    best_t = jnp.min(t_entry, axis=0, keepdims=True)  # (1, T)
-    best_idx = jnp.argmin(t_entry, axis=0, keepdims=True).astype(jnp.int32)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, t_cols), 0)
-    one_hot = (row_ids == best_idx).astype(jnp.float32)
-    rec = jax.lax.dot_general(
-        rec_ref[:, :], one_hot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (REC, T)
+    def _sphere_rows(st, en):
+        """Quadratic sweep of sphere rows st:en -> (t_entry (B, T),
+        far exit (B, T) | None)."""
+        cxb, cyb, czb = cx[st:en], cy[st:en], cz[st:en]
+        cmb = c_sq_minus_r2[st:en]
+        if has_motion:
+            # TransformAtTime with the unit shutter range: w == rayTime
+            # (Entity.cs:124-127; gated by SceneFlags.motion_unit_time)
+            mx, my, mz = sph_mov
+            cx_t = cxb + mx[st:en] * ptime  # (B, T)
+            cy_t = cyb + my[st:en] * ptime
+            cz_t = czb + mz[st:en] * ptime
+            d_dot_c = dx * cx_t + dy * cy_t + dz * cz_t
+            o_dot_c = ox * cx_t + oy * cy_t + oz * cz_t
+            c_t_sq = cx_t * cx_t + cy_t * cy_t + cz_t * cz_t
+            b = o_dot_d - d_dot_c
+            # sph col 3 holds -r^2 in motion mode (|c_t|^2 ray-dependent)
+            c = (o_sq - 2.0 * o_dot_c) + c_t_sq + cmb
+        else:
+            d_dot_c = dx * cxb + dy * cyb + dz * czb  # (B, T)
+            o_dot_c = ox * cxb + oy * cyb + oz * czb
+            b = o_dot_d - d_dot_c
+            c = (o_sq - 2.0 * o_dot_c) + cmb
+        disc = b * b - a * c
+        has_root = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
+        t_near = (-b - sq) * inv_a
+        t_far = (-b + sq) * inv_a
+        near_ok = has_root & (t_near > t_min)
+        far_ok = has_root & (t_far > t_min)
+        t_entry = jnp.where(
+            near_ok, t_near, jnp.where(far_ok, t_far, BIG)
+        )
+        t_exit_rows = (
+            jnp.where(far_ok, t_far, BIG) if has_volumes else None
+        )
+        return t_entry, t_exit_rows
+
+    if sph_blocks is None:
+        # ---- dense sweep: every sphere row at once (the fast path for
+        # book-scale scenes; per-block culling measured SLOWER at 480
+        # spheres — see the NOTE above) --------------------------------
+        t_entry, t_exit_rows = _sphere_rows(0, s)
+        best_t = jnp.min(t_entry, axis=0, keepdims=True)  # (1, T)
+        best_idx = jnp.argmin(t_entry, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, t_cols), 0)
+        one_hot = (row_ids == best_idx).astype(jnp.float32)
+        rec = jax.lax.dot_general(
+            rec_ref[:, :], one_hot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (REC, T)
+        if has_volumes:
+            # winner exit root for the convex volume walk (sphere far
+            # root; FindHits exit injection, SampleBatchJob.cs:462-470)
+            t_exit = jnp.sum(one_hot * t_exit_rows, axis=0, keepdims=True)
+            t_exit = jnp.where(best_t < BIG, t_exit, BIG)
+    else:
+        # ---- blocked sweep for BIG sphere scenes (thousands of rows):
+        # Morton-ordered SPH_BLOCK chunks, each lax.cond-skipped when no
+        # ACTIVE lane's ray can beat its best hit inside the block's
+        # motion-swept AABB (sph_blocks SMEM row, pack_sphere_blocks) —
+        # the same cull/skip shape as the VMEM-triangle path, replacing
+        # the reference's per-ray BVH walk (SampleBatchJob.cs:403-448)
+        # with a tile-grained hierarchy that keeps TPU lanes lockstep.
+        def _inv_sd(dc):
+            safe = jnp.where(
+                jnp.abs(dc) < 1e-12,
+                jnp.where(dc >= 0.0, 1e-12, -1e-12),
+                dc,
+            )
+            return 1.0 / safe
+
+        sivx, sivy, sivz = _inv_sd(dx), _inv_sd(dy), _inv_sd(dz)
+
+        def _sph_block(st, en):
+            t_entry, t_exit_rows = _sphere_rows(st, en)
+            blk_best = jnp.min(t_entry, axis=0, keepdims=True)
+            blk_idx = jnp.argmin(t_entry, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (en - st, t_cols), 0
+            )
+            hot = (rows == blk_idx).astype(jnp.float32)
+            blk_rec = jax.lax.dot_general(
+                rec_ref[:, st:en], hot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            blk_gidx = jnp.float32(st) + blk_idx.astype(jnp.float32)
+            if has_volumes:
+                blk_exit = jnp.sum(hot * t_exit_rows, axis=0,
+                                   keepdims=True)
+            else:
+                blk_exit = zero
+            return blk_best, blk_rec, blk_gidx, blk_exit
+
+        def _sph_skip(_):
+            return (
+                jnp.full((1, t_cols), BIG, jnp.float32),
+                jnp.zeros((rec_ref.shape[0], t_cols), jnp.float32),
+                zero,
+                zero,
+            )
+
+        best_t = jnp.full((1, t_cols), BIG, jnp.float32)
+        best_idx_f = zero
+        rec = jnp.zeros((rec_ref.shape[0], t_cols), jnp.float32)
+        t_exit = jnp.full((1, t_cols), BIG, jnp.float32)
+        for st in range(0, s, SPH_BLOCK):
+            en = min(st + SPH_BLOCK, s)
+            base = (st // SPH_BLOCK) * 8
+            bx0 = (sph_blocks[0, base + 0] - ox) * sivx
+            by0 = (sph_blocks[0, base + 1] - oy) * sivy
+            bz0 = (sph_blocks[0, base + 2] - oz) * sivz
+            bx1 = (sph_blocks[0, base + 3] - ox) * sivx
+            by1 = (sph_blocks[0, base + 4] - oy) * sivy
+            bz1 = (sph_blocks[0, base + 5] - oz) * sivz
+            b_near = jnp.maximum(
+                jnp.minimum(bx0, bx1),
+                jnp.maximum(
+                    jnp.minimum(by0, by1), jnp.minimum(bz0, bz1)
+                ),
+            )
+            b_far = jnp.minimum(
+                jnp.maximum(bx0, bx1),
+                jnp.minimum(
+                    jnp.maximum(by0, by1), jnp.maximum(bz0, bz1)
+                ),
+            )
+            lane_may = (
+                (b_far >= jnp.maximum(b_near, t_min))
+                & (b_near < best_t)
+            ).astype(jnp.float32)
+            blk_pred = jnp.max(
+                jnp.where(active > 0.0, lane_may, 0.0)
+            ) > 0.0
+            blk_best, blk_rec, blk_gidx, blk_exit = jax.lax.cond(
+                blk_pred,
+                lambda _, st=st, en=en: _sph_block(st, en),
+                _sph_skip,
+                0,
+            )
+            wins = blk_best < best_t
+            best_t = jnp.where(wins, blk_best, best_t)
+            best_idx_f = jnp.where(wins, blk_gidx, best_idx_f)
+            rec = jnp.where(wins, blk_rec, rec)
+            if has_volumes:
+                t_exit = jnp.where(wins, blk_exit, t_exit)
+        best_idx = best_idx_f.astype(jnp.int32)
+        if has_volumes:
+            t_exit = jnp.where(best_t < BIG, t_exit, BIG)
 
     mat = rec[0:11, :]  # winner material rows (pack_materials layout)
     mat_id = rec[11:12, :]  # winner material index (volume bookkeeping)
-    if has_volumes:
-        # winner exit root for the convex volume walk (sphere far root;
-        # FindHits exit-hit injection, SampleBatchJob.cs:462-470)
-        t_exit_s = jnp.where(far_ok, t_far, BIG)
-        t_exit = jnp.sum(one_hot * t_exit_s, axis=0, keepdims=True)
-        t_exit = jnp.where(best_t < BIG, t_exit, BIG)
 
     # ---- rects (HitTests.cs:62-78 one-sided local-XY rect) --------------
     if rect_c is not None:
@@ -1420,6 +1539,38 @@ def _pack_scene_tables(centers, radii, records, move_offsets=None):
     return sph, rec_t, s_pad
 
 
+def pack_sphere_blocks(centers, radii, move_offsets=None):
+    """(1, n_blk*8) SMEM row of per-SPH_BLOCK sphere AABBs over the
+    PADDED row space (cols blk*8+0..2 min xyz, +3..5 max xyz; pad-only
+    blocks carry the degenerate 1e30 far point).  Motion-swept: a moving
+    sphere's box covers center..center+offset (unit shutter).  Callers
+    should deliver spheres in a spatially-coherent (Morton) order —
+    SceneBuilder.build(sort_spheres=True) — or the block boxes sprawl
+    and the cull never fires."""
+    s = centers.shape[0]
+    s_pad = sphere_pad_count(s)
+    n_blk = -(-s_pad // SPH_BLOCK)
+    lo = centers - radii[:, None]
+    hi = centers + radii[:, None]
+    if move_offsets is not None:
+        lo = jnp.minimum(lo, lo + move_offsets)
+        hi = jnp.maximum(hi, hi + move_offsets)
+    rows = n_blk * SPH_BLOCK
+    pad_lo = jnp.full((rows, 3), jnp.inf, jnp.float32).at[:s].set(lo)
+    pad_hi = jnp.full((rows, 3), -jnp.inf, jnp.float32).at[:s].set(hi)
+    blk_lo = jnp.min(pad_lo.reshape(n_blk, SPH_BLOCK, 3), axis=1) - 1e-4
+    blk_hi = jnp.max(pad_hi.reshape(n_blk, SPH_BLOCK, 3), axis=1) + 1e-4
+    real = (
+        jnp.arange(n_blk, dtype=jnp.int32) * SPH_BLOCK < s
+    )[:, None]
+    far = jnp.full((3,), 1e30, jnp.float32)
+    blk_lo = jnp.where(real, blk_lo, far)
+    blk_hi = jnp.where(real, blk_hi, far)
+    return jnp.concatenate(
+        [blk_lo, blk_hi, jnp.zeros((n_blk, 2), jnp.float32)], axis=1
+    ).reshape(1, n_blk * 8)
+
+
 def _pack_sky_row(sky_bottom, sky_top):
     return jnp.concatenate(
         [sky_bottom, sky_top, jnp.zeros((2,), jnp.float32)]
@@ -1584,6 +1735,34 @@ def pack_tri_stream_tables(scene, packed_materials):
     if t == 0:
         return None
     edge_a, edge_b, vert0 = tri.edge_a, tri.edge_b, tri.vert0
+    material, normals, uvs = tri.material, tri.normals, tri.uvs
+
+    # Morton-sort triangles by centroid so each TRI_BLOCK is a SPATIAL
+    # cluster with a tight AABB — in OBJ file order the block boxes
+    # sprawl and the per-block cull (and its DMA skip) almost never
+    # fires.  10 bits/axis over the mesh bounds; ~0 cost per batch vs
+    # the stream sweep.
+    cen = vert0 + (edge_a + edge_b) * (1.0 / 3.0)
+    lo = jnp.min(cen, axis=0)
+    span = jnp.maximum(jnp.max(cen, axis=0) - lo, 1e-30)
+    q = jnp.clip((cen - lo) / span * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+
+    def _spread(x):
+        x = (x | (x << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+        x = (x | (x << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+        x = (x | (x << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+        x = (x | (x << jnp.uint32(2))) & jnp.uint32(0x09249249)
+        return x
+
+    key = (
+        (_spread(q[:, 0]) << jnp.uint32(2))
+        | (_spread(q[:, 1]) << jnp.uint32(1))
+        | _spread(q[:, 2])
+    )
+    order = jnp.argsort(key)
+    edge_a, edge_b, vert0 = edge_a[order], edge_b[order], vert0[order]
+    material, normals, uvs = material[order], normals[order], uvs[order]
+
     n_blk = -(-t // TRI_BLOCK)
     n_blk = -(-n_blk // TRI_SUP) * TRI_SUP
     t_pad = n_blk * TRI_BLOCK
@@ -1631,7 +1810,6 @@ def pack_tri_stream_tables(scene, packed_materials):
     sup = jnp.concatenate(
         [sup_lo, sup_hi, jnp.zeros((n_sup, 2), jnp.float32)], axis=1
     ).reshape(1, n_sup * 8)
-    material, normals, uvs = tri.material, tri.normals, tri.uvs
     r = TRI_STREAM_REC_BASE
     tbl = tbl.at[:t, r : r + 11].set(packed_materials[material][:, :11])
     tbl = tbl.at[:t, r + 11].set(material.astype(jnp.float32))
@@ -1933,13 +2111,14 @@ def _batch_kernel(
     has_cube: bool = False, cube_dims: tuple = (0, 0),
     has_noise: bool = False, has_cos: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
-    want_tape: bool = False,
+    want_tape: bool = False, has_sph_blocks: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
     # the last positional is always the output ref (plus the tape ref in
     # tape mode), then any scratch refs (streamed-triangle buffers).
     aux_and_out = list(aux_and_out)
+    sph_blocks_ref = aux_and_out.pop(0) if has_sph_blocks else None
     if has_tri_stream:
         stream_scr = tuple(aux_and_out[-2:])  # tbl_scratch, dma_sem
         del aux_and_out[-2:]
@@ -1982,7 +2161,8 @@ def _batch_kernel(
         (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
          sph_ref[:, 3:4], rec_ref,
          (sph_ref[:, 4:5], sph_ref[:, 5:6], sph_ref[:, 6:7])
-         if has_motion else None),
+         if has_motion else None,
+         sph_blocks_ref),
         rect_c,
         box_c,
         tri_c,
@@ -2421,6 +2601,22 @@ def sample_batch(
             (REC_COLS, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     ]
+    # blocked sphere sweep for big scenes: per-SPH_BLOCK AABBs in SMEM
+    # (the tape replay keeps the dense sweep — its row space is the same
+    # either way, but the cond-skip order would change the recorded
+    # rays-cast metric, so tape mode stays dense for exactness)
+    sph_cull = centers.shape[0] > SPH_CULL_MIN and not want_tape
+    if sph_cull:
+        blocks_row = pack_sphere_blocks(
+            centers, radii, move_offsets
+        )
+        inputs.append(blocks_row)
+        in_specs.append(
+            pl.BlockSpec(
+                blocks_row.shape, lambda i: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
     for tables in (rect_tables, box_tables, tri_tables):
         if tables is not None:
             geo, rec = tables

@@ -117,10 +117,11 @@ def render_batch(
     # --- differentiable fused path (ops/megatrace_replay): fused-kernel
     # primal + tape-replay VJP.  Sphere/rect/box/VMEM-triangle gradient
     # scope (Cornell + mesh classes); everything else keeps the wavefront
-    # below.  NOTE: only the COLOR accumulator's cotangent propagates —
-    # AOV (normal/albedo/weight) gradients are detached on this path
-    # (photometric-loss scope; use the wavefront for AOV-regularized
-    # losses by forcing ineligibility).
+    # below.  NOTE: only the COLOR sum's and valid COUNT's cotangents
+    # propagate — an AOV-regularized loss (normal/albedo/weight) raises
+    # NotImplementedError at trace time (megatrace_replay._bwd's
+    # symbolic-zero gate) instead of silently losing gradient paths;
+    # route such losses through the wavefront by forcing ineligibility.
     if differentiable and noise_color == 0 and pallas_sphere.use_pallas():
         from raytracing_in_one_weekend_tpu.ops import megatrace_replay
 

@@ -504,7 +504,16 @@ class SceneBuilder:
 
     # -- build -----------------------------------------------------------------
 
-    def build(self, perlin_seed: int = 1) -> Scene:
+    def build(
+        self, perlin_seed: int = 1, sort_spheres: bool | None = None
+    ) -> Scene:
+        """Assemble the runtime Scene.
+
+        sort_spheres: Morton-order the sphere list by center so the
+        megakernel's blocked sweep (SPH_BLOCK chunks, engaged above
+        SPH_CULL_MIN spheres) gets tight per-block AABBs.  Default None
+        auto-sorts exactly when that sweep would engage; pass False to
+        preserve insertion order (per-index parameter optimization)."""
         mats = self._materials or [
             dict(type=0, albedo=0, emission=0, glossiness=0, metallic=0,
                  parameter=PLASTIC_IOR, perfect_specular=False)
@@ -551,6 +560,35 @@ class SceneBuilder:
         )
 
         has_motion = any(s[3] is not None for s in self._spheres)
+        if sort_spheres is None:
+            from raytracing_in_one_weekend_tpu.ops import pallas_megatrace
+
+            sort_spheres = (
+                len(self._spheres) > pallas_megatrace.SPH_CULL_MIN
+            )
+        if sort_spheres and self._spheres:
+            cen = np.stack([s[0] for s in self._spheres]).astype(np.float64)
+            lo = cen.min(axis=0)
+            span = np.maximum(cen.max(axis=0) - lo, 1e-30)
+            q = np.clip((cen - lo) / span * 1023.0, 0, 1023).astype(
+                np.uint32
+            )
+
+            def _spread(x):
+                x = (x | (x << 16)) & np.uint32(0x030000FF)
+                x = (x | (x << 8)) & np.uint32(0x0300F00F)
+                x = (x | (x << 4)) & np.uint32(0x030C30C3)
+                x = (x | (x << 2)) & np.uint32(0x09249249)
+                return x
+
+            key = (
+                (_spread(q[:, 0]) << 2)
+                | (_spread(q[:, 1]) << 1)
+                | _spread(q[:, 2])
+            )
+            self._spheres = [
+                self._spheres[i] for i in np.argsort(key, kind="stable")
+            ]
         if self._spheres:
             spheres = Spheres(
                 center=jnp.asarray(np.stack([s[0] for s in self._spheres])),

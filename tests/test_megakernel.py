@@ -490,9 +490,25 @@ class TestTriangleKernel:
         tbl, aabb, sup = pallas_megatrace.pack_tri_stream_tables(scene, packed)
         t = scene.triangles.vert0.shape[0]
         rb = pallas_megatrace.TRI_STREAM_REC_BASE
-        assert jnp.array_equal(geo[:t, 0:9], tbl[:t, 0:9])
-        assert jnp.array_equal(
-            rec[:, :t], tbl[:t, rb : rb + pallas_megatrace.TRI_REC_ROWS].T
+        # the stream pack Morton-sorts triangles by centroid (tight block
+        # AABBs); rows must be a PERMUTATION of the VMEM pack's fused
+        # geo|rec rows — compare as sorted multisets
+        fused_vmem = np.concatenate(
+            [np.asarray(geo[:t, 0:9]), np.asarray(rec[:, :t]).T], axis=1
+        )
+        fused_stream = np.concatenate(
+            [
+                np.asarray(tbl[:t, 0:9]),
+                np.asarray(
+                    tbl[:t, rb : rb + pallas_megatrace.TRI_REC_ROWS]
+                ),
+            ],
+            axis=1,
+        )
+        order_a = np.lexsort(fused_vmem.T)
+        order_b = np.lexsort(fused_stream.T)
+        np.testing.assert_array_equal(
+            fused_vmem[order_a], fused_stream[order_b]
         )
         n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
         assert aabb.shape == (1, n_blk * 8)
@@ -925,6 +941,75 @@ class TestTextureKernel:
         assert not scene.flags.procedural_albedo_only
         assert not pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_textures=True
+        )
+
+
+class TestSphereBlockCull:
+    def test_blocked_sweep_matches_dense_bitwise(self, monkeypatch):
+        """The big-scene blocked sphere sweep (SPH_BLOCK cond-skipped
+        chunks, engaged above SPH_CULL_MIN) must reproduce the dense
+        sweep EXACTLY — same winners, same accumulators, same ray
+        counts.  Forced on at a tiny threshold so interpret mode can
+        afford the scene."""
+        w = h = 16
+        s, d = 3, 4
+        scene, cs = book_scenes.cover_scene(grid=3)  # ~30 spheres
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, 1.0,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        n = w * h
+        args = (
+            jnp.full((n,), s, jnp.int32), jnp.zeros((n,)),
+            pallas_megatrace.pack_camera_row(camera, w, h),
+            scene.spheres.center, scene.spheres.radius, _records(scene),
+            scene.environment.sky_bottom, scene.environment.sky_top,
+            jnp.int32(99),
+        )
+        kw = dict(
+            samples=s, trace_depth=d,
+            has_dielectrics=bool(scene.flags.has_dielectrics),
+            sky_on=True, hw_prng=False, interpret=True,
+        )
+        dense = pallas_megatrace.sample_batch(*args, **kw)
+        dense = {k: np.asarray(v) for k, v in dense.items()}
+        monkeypatch.setattr(pallas_megatrace, "SPH_CULL_MIN", 4)
+        # the threshold is read at TRACE time: drop the cached trace so
+        # the second call really builds the blocked kernel
+        pallas_megatrace.sample_batch.clear_cache()
+        try:
+            blocked = pallas_megatrace.sample_batch(*args, **kw)
+            for k in dense:
+                np.testing.assert_array_equal(
+                    dense[k], np.asarray(blocked[k]), err_msg=k
+                )
+        finally:
+            pallas_megatrace.sample_batch.clear_cache()
+
+    def test_builder_auto_morton_sorts_big_scenes(self, monkeypatch):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        monkeypatch.setattr(pallas_megatrace, "SPH_CULL_MIN", 8)
+        rng = np.random.default_rng(0)
+        b = SceneBuilder()
+        m = b.lambert((0.5, 0.5, 0.5))
+        pts = rng.uniform(-10, 10, (32, 3)).astype(np.float32)
+        for p in pts:
+            b.add_sphere(tuple(p), 0.3, m)
+        scene = b.build()
+        got = np.asarray(scene.spheres.center)
+        assert not np.array_equal(got, pts)  # reordered...
+        # ...as a permutation (sorted multisets match)
+        np.testing.assert_allclose(
+            got[np.lexsort(got.T)], pts[np.lexsort(pts.T)], rtol=0
+        )
+        # explicit opt-out preserves insertion order
+        b2 = SceneBuilder()
+        m2 = b2.lambert((0.5, 0.5, 0.5))
+        for p in pts:
+            b2.add_sphere(tuple(p), 0.3, m2)
+        np.testing.assert_array_equal(
+            np.asarray(b2.build(sort_spheres=False).spheres.center), pts
         )
 
 

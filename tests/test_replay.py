@@ -492,6 +492,52 @@ def _smooth_triangle_scene():
     return b.build()
 
 
+def test_aov_loss_rejected_photometric_ok(monkeypatch):
+    """Only color/count cotangents propagate through the diff-fused
+    path; an AOV-regularized loss must raise LOUDLY at trace time
+    instead of silently dropping its gradient paths (the
+    symbolic-zero gate in megatrace_replay._bwd)."""
+    import functools
+
+    from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+
+    monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+    orig = megatrace_replay.sample_batch_diff
+    monkeypatch.setattr(
+        megatrace_replay, "sample_batch_diff",
+        functools.partial(orig, interpret=True),
+    )
+    w = h = 12
+    scene, camera, _ = _setup(book_scenes.three_spheres, w, h)
+
+    def render_acc(centers):
+        from raytracing_in_one_weekend_tpu.diff import params as params_mod
+
+        s = params_mod.apply_params(scene, {"sphere_centers": centers})
+        acc, _ = renderer.render_batch(
+            s, camera, film.zero_accumulators(w * h), jax.random.PRNGKey(0),
+            width=w, height=h, samples=2, trace_depth=4,
+            differentiable=True,
+        )
+        return acc
+
+    # photometric (color/count) losses flow
+    g = jax.grad(
+        lambda c: jnp.sum(
+            render_acc(c).color
+            / jnp.maximum(render_acc(c).sample_count, 1.0)[:, None]
+        )
+    )(scene.spheres.center)
+    assert bool(jnp.any(g != 0.0))
+
+    # AOV-regularized losses are rejected at trace time
+    with pytest.raises(NotImplementedError, match="normal"):
+        jax.grad(lambda c: jnp.sum(render_acc(c).normal))(
+            scene.spheres.center
+        )
+
+
 class TestReplayTriangles:
     def test_replay_reproduces_kernel_mesh(self):
         w = h = 24
