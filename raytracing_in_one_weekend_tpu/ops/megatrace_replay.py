@@ -61,6 +61,10 @@ METAL_IOR = mk.METAL_IOR
 _UNROLL = 1  # inner-scan unroll: 2/4/8 all measured a WASH on-chip
 # (469 ms either way at 512^2 x 8 spp — the per-iteration jax.checkpoint
 # blocks cross-iteration fusion, so unrolling only duplicates code)
+_CKPT_SPAN = 8  # iterations fused per remat unit — on-chip sweep at
+# 512^2 x 8 spp x depth 8: span 1 -> 388 ms replay-VJP, 2 -> 396,
+# 4 -> 407, 8 -> 365 (whole trace_depth block per unit; falls back to 1
+# when it doesn't divide the block)
 
 
 def replay_eligible(scene) -> bool:
@@ -982,6 +986,14 @@ def replay(
     tape_blocks = tape.reshape(n_blocks, block, n)
     w_blocks = w_all.reshape(n_blocks, block, n)
 
+    span = _CKPT_SPAN if block % _CKPT_SPAN == 0 else 1
+
+    def span_body(state, xs):
+        its, tbs, wrs = xs
+        for j in range(span):
+            state, _ = iteration(state, (its[j], tbs[j], wrs[j]))
+        return state, None
+
     def block_body(state, xs):
         b_idx, tape_blk, w_blk = xs
         wrows = entity_rows[w_blk.reshape(-1)].reshape(
@@ -989,7 +1001,12 @@ def replay(
         )
         its = b_idx * block + jnp.arange(block, dtype=jnp.int32)
         state, _ = jax.lax.scan(
-            jax.checkpoint(iteration), state, (its, tape_blk, wrows),
+            jax.checkpoint(span_body), state,
+            (
+                its.reshape(-1, span),
+                tape_blk.reshape(-1, span, n),
+                wrows.reshape(-1, span, n, wrows.shape[-1]),
+            ),
             unroll=_UNROLL,
         )
         return state, None

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e30
 RAY_TILE = 1024
 SPHERE_PAD = 128
-SPH_BLOCK = 256  # sphere rows per cond-skipped sweep chunk (big scenes)
+SPH_BLOCK = 256  # sphere rows per cond-skipped sweep chunk (big scenes; 128 measured a wash)
 SPH_CULL_MIN = 1024  # sphere count above which the blocked sweep engages
 # (at 480 cover-scene spheres per-block culling measured SLOWER — the
 # dense sweep stays the book-scale path; see the NOTE in _bounce_step)
@@ -2571,6 +2571,14 @@ def sample_batch(
     else:
         pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
 
+    # blocked-sweep gate (SPH_CULL_MIN; tape mode keeps the dense sweep —
+    # the replay's row space must stay the caller's order).  Camera-
+    # distance block ordering (near blocks first so the distance bound
+    # culls far ones) was tried here and measured a WASH on sphere_field
+    # (16.9 either way) — the tile-wide any-lane predicate, not the
+    # bound, is what limits the skip rate.
+    sph_cull = centers.shape[0] > SPH_CULL_MIN and not want_tape
+
     sph, rec_t, s_pad = _pack_scene_tables(
         centers, radii, records, move_offsets
     )
@@ -2602,10 +2610,6 @@ def sample_batch(
         ),
     ]
     # blocked sphere sweep for big scenes: per-SPH_BLOCK AABBs in SMEM
-    # (the tape replay keeps the dense sweep — its row space is the same
-    # either way, but the cond-skip order would change the recorded
-    # rays-cast metric, so tape mode stays dense for exactness)
-    sph_cull = centers.shape[0] > SPH_CULL_MIN and not want_tape
     if sph_cull:
         blocks_row = pack_sphere_blocks(
             centers, radii, move_offsets

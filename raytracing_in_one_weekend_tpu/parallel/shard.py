@@ -238,7 +238,6 @@ def sharded_fused_render_batch(
         scene.textures.atlas is not None
         and scene.flags.has_procedural_textures
     )
-    seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
     step = _fused_step(
         mesh, width, height, shard, s_local, sgroups, trace_depth,
         scene.flags, bool(sub_pixel_jitter), bool(interpret),
@@ -246,7 +245,7 @@ def sharded_fused_render_batch(
         scene.triangles.vert0.shape[0] > 0, bool(has_img),
         scene.textures.perlin is not None,
     )
-    return step(scene, camera, acc, seed0)
+    return step(scene, camera, acc, key)
 
 
 @functools.lru_cache(maxsize=64)
@@ -290,7 +289,10 @@ def _fused_step(
     if flags.has_motion:
         table_keys |= {"move"}
 
-    def fn(scene, camera, acc, seed0):
+    def fn(scene, camera, acc, key):
+        # seed derived in-jit: an eager randint here cost a host round
+        # trip per batch (part of the measured 1-chip shard overhead)
+        seed0 = jax.random.randint(key, (), 0, 2**30 - 1).astype(jnp.int32)
         # ---- packing, traced (XLA folds/caches it in the step) --------
         packed = materials.pack_materials(scene)
         records = mk.pack_sphere_records(scene, packed)

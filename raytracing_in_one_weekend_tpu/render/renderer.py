@@ -245,12 +245,17 @@ def render_batch(
         # NOTE: lanes map to pixels row-major (identity) for most scenes.
         # A Morton lane permutation was measured 5% SLOWER on the cover
         # scene, and a wash for small VMEM meshes (kernel +17%, host
-        # permute gathers -17%).  STREAMED meshes are the exception: a
-        # row-major RAY_TILE covers two full-width pixel rows, whose rays
-        # cross nearly every triangle block, so the per-block cull (and
-        # its DMA skip) almost never fires; Morton's 32x32 tiles make the
-        # tile-wide predicate actually selective over 100+ blocks.
-        if tri_stream_tables is not None:
+        # permute gathers -17%).  The exceptions are scenes whose kernel
+        # runs tile-wide cull predicates over many blocks: a row-major
+        # RAY_TILE covers two full-width pixel rows, whose rays cross
+        # nearly every block, so the per-block skip almost never fires;
+        # Morton's 32x32 tiles make the predicate actually selective.
+        # That's HBM-streamed meshes (per-block DMA skip) and
+        # big-sphere-count scenes (the SPH_BLOCK cond-skipped sweep).
+        sph_cull = (
+            scene.spheres.center.shape[0] > pallas_megatrace.SPH_CULL_MIN
+        )
+        if tri_stream_tables is not None or sph_cull:
             order, rank = pallas_megatrace.morton_order(width, height)
             order = jnp.asarray(order)
             rank = jnp.asarray(rank)
