@@ -81,15 +81,19 @@ def main() -> None:
         film.combine(acc, WIDTH, HEIGHT).color
     )
 
-    # 8 spp/batch is the backward ceiling: the kernel's VMEM tape
-    # accumulator is (samples*depth, RAY_TILE) and 16x8 fails to compile;
-    # 2 -> 8 spp measured 28.5 -> 41.5 MRays/s (tile-tail amortization,
+    # 64 spp/batch: the raised scoped-vmem limit (pallas_megatrace tape
+    # launches + megatrace_bwd.VMEM_LIMIT) lifted the old 8-spp tape
+    # ceiling, and the Pallas backward kernel replaced the XLA replay
+    # VJP — measured sweep (same honest ray count): 8 spp 25.1, 16 spp
+    # 29.8, 32 spp 33.5, 64 spp 35.8 MRays/s (tile-tail amortization,
     # same lever as the forward's 64-spp batches).
+    GRAD_SPP = 64
+
     def loss_fn(centers, key):
         s = params_mod.set_sphere_centers(scene, centers)
         img = renderer.render_image(
             s, camera, key, width=WIDTH, height=HEIGHT,
-            samples_per_pixel=8, trace_depth=TRACE_DEPTH,
+            samples_per_pixel=GRAD_SPP, trace_depth=TRACE_DEPTH,
         )
         return jnp.mean((img.color - target) ** 2)
 
@@ -99,7 +103,7 @@ def main() -> None:
 
     def rays_at(k):
         # actual forward ray count for this key at the grad workload's
-        # 8 spp: the fused forward and the diff-fused primal derive the
+        # spp: the fused forward and the diff-fused primal derive the
         # same seed from the key and trace identical paths, so the
         # forward metrics count the grad pass's rays exactly (ADVICE r2:
         # the old WIDTH*HEIGHT*spp*DEPTH formula assumed every path
@@ -107,7 +111,8 @@ def main() -> None:
         a, m = renderer.render_batch_jit(
             scene, camera, film.zero_accumulators(WIDTH * HEIGHT), k,
             jnp.asarray(0, jnp.int32),
-            width=WIDTH, height=HEIGHT, samples=8, trace_depth=TRACE_DEPTH,
+            width=WIDTH, height=HEIGHT, samples=GRAD_SPP,
+            trace_depth=TRACE_DEPTH,
         )
         return float(m.total_rays)
 

@@ -105,14 +105,20 @@ def _lowbias32(x):
 
 
 def _uniforms_hash(seed, salt, lanes):
-    """(8, N) U[0,1) rows; mirrors pallas_megatrace._uniforms_hash."""
-    streams = jnp.arange(8, dtype=jnp.int32)[:, None]
-    x = seed + lanes[None, :] * jnp.int32(9781) + streams * jnp.int32(
-        6271
-    ) + salt
-    bits = _lowbias32(jax.lax.bitcast_convert_type(x, jnp.uint32))
-    low24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
-    return low24.astype(jnp.float32) * INV_2_24
+    """Tuple of 8 U[0,1) rows shaped like `lanes`; mirrors
+    pallas_megatrace._uniforms_hash bit-exactly (same per-stream int32
+    chain).  Per-stream rows instead of one (8, N) stack: the Pallas
+    backward kernel (ops/megatrace_bwd) runs this on (1, T) lane rows,
+    and rank-1 row slices of a stacked array CHECK-crash Mosaic's
+    layout inference (layout.h:320) — XLA fuses the per-row chains
+    identically either way."""
+    rows = []
+    for k in range(8):
+        x = seed + lanes * jnp.int32(9781) + jnp.int32(k * 6271) + salt
+        bits = _lowbias32(jax.lax.bitcast_convert_type(x, jnp.uint32))
+        low24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+        rows.append(low24.astype(jnp.float32) * INV_2_24)
+    return tuple(rows)
 
 
 def _normalize3(x, y, z, eps=1e-12):
@@ -126,6 +132,834 @@ def _cosine_hemisphere(u, v, nx, ny, nz):
 
 def _unit_sphere(u, v):
     return mk._unit_sphere(u, v)
+
+
+# --------------------------------------------------------------------------
+# Shared per-iteration state machine (XLA replay AND the Pallas backward
+# kernel both run THIS function — ops/megatrace_bwd.py calls it inside the
+# kernel body and machine-derives its adjoint with jax.vjp, so the two
+# backends cannot drift)
+# --------------------------------------------------------------------------
+
+
+def build_entity_rows(
+    centers, radii, records, rect_tables=None, box_tables=None,
+    tri_tables=None, tex_tables=None, move_vectors=None,
+):
+    """Pack every entity kind into one differentiable (rows, cols) table
+    indexed by the KERNEL's padded combined row space (spheres [0, s_pad),
+    rects, boxes, triangles).  Returns (entity_rows, layout) where layout
+    is the static dict(mvbase, txbase, cols).  Columns:
+      0:3  sphere center | quat xyz | tri edge_a
+      3    radius | quat w
+      4:7  (unused) | position | tri edge_b
+      7:10 (unused) | box extents | tri vert0
+      10:21 material rows 0-10
+      21 kind (0 sphere / 1 rect / 2 box / 3 triangle)
+      22 material id
+      [triangle scenes only] 23:32 per-vertex normals (v0 v1 v2 xyz),
+      32:38 per-vertex uvs (u0 u1 u2, v0 v1 v2)
+      then (motion) 3 sphere move-offset cols, then TEX_ROWS per-material
+      texture record columns (pack_texture_tables rows, pre-gathered per
+      entity) when textured."""
+    has_rects = rect_tables is not None
+    has_boxes = box_tables is not None
+    has_tris = tri_tables is not None
+    has_tex = tex_tables is not None
+    has_motion = move_vectors is not None
+    s_real = centers.shape[0]
+    s_pad = mk.sphere_pad_count(s_real)
+    cols = 38 if has_tris else 23
+    mvbase = cols
+    if has_motion:
+        cols += 3  # sphere move offsets (zero on other kinds' rows)
+    txbase = cols
+    sph_block = jnp.zeros((s_pad, cols), jnp.float32)
+    sph_block = sph_block.at[:s_real, 0:3].set(centers)
+    sph_block = sph_block.at[:s_real, 3].set(radii)
+    sph_block = sph_block.at[:s_real, 10:21].set(records[:, :11])
+    sph_block = sph_block.at[:s_real, 22].set(records[:, 11])
+    if has_motion:
+        sph_block = sph_block.at[:s_real, mvbase:mvbase + 3].set(
+            move_vectors
+        )
+    blocks = [sph_block]
+    if has_rects:
+        rgeo, rrec = rect_tables
+        rb = jnp.zeros((rgeo.shape[0], cols), jnp.float32)
+        rb = rb.at[:, 0:7].set(rgeo[:, 0:7])  # quat | pos
+        rb = rb.at[:, 10:21].set(rrec[0:11, :].T)
+        rb = rb.at[:, 21].set(1.0)
+        rb = rb.at[:, 22].set(rrec[14, :])
+        blocks.append(rb)
+    if has_boxes:
+        bgeo, brec = box_tables
+        bb = jnp.zeros((bgeo.shape[0], cols), jnp.float32)
+        bb = bb.at[:, 0:10].set(bgeo[:, 0:10])  # quat | pos | extents
+        bb = bb.at[:, 10:21].set(brec[0:11, :].T)
+        bb = bb.at[:, 21].set(2.0)
+        bb = bb.at[:, 22].set(brec[21, :])
+        blocks.append(bb)
+    if has_tris:
+        tgeo, trec_t = tri_tables
+        tb = jnp.zeros((tgeo.shape[0], cols), jnp.float32)
+        tb = tb.at[:, 0:3].set(tgeo[:, 0:3])  # edge_a
+        tb = tb.at[:, 4:7].set(tgeo[:, 3:6])  # edge_b
+        tb = tb.at[:, 7:10].set(tgeo[:, 6:9])  # vert0
+        tb = tb.at[:, 10:21].set(trec_t[0:11, :].T)
+        tb = tb.at[:, 21].set(3.0)
+        tb = tb.at[:, 22].set(trec_t[11, :])
+        # per-vertex normals (rows 12-20) + uvs (rows 21-26), kernel
+        # pack_tri_tables layout
+        tb = tb.at[:, 23:38].set(trec_t[12:27, :].T)
+        blocks.append(tb)
+    entity_rows = (
+        jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+    )
+    if has_tex:
+        # one build-time texture-record gather per entity (texrec main
+        # colors stay differentiable through it); the per-lane atlas
+        # texel fetch in the iteration is the only in-scan gather
+        ent_ids = jax.lax.stop_gradient(
+            entity_rows[:, 22]
+        ).astype(jnp.int32)
+        entity_rows = jnp.concatenate(
+            [entity_rows, tex_tables[0].T[ent_ids]], axis=1
+        )
+    return entity_rows, dict(mvbase=mvbase, txbase=txbase, cols=cols)
+
+
+def replay_iteration(
+    state, wt, tape_row, it, env, *,
+    jitter, has_motion, has_volumes, has_rects, has_boxes, has_tris,
+    has_tex, has_img, has_dielectrics, sky_on, trace_depth,
+    t_min, img_pads, cube_pads, mvbase, txbase,
+):
+    """One persistent-lane iteration of the tape replay: regen + one
+    bounce at the tape-confirmed winner + fold/termination.  Runs
+    unchanged under XLA (replay's scan body) and inside the Pallas
+    backward kernel (ops/megatrace_bwd) — which also machine-derives
+    its adjoint with jax.vjp, so the two backends cannot drift.
+
+    EVERYTHING is per-component (n,) row math — no (3, n) stacks, no
+    lane-dim column slices: Mosaic's vector layouts want plain lane
+    vectors, and the transposes jax.vjp derives from them stay
+    elementwise (a (n,)->(3,n) broadcast transposes into a sublane-dim
+    multi_reduction Mosaic cannot lower with offset layouts).
+
+    state: dict of (n,) rows — ox..oz, dx..dz, thx..thz (throughput),
+    radx..radz (radiance), active, valid, started, depth_ct,
+    csx..csz (color-sum accumulator), cnt, lp, [ptime], [in_id, in_den,
+    in_ar, in_ag, in_ab, in_er, in_eg, in_eb medium rows].
+    wt: (cols, n) pre-gathered winner entity rows, TRANSPOSED
+    build_entity_rows layout (row k = column k for every lane).
+    tape_row: (n,) winner codes.  it: () int32 iteration id.
+    env: dict of traced constants — per_pixel/lanes/pixels (n,) rows,
+    camera pieces co/ll/hh/vv/rr/uu (3-seqs of scalars), lens_radius/
+    width/height scalars, sky_b/sky_t 3-seqs, seed, vol0 (8-seq of
+    scalars) when has_volumes, img_flat/cube_flat flats when
+    has_img/cube.  img_pads = (img_w, img_h, w_pad, ah_pad);
+    cube_pads = (c_w, c_h, cw_pad, cfh_pad)."""
+    per_pixel = env["per_pixel"]
+    lanes = env["lanes"]
+    seed = env["seed"]
+    co, ll, hh, vv = env["co"], env["ll"], env["hh"], env["vv"]
+    rr, uu_ = env["rr"], env["uu"]
+    lens_radius = env["lens_radius"]
+    width, height = env["width"], env["height"]
+    # per-pixel coords recomputed here (not hoisted) so the kernel path's
+    # machine-derived adjoint sees the same width chain as the XLA vjp
+    py_row = jnp.floor(env["pixels"] / width)
+    px_row = env["pixels"] - py_row * width
+
+    ox, oy, oz = state["ox"], state["oy"], state["oz"]
+    dx, dy, dz = state["dx"], state["dy"], state["dz"]
+    thx, thy, thz = state["thx"], state["thy"], state["thz"]
+    radx, rady, radz = state["radx"], state["rady"], state["radz"]
+    active, valid = state["active"], state["valid"]
+    started, depth_ct = state["started"], state["depth_ct"]
+
+    # ---- regen (kernel _batch_kernel camera section) ---------------
+    regen = (active < 0.5) & (started < per_pixel)
+    u = _uniforms_hash(seed, it * jnp.int32(1013904223), lanes)
+    if jitter:
+        jx, jy = u[0], u[1]
+    else:
+        jx = jy = 0.5
+    un = (px_row + jx) / width
+    vn = (py_row + jy) / height
+    theta = u[2] * TWO_PI
+    radius = jnp.sqrt(u[3]) * lens_radius
+    rdx = radius * jnp.cos(theta)
+    rdy = radius * jnp.sin(theta)
+    offx = rdx * rr[0] + rdy * uu_[0]
+    offy = rdx * rr[1] + rdy * uu_[1]
+    offz = rdx * rr[2] + rdy * uu_[2]
+    cdx = ll[0] - offx + un * hh[0] + vn * vv[0]
+    cdy = ll[1] - offy + un * hh[1] + vn * vv[1]
+    cdz = ll[2] - offz + un * hh[2] + vn * vv[2]
+    cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+    ox = jnp.where(regen, co[0] + offx, ox)
+    oy = jnp.where(regen, co[1] + offy, oy)
+    oz = jnp.where(regen, co[2] + offz, oz)
+    dx = jnp.where(regen, cdx, dx)
+    dy = jnp.where(regen, cdy, dy)
+    dz = jnp.where(regen, cdz, dz)
+    thx = jnp.where(regen, 1.0, thx)
+    thy = jnp.where(regen, 1.0, thy)
+    thz = jnp.where(regen, 1.0, thz)
+    radx = jnp.where(regen, 0.0, radx)
+    rady = jnp.where(regen, 0.0, rady)
+    radz = jnp.where(regen, 0.0, radz)
+    valid = jnp.where(regen, 0.0, valid)
+    depth_ct = jnp.where(regen, 0.0, depth_ct)
+    started = started + jnp.where(regen, 1.0, 0.0)
+    active = jnp.where(regen, 1.0, active)
+    was_active = active > 0.5
+    lp = jnp.where(regen, 0.0, state["lp"])
+    if has_motion:
+        # shutter time (kernel: ptime = u[7] at regen)
+        ptime = jnp.where(regen, u[7], state["ptime"])
+    if has_volumes:
+        # camera-containment medium reset (kernel vol0_ref rows)
+        v0 = env["vol0"]
+        in_id = jnp.where(regen, v0[0], state["in_id"])
+        in_den = jnp.where(regen, v0[1], state["in_den"])
+        in_ar = jnp.where(regen, v0[2], state["in_ar"])
+        in_ag = jnp.where(regen, v0[3], state["in_ag"])
+        in_ab = jnp.where(regen, v0[4], state["in_ab"])
+        in_er = jnp.where(regen, v0[5], state["in_er"])
+        in_eg = jnp.where(regen, v0[6], state["in_eg"])
+        in_eb = jnp.where(regen, v0[7], state["in_eb"])
+
+    # ---- one bounce along the tape ---------------------------------
+    ub = _uniforms_hash(
+        seed, it * jnp.int32(1013904223) + jnp.int32(7919), lanes
+    )
+    code = tape_row
+    hit = was_active & (code >= -0.5)
+    miss = was_active & jnp.logical_not(hit)
+
+    cx_, cy_, cz_ = wt[0], wt[1], wt[2]  # sphere center | quat xyz |
+    # tri edge_a
+    r = wt[3]  # radius | quat w
+    kind = wt[21]
+    has_aux = has_rects or has_boxes or has_tris
+    s_hit = hit & (kind < 0.5) if has_aux else hit
+
+    if has_motion:
+        # TransformAtTime with the unit shutter (kernel motion path;
+        # Entity.cs:124-127): winner center at the path's time (move
+        # columns are zero on non-sphere rows)
+        cx_ = cx_ + wt[mvbase] * ptime
+        cy_ = cy_ + wt[mvbase + 1] * ptime
+        cz_ = cz_ + wt[mvbase + 2] * ptime
+    a = dx * dx + dy * dy + dz * dz
+    b = (ox * dx + oy * dy + oz * dz) - (
+        dx * cx_ + dy * cy_ + dz * cz_
+    )
+    c_term = (
+        (ox * ox + oy * oy + oz * oz)
+        - 2.0 * (ox * cx_ + oy * cy_ + oz * cz_)
+        + (cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+        - r * r
+    )
+    disc = b * b - a * c_term
+    # double-where: idle/miss lanes hold garbage ray state (zero
+    # directions, pad spheres); sanitize every sqrt/div argument so
+    # the unselected branch can't inject NaN into the VJP
+    # floor the discriminant: sqrt'(0) is infinite and grazing hits
+    # (disc ~ 0 for a tape-confirmed hit) otherwise NaN the VJP; the
+    # floor only caps the derivative, the primal comes from the kernel
+    sq = jnp.sqrt(jnp.where(s_hit, jnp.maximum(disc, 1e-8), 1.0))
+    inv_a = 1.0 / jnp.where(s_hit, a, 1.0)
+    t_near = (-b - sq) * inv_a
+    t_far = (-b + sq) * inv_a
+    # same root rule as the kernel; the tape guarantees a hit exists
+    t_hit = jnp.where(t_near > t_min, t_near, t_far)
+    t_hit = jnp.where(s_hit, t_hit, 0.0)
+    if has_volumes:
+        # winner exit root for the convex volume walk (kernel
+        # t_exit_s; FindHits exit injection SampleBatchJob.cs:462-470)
+        t_exit = jnp.where(s_hit & (t_far > t_min), t_far, BIG)
+
+    if has_rects or has_boxes:
+        # winner-local ray for the oriented kinds (kernel rect/box
+        # sections): rotate by the inverse quat.  Sphere-kind rows
+        # hold center/radius in the quat slots — the products stay
+        # finite and the per-kind selects below discard them.
+        qx, qy, qz, qw = cx_, cy_, cz_, r
+        ppx, ppy, ppz = wt[4], wt[5], wt[6]
+        olx, oly, olz = mk._quat_rotate(
+            -qx, -qy, -qz, qw, ox - ppx, oy - ppy, oz - ppz
+        )
+        dlx, dly, dlz = mk._quat_rotate(-qx, -qy, -qz, qw, dx, dy, dz)
+    if has_rects:
+        r_hit = hit & (kind > 0.5) & (kind < 1.5)
+        safe_dz = jnp.where(r_hit & (dlz != 0.0), dlz, 1.0)
+        t_hit = jnp.where(r_hit, -olz / safe_dz, t_hit)
+    if has_boxes:
+        # Majercik slab walk, same branch rules as the kernel
+        # (HitTests.cs:81-113); the tape guarantees the box was hit
+        b_hit = hit & (kind > 1.5)
+        ex_, ey_, ez_ = wt[7], wt[8], wt[9]
+        boX = olx + dlx * t_min
+        boY = oly + dly * t_min
+        boZ = olz + dlz * t_min
+        inside = (
+            jnp.maximum(
+                jnp.abs(boX) / jnp.maximum(ex_, 1e-30),
+                jnp.maximum(
+                    jnp.abs(boY) / jnp.maximum(ey_, 1e-30),
+                    jnp.abs(boZ) / jnp.maximum(ez_, 1e-30),
+                ),
+            ) < 1.0
+        )
+        winding = jnp.where(inside, -1.0, 1.0)
+        sgx, sgy, sgz = -jnp.sign(dlx), -jnp.sign(dly), -jnp.sign(dlz)
+        sdx_ = jnp.where(dlx == 0.0, 1e-30, dlx)
+        sdy_ = jnp.where(dly == 0.0, 1e-30, dly)
+        sdz_ = jnp.where(dlz == 0.0, 1e-30, dlz)
+        dpx = (ex_ * winding * sgx - boX) / sdx_
+        dpy = (ey_ * winding * sgy - boY) / sdy_
+        dpz = (ez_ * winding * sgz - boZ) / sdz_
+        test_x = (
+            (dpx >= 0.0)
+            & (jnp.abs(boY + dly * dpx) < ey_)
+            & (jnp.abs(boZ + dlz * dpx) < ez_)
+        )
+        test_y = (
+            (dpy >= 0.0)
+            & (jnp.abs(boZ + dlz * dpy) < ez_)
+            & (jnp.abs(boX + dlx * dpy) < ex_)
+        )
+        tb = jnp.where(
+            test_x, dpx, jnp.where(test_y, dpy, dpz)
+        ) + t_min
+        t_hit = jnp.where(b_hit, tb, t_hit)
+        if has_volumes:
+            # slab exit for the convex walk (kernel b_far section;
+            # parallel axes get 1/1e-30 = 1e30 instead of the
+            # kernel's explicit inf — on tape-confirmed box hits the
+            # min/max chain selects a finite real axis either way,
+            # and 1e30 keeps the mul transposes NaN-free)
+            ibx = 1.0 / sdx_
+            iby = 1.0 / sdy_
+            ibz = 1.0 / sdz_
+            tx0 = (-ex_ - boX) * ibx
+            tx1 = (ex_ - boX) * ibx
+            ty0 = (-ey_ - boY) * iby
+            ty1 = (ey_ - boY) * iby
+            tz0 = (-ez_ - boZ) * ibz
+            tz1 = (ez_ - boZ) * ibz
+            b_far = jnp.minimum(
+                jnp.maximum(tx0, tx1),
+                jnp.minimum(
+                    jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)
+                ),
+            ) + t_min
+            b_near = jnp.maximum(
+                jnp.minimum(tx0, tx1),
+                jnp.maximum(
+                    jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)
+                ),
+            ) + t_min
+            exit_ok = (b_far > t_min) & (b_near < b_far)
+            t_exit = jnp.where(
+                b_hit, jnp.where(exit_ok, b_far, BIG), t_exit
+            )
+
+    if has_tris:
+        # Möller–Trumbore recompute at the tape-confirmed winner
+        # (kernel _block_sweep; HitTests.cs:116-150).  The tape
+        # guarantees det != 0 and a valid barycentric hit on t3 lanes;
+        # other kinds' rows hold unrelated data there, so every
+        # division is where-guarded.
+        t3_hit = hit & (kind > 2.5)
+        eax, eay, eaz = wt[0], wt[1], wt[2]
+        ebx, eby, ebz = wt[4], wt[5], wt[6]
+        v0x, v0y, v0z = wt[7], wt[8], wt[9]
+        pvx = dy * eaz - dz * eay
+        pvy = dz * eax - dx * eaz
+        pvz = dx * eay - dy * eax
+        t_det = ebx * pvx + eby * pvy + ebz * pvz
+        t_inv_det = 1.0 / jnp.where(t3_hit & (t_det != 0.0), t_det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        t_bu = (tvx * pvx + tvy * pvy + tvz * pvz) * t_inv_det
+        qvx = tvy * ebz - tvz * eby
+        qvy = tvz * ebx - tvx * ebz
+        qvz = tvx * eby - tvy * ebx
+        t_bv = (dx * qvx + dy * qvy + dz * qvz) * t_inv_det
+        t_mt = (eax * qvx + eay * qvy + eaz * qvz) * t_inv_det
+        t_hit = jnp.where(t3_hit, t_mt, t_hit)
+
+    px = ox + t_hit * dx
+    py = oy + t_hit * dy
+    pz = oz + t_hit * dz
+    safe_r = jnp.where(s_hit & (r != 0.0), r, 1.0)
+    nx = jnp.where(s_hit, (px - cx_) / safe_r, 0.0)
+    ny = jnp.where(s_hit, (py - cy_) / safe_r, 0.0)
+    nz = jnp.where(s_hit, (pz - cz_) / safe_r, 0.0)
+    if has_rects:
+        # constant rect normal: rotated local +Z (Entity.cs:65)
+        rnx, rny, rnz = mk._quat_rotate(qx, qy, qz, qw, 0.0, 0.0, 1.0)
+        nx = jnp.where(r_hit, rnx, nx)
+        ny = jnp.where(r_hit, rny, ny)
+        nz = jnp.where(r_hit, rnz, nz)
+    if has_boxes:
+        # dominant-|p|/extent face normal (kernel box-normal section)
+        plx, ply, plz = mk._quat_rotate(
+            -qx, -qy, -qz, qw, px - ppx, py - ppy, pz - ppz
+        )
+        rex = jnp.abs(plx) / jnp.maximum(ex_, 1e-12)
+        rey = jnp.abs(ply) / jnp.maximum(ey_, 1e-12)
+        rez = jnp.abs(plz) / jnp.maximum(ez_, 1e-12)
+        is_x = (rex >= rey) & (rex >= rez)
+        is_y = jnp.logical_not(is_x) & (rey >= rez)
+        is_z = jnp.logical_not(is_x) & jnp.logical_not(is_y)
+        lnx = jnp.where(is_x, jnp.sign(plx), 0.0)
+        lny = jnp.where(is_y, jnp.sign(ply), 0.0)
+        lnz = jnp.where(is_z, jnp.sign(plz), 0.0)
+        bnx, bny, bnz = mk._quat_rotate(qx, qy, qz, qw, lnx, lny, lnz)
+        nx = jnp.where(b_hit, bnx, nx)
+        ny = jnp.where(b_hit, bny, ny)
+        nz = jnp.where(b_hit, bnz, nz)
+
+    if has_tris:
+        # barycentric vertex-normal lerp, normalized after (kernel
+        # triangle-normal section / Entity.cs:65)
+        t_w0 = 1.0 - t_bu - t_bv
+        tnx = (wt[23] * t_w0 + wt[26] * t_bu + wt[29] * t_bv)
+        tny = (wt[24] * t_w0 + wt[27] * t_bu + wt[30] * t_bv)
+        tnz = (wt[25] * t_w0 + wt[28] * t_bu + wt[31] * t_bv)
+        t_ninv = jax.lax.rsqrt(
+            jnp.maximum(tnx * tnx + tny * tny + tnz * tnz, 1e-24)
+        )
+        nx = jnp.where(t3_hit, tnx * t_ninv, nx)
+        ny = jnp.where(t3_hit, tny * t_ninv, ny)
+        nz = jnp.where(t3_hit, tnz * t_ninv, nz)
+
+    mtype = wt[10]
+    alb_r, alb_g, alb_b = wt[11], wt[12], wt[13]
+    em_r, em_g, em_b = wt[14], wt[15], wt[16]
+    gloss = wt[17]
+    metallic = wt[18]
+    parameter = wt[19]
+
+    if has_tex:
+        # ---- procedural albedo override (kernel _bounce_textures;
+        # Texture.cs SampleColor semantics) ---------------------------
+        ttype = wt[txbase]
+        main_r, main_g, main_b = (
+            wt[txbase + 1], wt[txbase + 2], wt[txbase + 3]
+        )
+        freq = wt[txbase + 7]
+        # checker: dominant-normal projection (textures._checker_uv)
+        anx, any_, anz = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+        use_x = (anx > any_) & (anx > anz)
+        use_y = jnp.logical_not(use_x) & (any_ > anx) & (any_ > anz)
+        v0_ = jnp.where(use_x, nx, jnp.where(use_y, ny, nz))
+        v1_ = jnp.where(use_x, ny, jnp.where(use_y, nz, nx))
+        v2_ = jnp.where(use_x, nz, jnp.where(use_y, nx, ny))
+        safe0 = jnp.where(v0_ == 0.0, 1.0, v0_)
+        cu = 0.5 + 0.5 * (v1_ / safe0)
+        cv = 0.5 + 0.5 * (v2_ / safe0)
+        sines = jnp.sin(jnp.pi * freq * cu) * jnp.sin(
+            jnp.pi * freq * cv
+        )
+        is_chk = (ttype > 1.5) & (ttype < 2.5)
+        pick_main = is_chk & (sines < 0.0)
+        pick_sec = is_chk & jnp.logical_not(sines < 0.0)
+        alb_r = jnp.where(
+            pick_main, main_r,
+            jnp.where(pick_sec, wt[txbase + 4], alb_r)
+        )
+        alb_g = jnp.where(
+            pick_main, main_g,
+            jnp.where(pick_sec, wt[txbase + 5], alb_g)
+        )
+        alb_b = jnp.where(
+            pick_main, main_b,
+            jnp.where(pick_sec, wt[txbase + 6], alb_b)
+        )
+        if has_img:
+            # nearest-neighbor atlas fetch.  The texel INDEX is a
+            # detached decision (same policy as the wavefront's
+            # texture_atlas gradients: texels get cotangent from
+            # exactly the rays that sampled them) — stop_gradient on
+            # the UV kills the atan2/acos NaN transposes at poles and
+            # on idle lanes in one move.  Sphere winners take the
+            # Shirley Book-2 mapping; rect/box keep uv = 0 (kernel
+            # winner-UV section).
+            img_w, img_h, w_pad, ah_pad = img_pads
+            su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
+                  + jnp.pi) * (0.5 / jnp.pi)
+            sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+            tex_u = jnp.where(s_hit, su, 0.0)
+            tex_v = jnp.where(s_hit, sv, 0.0)
+            if has_tris:
+                # triangles: baked per-vertex uv lerp (kernel
+                # winner-UV section)
+                tex_u = jnp.where(
+                    t3_hit,
+                    wt[32] * t_w0 + wt[33] * t_bu + wt[34] * t_bv,
+                    tex_u,
+                )
+                tex_v = jnp.where(
+                    t3_hit,
+                    wt[35] * t_w0 + wt[36] * t_bu + wt[37] * t_bv,
+                    tex_v,
+                )
+            tex_u = jax.lax.stop_gradient(tex_u)
+            tex_v = jax.lax.stop_gradient(tex_v)
+            cx2 = jnp.clip(
+                (tex_u * img_w).astype(jnp.int32), 0, img_w - 1
+            )
+            cy2 = jnp.clip(
+                (tex_v * img_h).astype(jnp.int32), 0, img_h - 1
+            )
+            roww = wt[txbase + 8].astype(jnp.int32) + cy2
+            img_flat = env["img_flat"]
+            is_img = (ttype > 3.5) & (ttype < 4.5)
+            texel = [
+                img_flat[(c2 * w_pad + cx2) * ah_pad + roww]
+                for c2 in range(3)
+            ]
+            alb_r = jnp.where(is_img, texel[0] * main_r, alb_r)
+            alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
+            alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
+
+    scatter_mask = hit
+    if has_volumes:
+        # ---- probabilistic volume walk (kernel has_volumes section;
+        # SampleBatchJob.cs:212-303 entry/exit pairing + Beer-Lambert
+        # free path).  Decisions recompute bit-exactly from the
+        # mirrored uniforms + winner geometry; the free-path draw's
+        # density dependence is DETACHED and carried by the
+        # score-function lp terms instead (same policy as the
+        # wavefront, render/integrator.py) — detached autodiff alone
+        # measured d/d_density ~ 0.
+        in_vol = in_id >= 0.0
+        hit_is_vol = hit & (mtype > 1.5)
+        entering = (dx * nx + dy * ny + dz * nz) < 0.0
+        v_den = jnp.where(in_vol, in_den, parameter)
+        v_ar = jnp.where(in_vol, in_ar, alb_r)
+        v_ag = jnp.where(in_vol, in_ag, alb_g)
+        v_ab = jnp.where(in_vol, in_ab, alb_b)
+        v_er = jnp.where(in_vol, in_er, em_r)
+        v_eg = jnp.where(in_vol, in_eg, em_g)
+        v_eb = jnp.where(in_vol, in_eb, em_b)
+        v_id = jnp.where(in_vol, in_id, wt[22])
+        # the free-path draw comes from the BOUNCE uniforms block
+        # (kernel _bounce_step u[6:7], which is _batch_kernel's ub)
+        u_free = jnp.maximum(ub[6], 1e-12)
+        den_sg = jax.lax.stop_gradient(
+            jnp.maximum(v_den, 1e-12)
+        )
+        free_path = -jnp.log(u_free) / den_sg
+        best_t_w = jnp.where(hit, t_hit, BIG)
+        seg_len = jnp.where(in_vol, best_t_w, t_exit - best_t_w)
+        vol_candidate = hit & (in_vol | (hit_is_vol & entering))
+        vol_scatter = vol_candidate & (free_path < seg_len)
+        vol_t = jnp.where(in_vol, free_path, best_t_w + free_path)
+        pass_through = (
+            hit & jnp.logical_not(in_vol) & hit_is_vol & entering
+            & jnp.logical_not(vol_scatter)
+        )
+        exits_own = (
+            in_vol & hit & hit_is_vol & jnp.logical_not(entering)
+            & jnp.logical_not(vol_scatter)
+            & (jnp.abs(wt[22] - in_id) < 0.5)
+        )
+        skip = pass_through | exits_own
+        skip_t = jnp.where(pass_through, t_exit, best_t_w)
+        skip_t = jnp.where(skip, skip_t, 0.0)  # garbage-lane guard
+        scatter_mask = hit & jnp.logical_not(skip)
+
+        # score-function log-probability of the observed decisions
+        # (integrator._bounce_once volume logp): scatter at d has pdf
+        # rho*exp(-rho d); surviving segment L has prob exp(-rho L)
+        survive = vol_candidate & jnp.logical_not(vol_scatter)
+        rho = jnp.maximum(v_den, 1e-8)
+        d_obs = jax.lax.stop_gradient(
+            jnp.where(vol_scatter, free_path, 0.0)
+        )
+        l_obs = jax.lax.stop_gradient(
+            jnp.where(survive, jnp.minimum(seg_len, 1e6), 0.0)
+        )
+        lp = lp + jnp.where(
+            vol_scatter, jnp.log(rho) - rho * d_obs, 0.0
+        ) + jnp.where(survive, -rho * l_obs, 0.0)
+
+        # effective hit record: the in-medium scatter replaces the
+        # surface hit (position, backwards normal, medium emission)
+        eff_t = jnp.where(vol_scatter, vol_t, t_hit)
+        px = ox + eff_t * dx
+        py = oy + eff_t * dy
+        pz = oz + eff_t * dz
+        nx = jnp.where(vol_scatter, -dx, nx)
+        ny = jnp.where(vol_scatter, -dy, ny)
+        nz = jnp.where(vol_scatter, -dz, nz)
+        em_r = jnp.where(vol_scatter, v_er, em_r)
+        em_g = jnp.where(vol_scatter, v_eg, em_g)
+        em_b = jnp.where(vol_scatter, v_eb, em_b)
+
+    ua, ub_, uc, ud = ub[0], ub[1], ub[2], ub[3]
+    u_choice, u_choice2 = ub[4], ub[5]
+
+    # ---- Standard scatter (kernel lines; Material.cs:75-119) -------
+    roughness = (1.0 - gloss) * (1.0 - gloss)
+    csx_h, csy_h, csz_h = _cosine_hemisphere(ua, ub_, nx, ny, nz)
+    rnx = nx + (csx_h - nx) * roughness
+    rny = ny + (csy_h - ny) * roughness
+    rnz = nz + (csz_h - nz) * roughness
+    rnx, rny, rnz = _normalize3(rnx, rny, rnz)
+    rough = roughness > 0.0
+    rnx = jnp.where(rough, rnx, nx)
+    rny = jnp.where(rough, rny, ny)
+    rnz = jnp.where(rough, rnz, nz)
+    incident_cos = -(dx * rnx + dy * rny + dz * rnz)
+    std_ior = PLASTIC_IOR + (METAL_IOR - PLASTIC_IOR) * metallic
+    fresnel = mk._schlick(incident_cos, std_ior)
+    cos_dn = dx * nx + dy * ny + dz * nz
+    masking = mk._smith_masking(cos_dn, roughness)
+    refl_chance = jnp.clip(fresnel * gloss * masking, 0.0, 1.0)
+    spec_dot = dx * rnx + dy * rny + dz * rnz
+    spx = dx - 2.0 * spec_dot * rnx
+    spy = dy - 2.0 * spec_dot * rny
+    spz = dz - 2.0 * spec_dot * rnz
+    lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
+    take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
+    take_metal = (metallic > 0.0) & (u_choice2 < metallic)
+    # lottery log-probability (score-function term, mirrors
+    # materials.Scatter.logp): detached replay decisions miss the
+    # probability shift of gloss/metallic/ior
+    lp_inc = jnp.where(
+        take_spec,
+        jnp.log(jnp.maximum(refl_chance, 1e-12)),
+        jnp.log(jnp.maximum(1.0 - refl_chance, 1e-12))
+        + jnp.where(
+            take_metal,
+            jnp.log(jnp.maximum(metallic, 1e-12)),
+            jnp.log(jnp.maximum(1.0 - metallic, 1e-12)),
+        ),
+    )
+    spec_like = take_spec | take_metal
+    sdx = jnp.where(spec_like, spx, lmx)
+    sdy = jnp.where(spec_like, spy, lmy)
+    sdz = jnp.where(spec_like, spz, lmz)
+    srr = jnp.where(take_spec, 1.0, alb_r)
+    srg = jnp.where(take_spec, 1.0, alb_g)
+    srb = jnp.where(take_spec, 1.0, alb_b)
+
+    if has_dielectrics:
+        # ---- Dielectric (Material.cs:121-161) ----------------------
+        d_roughness = 1.0 - gloss
+        ssx, ssy, ssz = _unit_sphere(ua, ub_)
+        drx = nx + d_roughness * ssx
+        dry = ny + d_roughness * ssy
+        drz = nz + d_roughness * ssz
+        drx, dry, drz = _normalize3(drx, dry, drz)
+        ddot = dx * drx + dy * dry + dz * drz
+        exiting = ddot > 0.0
+        onx = jnp.where(exiting, -drx, drx)
+        ony = jnp.where(exiting, -dry, dry)
+        onz = jnp.where(exiting, -drz, drz)
+        # guard non-dielectric lanes: 1/0 = inf upstream of the
+        # now-differentiable refl_prob NaNs reverse mode (see
+        # core/materials.py)
+        is_diel = mtype > 0.5
+        ior = jnp.where(is_diel, jnp.maximum(parameter, 1e-3), 1.5)
+        ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
+        cosine = jnp.where(exiting, ior * ddot, -ddot)
+        dt = dx * onx + dy * ony + dz * onz
+        disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
+        can_refract = disc_r > 0.0
+        sq_r = jnp.sqrt(
+            jnp.where(can_refract, jnp.maximum(disc_r, 1e-8), 1.0)
+        )
+        rfx = ni_over_nt * (dx - onx * dt) - onx * sq_r
+        rfy = ni_over_nt * (dy - ony * dt) - ony * sq_r
+        rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
+        refl_prob = mk._schlick(cosine, ior)
+        do_refract = can_refract & (u_choice > refl_prob)
+        diel_lp = jnp.where(
+            can_refract,
+            jnp.where(
+                do_refract,
+                jnp.log(jnp.maximum(1.0 - refl_prob, 1e-12)),
+                jnp.log(jnp.maximum(refl_prob, 1e-12)),
+            ),
+            0.0,
+        )
+        lp_inc = jnp.where(is_diel, diel_lp, lp_inc)
+        drefl = dx * drx + dy * dry + dz * drz
+        dlx2 = jnp.where(do_refract, rfx, dx - 2.0 * drefl * drx)
+        dly2 = jnp.where(do_refract, rfy, dy - 2.0 * drefl * dry)
+        dlz2 = jnp.where(do_refract, rfz, dz - 2.0 * drefl * drz)
+        sdx = jnp.where(is_diel, dlx2, sdx)
+        sdy = jnp.where(is_diel, dly2, sdy)
+        sdz = jnp.where(is_diel, dlz2, sdz)
+        srr = jnp.where(is_diel, jnp.where(do_refract, alb_r, 1.0), srr)
+        srg = jnp.where(is_diel, jnp.where(do_refract, alb_g, 1.0), srg)
+        srb = jnp.where(is_diel, jnp.where(do_refract, alb_b, 1.0), srb)
+
+    if has_volumes:
+        # isotropic in-medium scatter (kernel has_volumes scatter
+        # override; Material.cs:163-168)
+        vsx, vsy, vsz = _unit_sphere(uc, ud)
+        sdx = jnp.where(vol_scatter, vsx, sdx)
+        sdy = jnp.where(vol_scatter, vsy, sdy)
+        sdz = jnp.where(vol_scatter, vsz, sdz)
+        srr = jnp.where(vol_scatter, v_ar, srr)
+        srg = jnp.where(vol_scatter, v_ag, srg)
+        srb = jnp.where(vol_scatter, v_ab, srb)
+        # the material lotteries don't apply on in-medium scatters
+        # (isotropic, parameter-free); density's score terms were
+        # added above
+        lp_inc = jnp.where(vol_scatter, 0.0, lp_inc)
+
+    # ---- sky + fold (SampleBatchJob.cs:341-396) --------------------
+    if cube_pads is not None:
+        # major-axis cubemap fetch (kernel cube_c section /
+        # Texture.cs:172-210).  The texel INDEX is a detached
+        # decision (direction -> int cast has zero gradient anyway);
+        # texel VALUES stay differentiable through the gather —
+        # environment-map gradients flow from exactly the rays that
+        # missed into each texel.
+        c_w, c_h, cw_pad, cfh_pad = cube_pads
+        ddx = jax.lax.stop_gradient(dx)
+        ddy = jax.lax.stop_gradient(dy)
+        ddz = jax.lax.stop_gradient(dz)
+        cax, cay, caz = jnp.abs(ddx), jnp.abs(ddy), jnp.abs(ddz)
+        cuse_x = (cax >= cay) & (cax >= caz)
+        cuse_y = (cay > cax) & (cay >= caz)
+        neg_off = jnp.where(
+            cuse_x,
+            jnp.where(ddx >= 0.0, 0.0, 1.0),
+            jnp.where(
+                cuse_y,
+                jnp.where(ddy >= 0.0, 0.0, 1.0),
+                jnp.where(ddz >= 0.0, 0.0, 1.0),
+            ),
+        )
+        cu_num = jnp.where(
+            cuse_x,
+            jnp.where(ddx >= 0.0, -ddz, ddz),
+            jnp.where(cuse_y, ddx, jnp.where(ddz >= 0.0, ddx, -ddx)),
+        )
+        cv_num = jnp.where(
+            cuse_x, -ddy,
+            jnp.where(cuse_y, jnp.where(ddy >= 0.0, ddz, -ddz), -ddy),
+        )
+        cmajor = jnp.maximum(
+            jnp.where(cuse_x, cax, jnp.where(cuse_y, cay, caz)), 1e-12
+        )
+        cuu = cu_num / cmajor
+        cvv = cv_num / cmajor
+        face = jnp.where(
+            cuse_x, 0.0, jnp.where(cuse_y, 2.0, 4.0)
+        ) + neg_off
+        ccx = jnp.minimum(
+            ((cuu + 1.0) * (c_w / 2.0)).astype(jnp.int32), c_w - 1
+        )
+        ccy = jnp.minimum(
+            ((cvv + 1.0) * (c_h / 2.0)).astype(jnp.int32), c_h - 1
+        )
+        crow = face.astype(jnp.int32) * c_h + ccy
+        cube_flat = env["cube_flat"]
+        skr = cube_flat[(0 * cw_pad + ccx) * cfh_pad + crow]
+        skg = cube_flat[(1 * cw_pad + ccx) * cfh_pad + crow]
+        skb = cube_flat[(2 * cw_pad + ccx) * cfh_pad + crow]
+    elif sky_on:
+        sky_bottom, sky_top = env["sky_b"], env["sky_t"]
+        tsky = 0.5 * (dy + 1.0)
+        skr = sky_bottom[0] + (sky_top[0] - sky_bottom[0]) * tsky
+        skg = sky_bottom[1] + (sky_top[1] - sky_bottom[1]) * tsky
+        skb = sky_bottom[2] + (sky_top[2] - sky_bottom[2]) * tsky
+    else:
+        skr = skg = skb = jnp.zeros_like(dx)
+    lp = lp + jnp.where(scatter_mask, lp_inc, 0.0)
+    emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
+    emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
+    emb = jnp.where(scatter_mask, em_b, jnp.where(miss, skb, 0.0))
+    radx = radx + thx * emr
+    rady = rady + thy * emg
+    radz = radz + thz * emb
+    thx = jnp.where(scatter_mask, thx * srr, thx)
+    thy = jnp.where(scatter_mask, thy * srg, thy)
+    thz = jnp.where(scatter_mask, thz * srb, thz)
+
+    # ---- advance + termination ------------------------------------
+    off_sign = jnp.where(
+        sdx * nx + sdy * ny + sdz * nz >= 0.0, 1.0, -1.0
+    )
+    ox = jnp.where(scatter_mask, px + SELF_EPS * off_sign * nx, ox)
+    oy = jnp.where(scatter_mask, py + SELF_EPS * off_sign * ny, oy)
+    oz = jnp.where(scatter_mask, pz + SELF_EPS * off_sign * nz, oz)
+    dx = jnp.where(scatter_mask, sdx, dx)
+    dy = jnp.where(scatter_mask, sdy, dy)
+    dz = jnp.where(scatter_mask, sdz, dz)
+    if has_volumes:
+        # pass-through / own-exit lanes advance past the boundary
+        # without scattering (kernel advance section; consumes one
+        # bounce iteration, integrator deviation note)
+        ox = jnp.where(skip, ox + (skip_t + SELF_EPS) * dx, ox)
+        oy = jnp.where(skip, oy + (skip_t + SELF_EPS) * dy, oy)
+        oz = jnp.where(skip, oz + (skip_t + SELF_EPS) * dz, oz)
+        # medium bookkeeping: enter on scatter, leave on skip, keep
+        # when scattering off a solid while inside
+        in_den = jnp.where(vol_scatter, v_den, in_den)
+        in_ar = jnp.where(vol_scatter, v_ar, in_ar)
+        in_ag = jnp.where(vol_scatter, v_ag, in_ag)
+        in_ab = jnp.where(vol_scatter, v_ab, in_ab)
+        in_er = jnp.where(vol_scatter, v_er, in_er)
+        in_eg = jnp.where(vol_scatter, v_eg, in_eg)
+        in_eb = jnp.where(vol_scatter, v_eb, in_eb)
+        in_id = jnp.where(
+            vol_scatter, v_id, jnp.where(skip, -1.0, in_id)
+        )
+    active = jnp.where(miss, 0.0, active)
+    valid = jnp.where(miss, 1.0, valid)
+    depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
+    exhausted = (active > 0.5) & (depth_ct > trace_depth - 0.5)
+    active = jnp.where(exhausted, 0.0, active)
+    terminated = was_active & (active < 0.5)
+    ok = terminated & (valid > 0.5)
+    # zero-valued score surrogates on BOTH accumulators (the valid
+    # count is itself a decision outcome; see render/renderer.py)
+    carrier = jnp.where(ok, lp - jax.lax.stop_gradient(lp), 0.0)
+    rad_okx = jnp.where(ok, radx, 0.0)
+    rad_oky = jnp.where(ok, rady, 0.0)
+    rad_okz = jnp.where(ok, radz, 0.0)
+    ok_f = jnp.where(ok, 1.0, 0.0)
+    csx = state["csx"] + rad_okx + (
+        jax.lax.stop_gradient(rad_okx) * carrier
+    )
+    csy = state["csy"] + rad_oky + (
+        jax.lax.stop_gradient(rad_oky) * carrier
+    )
+    csz = state["csz"] + rad_okz + (
+        jax.lax.stop_gradient(rad_okz) * carrier
+    )
+    cnt = state["cnt"] + ok_f + jax.lax.stop_gradient(ok_f) * carrier
+
+    out = dict(
+        ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+        thx=thx, thy=thy, thz=thz, radx=radx, rady=rady, radz=radz,
+        active=active, valid=valid, started=started, depth_ct=depth_ct,
+        csx=csx, csy=csy, csz=csz, cnt=cnt, lp=lp,
+    )
+    if has_motion:
+        out["ptime"] = ptime
+    if has_volumes:
+        out.update(
+            in_id=in_id, in_den=in_den, in_ar=in_ar, in_ag=in_ag,
+            in_ab=in_ab, in_er=in_er, in_eg=in_eg, in_eb=in_eb,
+        )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -183,28 +1017,17 @@ def replay(
     seed = jnp.asarray(seed, jnp.int32)
 
     cam = camera_row.astype(jnp.float32)
-    co = cam[0:3]
-    ll = cam[3:6]
-    hh = cam[6:9]
-    vv = cam[9:12]
-    rr = cam[12:15]
-    uu_ = cam[15:18]
-    lens_radius = cam[18]
-    width = cam[19]
-    height = cam[20]
-    py_row = jnp.floor(pixels.astype(jnp.float32) / width)
-    px_row = pixels.astype(jnp.float32) - py_row * width
 
     zero = jnp.zeros((n,), jnp.float32)
-    one = jnp.ones((n,), jnp.float32)
 
     has_motion = move_vectors is not None
     has_volumes = vol0 is not None
+    one = jnp.ones((n,), jnp.float32)
     state0 = dict(
-        o=jnp.zeros((3, n)), d=jnp.zeros((3, n)),
-        th=jnp.ones((3, n)), rad=jnp.zeros((3, n)),
+        ox=zero, oy=zero, oz=zero, dx=zero, dy=zero, dz=zero,
+        thx=one, thy=one, thz=one, radx=zero, rady=zero, radz=zero,
         active=zero, valid=zero, started=zero, depth_ct=zero,
-        csum=jnp.zeros((3, n)), cnt=zero,
+        csx=zero, csy=zero, csz=zero, cnt=zero,
         lp=zero,  # per-sample lottery log-probability (score function)
     )
     if has_motion:
@@ -213,760 +1036,68 @@ def replay(
         # inside-volume medium state (kernel rows: id -1 = vacuum,
         # density, albedo rgb, emission rgb); traced so carried density
         # keeps its gradient across bounces
-        state0["med"] = jnp.concatenate(
-            [-jnp.ones((1, n)), jnp.zeros((7, n))], axis=0
+        state0.update(
+            in_id=-one, in_den=zero, in_ar=zero, in_ag=zero,
+            in_ab=zero, in_er=zero, in_eg=zero, in_eb=zero,
         )
 
-    # ONE bulk winner-parameter gather for every iteration up front
-    # (TPU per-lane gathers inside the scan measured 8x slower than
-    # streaming a pre-gathered (IT, N, C) tensor).  Rows mirror the
-    # KERNEL's padded row space — spheres [0, s_pad), rects, boxes — so
-    # the tape code indexes this table directly.  Columns:
-    #   0:3  sphere center | quat xyz | tri edge_a
-    #   3    radius | quat w
-    #   4:7  (unused) | position | tri edge_b
-    #   7:10 (unused) | box extents | tri vert0
-    #   10:21 material rows 0-10
-    #   21 kind (0 sphere / 1 rect / 2 box / 3 triangle)
-    #   22 material id
-    #   [triangle scenes only] 23:32 per-vertex normals (v0 v1 v2 xyz),
-    #   32:38 per-vertex uvs (u0 u1 u2, v0 v1 v2)
-    #   then TEX_ROWS per-material texture record columns
-    #   (pack_texture_tables rows, pre-gathered per entity) when textured
     has_rects = rect_tables is not None
     has_boxes = box_tables is not None
     has_tris = tri_tables is not None
     has_tex = tex_tables is not None
     img = tex_tables[2] if has_tex else None
+    has_img = img is not None
     iters = samples * trace_depth
-    s_real = centers.shape[0]
-    s_pad = mk.sphere_pad_count(s_real)
-    cols = 38 if has_tris else 23
-    mvbase = cols
-    if has_motion:
-        cols += 3  # sphere move offsets (zero on other kinds' rows)
-    txbase = cols
-    sph_block = jnp.zeros((s_pad, cols), jnp.float32)
-    sph_block = sph_block.at[:s_real, 0:3].set(centers)
-    sph_block = sph_block.at[:s_real, 3].set(radii)
-    sph_block = sph_block.at[:s_real, 10:21].set(records[:, :11])
-    sph_block = sph_block.at[:s_real, 22].set(records[:, 11])
-    if has_motion:
-        sph_block = sph_block.at[:s_real, mvbase:mvbase + 3].set(
-            move_vectors
-        )
-    blocks = [sph_block]
-    if has_rects:
-        rgeo, rrec = rect_tables
-        rb = jnp.zeros((rgeo.shape[0], cols), jnp.float32)
-        rb = rb.at[:, 0:7].set(rgeo[:, 0:7])  # quat | pos
-        rb = rb.at[:, 10:21].set(rrec[0:11, :].T)
-        rb = rb.at[:, 21].set(1.0)
-        rb = rb.at[:, 22].set(rrec[14, :])
-        blocks.append(rb)
-    if has_boxes:
-        bgeo, brec = box_tables
-        bb = jnp.zeros((bgeo.shape[0], cols), jnp.float32)
-        bb = bb.at[:, 0:10].set(bgeo[:, 0:10])  # quat | pos | extents
-        bb = bb.at[:, 10:21].set(brec[0:11, :].T)
-        bb = bb.at[:, 21].set(2.0)
-        bb = bb.at[:, 22].set(brec[21, :])
-        blocks.append(bb)
-    if has_tris:
-        tgeo, trec_t = tri_tables
-        tb = jnp.zeros((tgeo.shape[0], cols), jnp.float32)
-        tb = tb.at[:, 0:3].set(tgeo[:, 0:3])  # edge_a
-        tb = tb.at[:, 4:7].set(tgeo[:, 3:6])  # edge_b
-        tb = tb.at[:, 7:10].set(tgeo[:, 6:9])  # vert0
-        tb = tb.at[:, 10:21].set(trec_t[0:11, :].T)
-        tb = tb.at[:, 21].set(3.0)
-        tb = tb.at[:, 22].set(trec_t[11, :])
-        # per-vertex normals (rows 12-20) + uvs (rows 21-26), kernel
-        # pack_tri_tables layout
-        tb = tb.at[:, 23:38].set(trec_t[12:27, :].T)
-        blocks.append(tb)
-    entity_rows = (
-        jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+    # ONE differentiable combined entity table, indexed by the tape's
+    # padded combined row space (layout doc on build_entity_rows); the
+    # per-BLOCK bulk winner gather below streams rows out of it (TPU
+    # per-lane gathers inside the scan measured 8x slower)
+    entity_rows, layout = build_entity_rows(
+        centers, radii, records, rect_tables, box_tables, tri_tables,
+        tex_tables, move_vectors,
     )
-    if has_tex:
-        # one build-time texture-record gather per entity (texrec main
-        # colors stay differentiable through it); the per-lane atlas
-        # texel fetch below is the only in-scan gather
-        ent_ids = jax.lax.stop_gradient(
-            entity_rows[:, 22]
-        ).astype(jnp.int32)
-        entity_rows = jnp.concatenate(
-            [entity_rows, tex_tables[0].T[ent_ids]], axis=1
-        )
+    if has_img:
+        img_pads = (img_dims[0], img_dims[1],
+                    img.shape[0] // 3, img.shape[1])
+    else:
+        img_pads = (0, 0, 1, 1)
+    if cube_table is not None:
+        cube_pads = (cube_dims[0], cube_dims[1],
+                     cube_table.shape[0] // 3, cube_table.shape[1])
+    else:
+        cube_pads = None
+    env = dict(
+        per_pixel=per_pixel,
+        lanes=lanes,
+        pixels=pixels.astype(jnp.float32),
+        seed=seed,
+        co=cam[0:3], ll=cam[3:6], hh=cam[6:9], vv=cam[9:12],
+        rr=cam[12:15], uu=cam[15:18],
+        lens_radius=cam[18], width=cam[19], height=cam[20],
+        sky_b=sky_bottom, sky_t=sky_top,
+    )
+    if has_volumes:
+        env["vol0"] = tuple(vol0[k] for k in range(8))
+    if has_img:
+        env["img_flat"] = img.reshape(-1)
+    if cube_table is not None:
+        env["cube_flat"] = cube_table.reshape(-1)
+    statics_it = dict(
+        jitter=jitter, has_motion=has_motion, has_volumes=has_volumes,
+        has_rects=has_rects, has_boxes=has_boxes, has_tris=has_tris,
+        has_tex=has_tex, has_img=has_img,
+        has_dielectrics=has_dielectrics, sky_on=sky_on,
+        trace_depth=trace_depth, t_min=t_min,
+        img_pads=img_pads, cube_pads=cube_pads,
+        mvbase=layout["mvbase"], txbase=layout["txbase"],
+    )
     w_all = jnp.clip(tape, 0.0, None).astype(jnp.int32)  # (IT, N)
 
     def iteration(state, per_it):
-        it, tape_row, wrow = per_it
-        o, d = state["o"], state["d"]
-        th, rad = state["th"], state["rad"]
-        active, valid = state["active"], state["valid"]
-        started, depth_ct = state["started"], state["depth_ct"]
-
-        # ---- regen (kernel _batch_kernel camera section) ---------------
-        regen = (active < 0.5) & (started < per_pixel)
-        u = _uniforms_hash(seed, it * jnp.int32(1013904223), lanes)
-        if jitter:
-            jx, jy = u[0], u[1]
-        else:
-            jx = jy = 0.5
-        un = (px_row + jx) / width
-        vn = (py_row + jy) / height
-        theta = u[2] * TWO_PI
-        radius = jnp.sqrt(u[3]) * lens_radius
-        rdx = radius * jnp.cos(theta)
-        rdy = radius * jnp.sin(theta)
-        offx = rdx * rr[0] + rdy * uu_[0]
-        offy = rdx * rr[1] + rdy * uu_[1]
-        offz = rdx * rr[2] + rdy * uu_[2]
-        cdx = ll[0] - offx + un * hh[0] + vn * vv[0]
-        cdy = ll[1] - offy + un * hh[1] + vn * vv[1]
-        cdz = ll[2] - offz + un * hh[2] + vn * vv[2]
-        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
-        o = jnp.where(regen, jnp.stack([co[0] + offx, co[1] + offy,
-                                        co[2] + offz]), o)
-        d = jnp.where(regen, jnp.stack([cdx, cdy, cdz]), d)
-        th = jnp.where(regen, 1.0, th)
-        rad = jnp.where(regen, 0.0, rad)
-        valid = jnp.where(regen, 0.0, valid)
-        depth_ct = jnp.where(regen, 0.0, depth_ct)
-        started = started + jnp.where(regen, 1.0, 0.0)
-        active = jnp.where(regen, 1.0, active)
-        was_active = active > 0.5
-        lp = jnp.where(regen, 0.0, state["lp"])
-        if has_motion:
-            # shutter time (kernel: ptime = u[7] at regen)
-            ptime = jnp.where(regen, u[7], state["ptime"])
-        if has_volumes:
-            # camera-containment medium reset (kernel vol0_ref rows)
-            med = jnp.where(regen[None, :], vol0[:, None], state["med"])
-            in_id, in_den = med[0], med[1]
-            in_alb = med[2:5]
-            in_em = med[5:8]
-
-        # ---- one bounce along the tape ---------------------------------
-        ub = _uniforms_hash(
-            seed, it * jnp.int32(1013904223) + jnp.int32(7919), lanes
-        )
-        code = tape_row
-        hit = was_active & (code >= -0.5)
-        miss = was_active & jnp.logical_not(hit)
-
-        c = wrow[:, 0:3].T  # (3, N) sphere center | quat xyz | tri edge_a
-        r = wrow[:, 3]  # radius | quat w
-        rec = wrow[:, 10:21]  # material rows 0-10
-        kind = wrow[:, 21]
-        has_aux = has_rects or has_boxes or has_tris
-        s_hit = hit & (kind < 0.5) if has_aux else hit
-
-        ox, oy, oz = o[0], o[1], o[2]
-        dx, dy, dz = d[0], d[1], d[2]
-        if has_motion:
-            # TransformAtTime with the unit shutter (kernel motion path;
-            # Entity.cs:124-127): winner center at the path's time
-            mv = wrow[:, mvbase:mvbase + 3].T  # (3, N), zero off-sphere
-            c = c + mv * ptime[None, :]
-        a = dx * dx + dy * dy + dz * dz
-        b = (ox * dx + oy * dy + oz * dz) - (
-            dx * c[0] + dy * c[1] + dz * c[2]
-        )
-        c_term = (
-            (ox * ox + oy * oy + oz * oz)
-            - 2.0 * (ox * c[0] + oy * c[1] + oz * c[2])
-            + (c[0] * c[0] + c[1] * c[1] + c[2] * c[2])
-            - r * r
-        )
-        disc = b * b - a * c_term
-        # double-where: idle/miss lanes hold garbage ray state (zero
-        # directions, pad spheres); sanitize every sqrt/div argument so
-        # the unselected branch can't inject NaN into the VJP
-        # floor the discriminant: sqrt'(0) is infinite and grazing hits
-        # (disc ~ 0 for a tape-confirmed hit) otherwise NaN the VJP; the
-        # floor only caps the derivative, the primal comes from the kernel
-        sq = jnp.sqrt(jnp.where(s_hit, jnp.maximum(disc, 1e-8), 1.0))
-        inv_a = 1.0 / jnp.where(s_hit, a, 1.0)
-        t_near = (-b - sq) * inv_a
-        t_far = (-b + sq) * inv_a
-        # same root rule as the kernel; the tape guarantees a hit exists
-        t_hit = jnp.where(t_near > t_min, t_near, t_far)
-        t_hit = jnp.where(s_hit, t_hit, 0.0)
-        if has_volumes:
-            # winner exit root for the convex volume walk (kernel
-            # t_exit_s; FindHits exit injection SampleBatchJob.cs:462-470)
-            t_exit = jnp.where(s_hit & (t_far > t_min), t_far, BIG)
-
-        if has_rects or has_boxes:
-            # winner-local ray for the oriented kinds (kernel rect/box
-            # sections): rotate by the inverse quat.  Sphere-kind rows
-            # hold center/radius in the quat slots — the products stay
-            # finite and the per-kind selects below discard them.
-            qx, qy, qz, qw = c[0], c[1], c[2], r
-            ppx, ppy, ppz = wrow[:, 4], wrow[:, 5], wrow[:, 6]
-            olx, oly, olz = mk._quat_rotate(
-                -qx, -qy, -qz, qw, ox - ppx, oy - ppy, oz - ppz
-            )
-            dlx, dly, dlz = mk._quat_rotate(-qx, -qy, -qz, qw, dx, dy, dz)
-        if has_rects:
-            r_hit = hit & (kind > 0.5) & (kind < 1.5)
-            safe_dz = jnp.where(r_hit & (dlz != 0.0), dlz, 1.0)
-            t_hit = jnp.where(r_hit, -olz / safe_dz, t_hit)
-        if has_boxes:
-            # Majercik slab walk, same branch rules as the kernel
-            # (HitTests.cs:81-113); the tape guarantees the box was hit
-            b_hit = hit & (kind > 1.5)
-            ex_, ey_, ez_ = wrow[:, 7], wrow[:, 8], wrow[:, 9]
-            boX = olx + dlx * t_min
-            boY = oly + dly * t_min
-            boZ = olz + dlz * t_min
-            inside = (
-                jnp.maximum(
-                    jnp.abs(boX) / jnp.maximum(ex_, 1e-30),
-                    jnp.maximum(
-                        jnp.abs(boY) / jnp.maximum(ey_, 1e-30),
-                        jnp.abs(boZ) / jnp.maximum(ez_, 1e-30),
-                    ),
-                ) < 1.0
-            )
-            winding = jnp.where(inside, -1.0, 1.0)
-            sgx, sgy, sgz = -jnp.sign(dlx), -jnp.sign(dly), -jnp.sign(dlz)
-            sdx_ = jnp.where(dlx == 0.0, 1e-30, dlx)
-            sdy_ = jnp.where(dly == 0.0, 1e-30, dly)
-            sdz_ = jnp.where(dlz == 0.0, 1e-30, dlz)
-            dpx = (ex_ * winding * sgx - boX) / sdx_
-            dpy = (ey_ * winding * sgy - boY) / sdy_
-            dpz = (ez_ * winding * sgz - boZ) / sdz_
-            test_x = (
-                (dpx >= 0.0)
-                & (jnp.abs(boY + dly * dpx) < ey_)
-                & (jnp.abs(boZ + dlz * dpx) < ez_)
-            )
-            test_y = (
-                (dpy >= 0.0)
-                & (jnp.abs(boZ + dlz * dpy) < ez_)
-                & (jnp.abs(boX + dlx * dpy) < ex_)
-            )
-            tb = jnp.where(
-                test_x, dpx, jnp.where(test_y, dpy, dpz)
-            ) + t_min
-            t_hit = jnp.where(b_hit, tb, t_hit)
-            if has_volumes:
-                # slab exit for the convex walk (kernel b_far section;
-                # parallel axes get 1/1e-30 = 1e30 instead of the
-                # kernel's explicit inf — on tape-confirmed box hits the
-                # min/max chain selects a finite real axis either way,
-                # and 1e30 keeps the mul transposes NaN-free)
-                ibx = 1.0 / sdx_
-                iby = 1.0 / sdy_
-                ibz = 1.0 / sdz_
-                tx0 = (-ex_ - boX) * ibx
-                tx1 = (ex_ - boX) * ibx
-                ty0 = (-ey_ - boY) * iby
-                ty1 = (ey_ - boY) * iby
-                tz0 = (-ez_ - boZ) * ibz
-                tz1 = (ez_ - boZ) * ibz
-                b_far = jnp.minimum(
-                    jnp.maximum(tx0, tx1),
-                    jnp.minimum(
-                        jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)
-                    ),
-                ) + t_min
-                b_near = jnp.maximum(
-                    jnp.minimum(tx0, tx1),
-                    jnp.maximum(
-                        jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)
-                    ),
-                ) + t_min
-                exit_ok = (b_far > t_min) & (b_near < b_far)
-                t_exit = jnp.where(
-                    b_hit, jnp.where(exit_ok, b_far, BIG), t_exit
-                )
-
-        if has_tris:
-            # Möller–Trumbore recompute at the tape-confirmed winner
-            # (kernel _block_sweep; HitTests.cs:116-150).  The tape
-            # guarantees det != 0 and a valid barycentric hit on t3 lanes;
-            # other kinds' rows hold unrelated data there, so every
-            # division is where-guarded.
-            t3_hit = hit & (kind > 2.5)
-            eax, eay, eaz = wrow[:, 0], wrow[:, 1], wrow[:, 2]
-            ebx, eby, ebz = wrow[:, 4], wrow[:, 5], wrow[:, 6]
-            v0x, v0y, v0z = wrow[:, 7], wrow[:, 8], wrow[:, 9]
-            pvx = dy * eaz - dz * eay
-            pvy = dz * eax - dx * eaz
-            pvz = dx * eay - dy * eax
-            t_det = ebx * pvx + eby * pvy + ebz * pvz
-            t_inv_det = 1.0 / jnp.where(t3_hit & (t_det != 0.0), t_det, 1.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            t_bu = (tvx * pvx + tvy * pvy + tvz * pvz) * t_inv_det
-            qvx = tvy * ebz - tvz * eby
-            qvy = tvz * ebx - tvx * ebz
-            qvz = tvx * eby - tvy * ebx
-            t_bv = (dx * qvx + dy * qvy + dz * qvz) * t_inv_det
-            t_mt = (eax * qvx + eay * qvy + eaz * qvz) * t_inv_det
-            t_hit = jnp.where(t3_hit, t_mt, t_hit)
-
-        px = ox + t_hit * dx
-        py = oy + t_hit * dy
-        pz = oz + t_hit * dz
-        safe_r = jnp.where(s_hit & (r != 0.0), r, 1.0)
-        nx = jnp.where(s_hit, (px - c[0]) / safe_r, 0.0)
-        ny = jnp.where(s_hit, (py - c[1]) / safe_r, 0.0)
-        nz = jnp.where(s_hit, (pz - c[2]) / safe_r, 0.0)
-        if has_rects:
-            # constant rect normal: rotated local +Z (Entity.cs:65)
-            rnx, rny, rnz = mk._quat_rotate(qx, qy, qz, qw, 0.0, 0.0, 1.0)
-            nx = jnp.where(r_hit, rnx, nx)
-            ny = jnp.where(r_hit, rny, ny)
-            nz = jnp.where(r_hit, rnz, nz)
-        if has_boxes:
-            # dominant-|p|/extent face normal (kernel box-normal section)
-            plx, ply, plz = mk._quat_rotate(
-                -qx, -qy, -qz, qw, px - ppx, py - ppy, pz - ppz
-            )
-            rex = jnp.abs(plx) / jnp.maximum(ex_, 1e-12)
-            rey = jnp.abs(ply) / jnp.maximum(ey_, 1e-12)
-            rez = jnp.abs(plz) / jnp.maximum(ez_, 1e-12)
-            is_x = (rex >= rey) & (rex >= rez)
-            is_y = jnp.logical_not(is_x) & (rey >= rez)
-            is_z = jnp.logical_not(is_x) & jnp.logical_not(is_y)
-            lnx = jnp.where(is_x, jnp.sign(plx), 0.0)
-            lny = jnp.where(is_y, jnp.sign(ply), 0.0)
-            lnz = jnp.where(is_z, jnp.sign(plz), 0.0)
-            bnx, bny, bnz = mk._quat_rotate(qx, qy, qz, qw, lnx, lny, lnz)
-            nx = jnp.where(b_hit, bnx, nx)
-            ny = jnp.where(b_hit, bny, ny)
-            nz = jnp.where(b_hit, bnz, nz)
-
-        if has_tris:
-            # barycentric vertex-normal lerp, normalized after (kernel
-            # triangle-normal section / Entity.cs:65)
-            t_w0 = 1.0 - t_bu - t_bv
-            tnx = (wrow[:, 23] * t_w0 + wrow[:, 26] * t_bu
-                   + wrow[:, 29] * t_bv)
-            tny = (wrow[:, 24] * t_w0 + wrow[:, 27] * t_bu
-                   + wrow[:, 30] * t_bv)
-            tnz = (wrow[:, 25] * t_w0 + wrow[:, 28] * t_bu
-                   + wrow[:, 31] * t_bv)
-            t_ninv = jax.lax.rsqrt(
-                jnp.maximum(tnx * tnx + tny * tny + tnz * tnz, 1e-24)
-            )
-            nx = jnp.where(t3_hit, tnx * t_ninv, nx)
-            ny = jnp.where(t3_hit, tny * t_ninv, ny)
-            nz = jnp.where(t3_hit, tnz * t_ninv, nz)
-
-        mtype = rec[:, 0]
-        alb_r, alb_g, alb_b = rec[:, 1], rec[:, 2], rec[:, 3]
-        em_r, em_g, em_b = rec[:, 4], rec[:, 5], rec[:, 6]
-        gloss = rec[:, 7]
-        metallic = rec[:, 8]
-        parameter = rec[:, 9]
-
-        if has_tex:
-            # ---- procedural albedo override (kernel _bounce_textures;
-            # Texture.cs SampleColor semantics) ---------------------------
-            txw = wrow[:, txbase:]
-            ttype = txw[:, 0]
-            main_r, main_g, main_b = txw[:, 1], txw[:, 2], txw[:, 3]
-            freq = txw[:, 7]
-            # checker: dominant-normal projection (textures._checker_uv)
-            anx, any_, anz = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
-            use_x = (anx > any_) & (anx > anz)
-            use_y = jnp.logical_not(use_x) & (any_ > anx) & (any_ > anz)
-            v0 = jnp.where(use_x, nx, jnp.where(use_y, ny, nz))
-            v1 = jnp.where(use_x, ny, jnp.where(use_y, nz, nx))
-            v2 = jnp.where(use_x, nz, jnp.where(use_y, nx, ny))
-            safe0 = jnp.where(v0 == 0.0, 1.0, v0)
-            cu = 0.5 + 0.5 * (v1 / safe0)
-            cv = 0.5 + 0.5 * (v2 / safe0)
-            sines = jnp.sin(jnp.pi * freq * cu) * jnp.sin(
-                jnp.pi * freq * cv
-            )
-            is_chk = (ttype > 1.5) & (ttype < 2.5)
-            pick_main = is_chk & (sines < 0.0)
-            pick_sec = is_chk & jnp.logical_not(sines < 0.0)
-            alb_r = jnp.where(
-                pick_main, main_r, jnp.where(pick_sec, txw[:, 4], alb_r)
-            )
-            alb_g = jnp.where(
-                pick_main, main_g, jnp.where(pick_sec, txw[:, 5], alb_g)
-            )
-            alb_b = jnp.where(
-                pick_main, main_b, jnp.where(pick_sec, txw[:, 6], alb_b)
-            )
-            if img is not None:
-                # nearest-neighbor atlas fetch.  The texel INDEX is a
-                # detached decision (same policy as the wavefront's
-                # texture_atlas gradients: texels get cotangent from
-                # exactly the rays that sampled them) — stop_gradient on
-                # the UV kills the atan2/acos NaN transposes at poles and
-                # on idle lanes in one move.  Sphere winners take the
-                # Shirley Book-2 mapping; rect/box keep uv = 0 (kernel
-                # winner-UV section).
-                img_w, img_h = img_dims
-                su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
-                      + jnp.pi) * (0.5 / jnp.pi)
-                sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
-                tex_u = jnp.where(s_hit, su, 0.0)
-                tex_v = jnp.where(s_hit, sv, 0.0)
-                if has_tris:
-                    # triangles: baked per-vertex uv lerp (kernel
-                    # winner-UV section)
-                    tex_u = jnp.where(
-                        t3_hit,
-                        wrow[:, 32] * t_w0 + wrow[:, 33] * t_bu
-                        + wrow[:, 34] * t_bv,
-                        tex_u,
-                    )
-                    tex_v = jnp.where(
-                        t3_hit,
-                        wrow[:, 35] * t_w0 + wrow[:, 36] * t_bu
-                        + wrow[:, 37] * t_bv,
-                        tex_v,
-                    )
-                tex_u = jax.lax.stop_gradient(tex_u)
-                tex_v = jax.lax.stop_gradient(tex_v)
-                cx = jnp.clip(
-                    (tex_u * img_w).astype(jnp.int32), 0, img_w - 1
-                )
-                cy = jnp.clip(
-                    (tex_v * img_h).astype(jnp.int32), 0, img_h - 1
-                )
-                roww = txw[:, 8].astype(jnp.int32) + cy
-                w_pad = img.shape[0] // 3
-                ah_pad = img.shape[1]
-                img_flat = img.reshape(-1)
-                is_img = (ttype > 3.5) & (ttype < 4.5)
-                texel = [
-                    img_flat[(c * w_pad + cx) * ah_pad + roww]
-                    for c in range(3)
-                ]
-                alb_r = jnp.where(is_img, texel[0] * main_r, alb_r)
-                alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
-                alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
-
-        scatter_mask = hit
-        if has_volumes:
-            # ---- probabilistic volume walk (kernel has_volumes section;
-            # SampleBatchJob.cs:212-303 entry/exit pairing + Beer-Lambert
-            # free path).  Decisions recompute bit-exactly from the
-            # mirrored uniforms + winner geometry; the free-path draw's
-            # density dependence is DETACHED and carried by the
-            # score-function lp terms instead (same policy as the
-            # wavefront, render/integrator.py) — detached autodiff alone
-            # measured d/d_density ~ 0.
-            in_vol = in_id >= 0.0
-            hit_is_vol = hit & (mtype > 1.5)
-            entering = (dx * nx + dy * ny + dz * nz) < 0.0
-            v_den = jnp.where(in_vol, in_den, parameter)
-            v_ar = jnp.where(in_vol, in_alb[0], alb_r)
-            v_ag = jnp.where(in_vol, in_alb[1], alb_g)
-            v_ab = jnp.where(in_vol, in_alb[2], alb_b)
-            v_er = jnp.where(in_vol, in_em[0], em_r)
-            v_eg = jnp.where(in_vol, in_em[1], em_g)
-            v_eb = jnp.where(in_vol, in_em[2], em_b)
-            v_id = jnp.where(in_vol, in_id, wrow[:, 22])
-            # the free-path draw comes from the BOUNCE uniforms block
-            # (kernel _bounce_step u[6:7], which is _batch_kernel's ub)
-            u_free = jnp.maximum(ub[6], 1e-12)
-            den_sg = jax.lax.stop_gradient(
-                jnp.maximum(v_den, 1e-12)
-            )
-            free_path = -jnp.log(u_free) / den_sg
-            best_t_w = jnp.where(hit, t_hit, BIG)
-            seg_len = jnp.where(in_vol, best_t_w, t_exit - best_t_w)
-            vol_candidate = hit & (in_vol | (hit_is_vol & entering))
-            vol_scatter = vol_candidate & (free_path < seg_len)
-            vol_t = jnp.where(in_vol, free_path, best_t_w + free_path)
-            pass_through = (
-                hit & jnp.logical_not(in_vol) & hit_is_vol & entering
-                & jnp.logical_not(vol_scatter)
-            )
-            exits_own = (
-                in_vol & hit & hit_is_vol & jnp.logical_not(entering)
-                & jnp.logical_not(vol_scatter)
-                & (jnp.abs(wrow[:, 22] - in_id) < 0.5)
-            )
-            skip = pass_through | exits_own
-            skip_t = jnp.where(pass_through, t_exit, best_t_w)
-            skip_t = jnp.where(skip, skip_t, 0.0)  # garbage-lane guard
-            scatter_mask = hit & jnp.logical_not(skip)
-
-            # score-function log-probability of the observed decisions
-            # (integrator._bounce_once volume logp): scatter at d has pdf
-            # rho*exp(-rho d); surviving segment L has prob exp(-rho L)
-            survive = vol_candidate & jnp.logical_not(vol_scatter)
-            rho = jnp.maximum(v_den, 1e-8)
-            d_obs = jax.lax.stop_gradient(
-                jnp.where(vol_scatter, free_path, 0.0)
-            )
-            l_obs = jax.lax.stop_gradient(
-                jnp.where(survive, jnp.minimum(seg_len, 1e6), 0.0)
-            )
-            lp = lp + jnp.where(
-                vol_scatter, jnp.log(rho) - rho * d_obs, 0.0
-            ) + jnp.where(survive, -rho * l_obs, 0.0)
-
-            # effective hit record: the in-medium scatter replaces the
-            # surface hit (position, backwards normal, medium emission)
-            eff_t = jnp.where(vol_scatter, vol_t, t_hit)
-            px = ox + eff_t * dx
-            py = oy + eff_t * dy
-            pz = oz + eff_t * dz
-            nx = jnp.where(vol_scatter, -dx, nx)
-            ny = jnp.where(vol_scatter, -dy, ny)
-            nz = jnp.where(vol_scatter, -dz, nz)
-            em_r = jnp.where(vol_scatter, v_er, em_r)
-            em_g = jnp.where(vol_scatter, v_eg, em_g)
-            em_b = jnp.where(vol_scatter, v_eb, em_b)
-
-        ua, ub_, uc, ud = ub[0], ub[1], ub[2], ub[3]
-        u_choice, u_choice2 = ub[4], ub[5]
-
-        # ---- Standard scatter (kernel lines; Material.cs:75-119) -------
-        roughness = (1.0 - gloss) * (1.0 - gloss)
-        csx, csy, csz = _cosine_hemisphere(ua, ub_, nx, ny, nz)
-        rnx = nx + (csx - nx) * roughness
-        rny = ny + (csy - ny) * roughness
-        rnz = nz + (csz - nz) * roughness
-        rnx, rny, rnz = _normalize3(rnx, rny, rnz)
-        rough = roughness > 0.0
-        rnx = jnp.where(rough, rnx, nx)
-        rny = jnp.where(rough, rny, ny)
-        rnz = jnp.where(rough, rnz, nz)
-        incident_cos = -(dx * rnx + dy * rny + dz * rnz)
-        std_ior = PLASTIC_IOR + (METAL_IOR - PLASTIC_IOR) * metallic
-        fresnel = mk._schlick(incident_cos, std_ior)
-        cos_dn = dx * nx + dy * ny + dz * nz
-        masking = mk._smith_masking(cos_dn, roughness)
-        refl_chance = jnp.clip(fresnel * gloss * masking, 0.0, 1.0)
-        spec_dot = dx * rnx + dy * rny + dz * rnz
-        spx = dx - 2.0 * spec_dot * rnx
-        spy = dy - 2.0 * spec_dot * rny
-        spz = dz - 2.0 * spec_dot * rnz
-        lmx, lmy, lmz = _cosine_hemisphere(uc, ud, nx, ny, nz)
-        take_spec = (refl_chance > 0.0) & (u_choice < refl_chance)
-        take_metal = (metallic > 0.0) & (u_choice2 < metallic)
-        # lottery log-probability (score-function term, mirrors
-        # materials.Scatter.logp): detached replay decisions miss the
-        # probability shift of gloss/metallic/ior
-        lp_inc = jnp.where(
-            take_spec,
-            jnp.log(jnp.maximum(refl_chance, 1e-12)),
-            jnp.log(jnp.maximum(1.0 - refl_chance, 1e-12))
-            + jnp.where(
-                take_metal,
-                jnp.log(jnp.maximum(metallic, 1e-12)),
-                jnp.log(jnp.maximum(1.0 - metallic, 1e-12)),
-            ),
-        )
-        spec_like = take_spec | take_metal
-        sdx = jnp.where(spec_like, spx, lmx)
-        sdy = jnp.where(spec_like, spy, lmy)
-        sdz = jnp.where(spec_like, spz, lmz)
-        srr = jnp.where(take_spec, 1.0, alb_r)
-        srg = jnp.where(take_spec, 1.0, alb_g)
-        srb = jnp.where(take_spec, 1.0, alb_b)
-
-        if has_dielectrics:
-            # ---- Dielectric (Material.cs:121-161) ----------------------
-            d_roughness = 1.0 - gloss
-            ssx, ssy, ssz = _unit_sphere(ua, ub_)
-            drx = nx + d_roughness * ssx
-            dry = ny + d_roughness * ssy
-            drz = nz + d_roughness * ssz
-            drx, dry, drz = _normalize3(drx, dry, drz)
-            ddot = dx * drx + dy * dry + dz * drz
-            exiting = ddot > 0.0
-            onx = jnp.where(exiting, -drx, drx)
-            ony = jnp.where(exiting, -dry, dry)
-            onz = jnp.where(exiting, -drz, drz)
-            # guard non-dielectric lanes: 1/0 = inf upstream of the
-            # now-differentiable refl_prob NaNs reverse mode (see
-            # core/materials.py)
-            is_diel = mtype > 0.5
-            ior = jnp.where(is_diel, jnp.maximum(parameter, 1e-3), 1.5)
-            ni_over_nt = jnp.where(exiting, ior, 1.0 / ior)
-            cosine = jnp.where(exiting, ior * ddot, -ddot)
-            dt = dx * onx + dy * ony + dz * onz
-            disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
-            can_refract = disc_r > 0.0
-            sq_r = jnp.sqrt(
-                jnp.where(can_refract, jnp.maximum(disc_r, 1e-8), 1.0)
-            )
-            rfx = ni_over_nt * (dx - onx * dt) - onx * sq_r
-            rfy = ni_over_nt * (dy - ony * dt) - ony * sq_r
-            rfz = ni_over_nt * (dz - onz * dt) - onz * sq_r
-            refl_prob = mk._schlick(cosine, ior)
-            do_refract = can_refract & (u_choice > refl_prob)
-            diel_lp = jnp.where(
-                can_refract,
-                jnp.where(
-                    do_refract,
-                    jnp.log(jnp.maximum(1.0 - refl_prob, 1e-12)),
-                    jnp.log(jnp.maximum(refl_prob, 1e-12)),
-                ),
-                0.0,
-            )
-            lp_inc = jnp.where(is_diel, diel_lp, lp_inc)
-            drefl = dx * drx + dy * dry + dz * drz
-            dlx = jnp.where(do_refract, rfx, dx - 2.0 * drefl * drx)
-            dly = jnp.where(do_refract, rfy, dy - 2.0 * drefl * dry)
-            dlz = jnp.where(do_refract, rfz, dz - 2.0 * drefl * drz)
-            sdx = jnp.where(is_diel, dlx, sdx)
-            sdy = jnp.where(is_diel, dly, sdy)
-            sdz = jnp.where(is_diel, dlz, sdz)
-            srr = jnp.where(is_diel, jnp.where(do_refract, alb_r, 1.0), srr)
-            srg = jnp.where(is_diel, jnp.where(do_refract, alb_g, 1.0), srg)
-            srb = jnp.where(is_diel, jnp.where(do_refract, alb_b, 1.0), srb)
-
-        if has_volumes:
-            # isotropic in-medium scatter (kernel has_volumes scatter
-            # override; Material.cs:163-168)
-            vsx, vsy, vsz = _unit_sphere(uc, ud)
-            sdx = jnp.where(vol_scatter, vsx, sdx)
-            sdy = jnp.where(vol_scatter, vsy, sdy)
-            sdz = jnp.where(vol_scatter, vsz, sdz)
-            srr = jnp.where(vol_scatter, v_ar, srr)
-            srg = jnp.where(vol_scatter, v_ag, srg)
-            srb = jnp.where(vol_scatter, v_ab, srb)
-            # the material lotteries don't apply on in-medium scatters
-            # (isotropic, parameter-free); density's score terms were
-            # added above
-            lp_inc = jnp.where(vol_scatter, 0.0, lp_inc)
-
-        # ---- sky + fold (SampleBatchJob.cs:341-396) --------------------
-        if cube_table is not None:
-            # major-axis cubemap fetch (kernel cube_c section /
-            # Texture.cs:172-210).  The texel INDEX is a detached
-            # decision (direction -> int cast has zero gradient anyway);
-            # texel VALUES stay differentiable through the gather —
-            # environment-map gradients flow from exactly the rays that
-            # missed into each texel.
-            c_w, c_h = cube_dims
-            ddx = jax.lax.stop_gradient(dx)
-            ddy = jax.lax.stop_gradient(dy)
-            ddz = jax.lax.stop_gradient(dz)
-            cax, cay, caz = jnp.abs(ddx), jnp.abs(ddy), jnp.abs(ddz)
-            cuse_x = (cax >= cay) & (cax >= caz)
-            cuse_y = (cay > cax) & (cay >= caz)
-            neg_off = jnp.where(
-                cuse_x,
-                jnp.where(ddx >= 0.0, 0.0, 1.0),
-                jnp.where(
-                    cuse_y,
-                    jnp.where(ddy >= 0.0, 0.0, 1.0),
-                    jnp.where(ddz >= 0.0, 0.0, 1.0),
-                ),
-            )
-            cu_num = jnp.where(
-                cuse_x,
-                jnp.where(ddx >= 0.0, -ddz, ddz),
-                jnp.where(cuse_y, ddx, jnp.where(ddz >= 0.0, ddx, -ddx)),
-            )
-            cv_num = jnp.where(
-                cuse_x, -ddy,
-                jnp.where(cuse_y, jnp.where(ddy >= 0.0, ddz, -ddz), -ddy),
-            )
-            cmajor = jnp.maximum(
-                jnp.where(cuse_x, cax, jnp.where(cuse_y, cay, caz)), 1e-12
-            )
-            cuu = cu_num / cmajor
-            cvv = cv_num / cmajor
-            face = jnp.where(
-                cuse_x, 0.0, jnp.where(cuse_y, 2.0, 4.0)
-            ) + neg_off
-            ccx = jnp.minimum(
-                ((cuu + 1.0) * (c_w / 2.0)).astype(jnp.int32), c_w - 1
-            )
-            ccy = jnp.minimum(
-                ((cvv + 1.0) * (c_h / 2.0)).astype(jnp.int32), c_h - 1
-            )
-            crow = face.astype(jnp.int32) * c_h + ccy
-            cw_pad = cube_table.shape[0] // 3
-            cfh_pad = cube_table.shape[1]
-            cube_flat = cube_table.reshape(-1)
-            skr = cube_flat[(0 * cw_pad + ccx) * cfh_pad + crow]
-            skg = cube_flat[(1 * cw_pad + ccx) * cfh_pad + crow]
-            skb = cube_flat[(2 * cw_pad + ccx) * cfh_pad + crow]
-        elif sky_on:
-            tsky = 0.5 * (dy + 1.0)
-            skr = sky_bottom[0] + (sky_top[0] - sky_bottom[0]) * tsky
-            skg = sky_bottom[1] + (sky_top[1] - sky_bottom[1]) * tsky
-            skb = sky_bottom[2] + (sky_top[2] - sky_bottom[2]) * tsky
-        else:
-            skr = skg = skb = zero
-        lp = lp + jnp.where(scatter_mask, lp_inc, 0.0)
-        emr = jnp.where(scatter_mask, em_r, jnp.where(miss, skr, 0.0))
-        emg = jnp.where(scatter_mask, em_g, jnp.where(miss, skg, 0.0))
-        emb = jnp.where(scatter_mask, em_b, jnp.where(miss, skb, 0.0))
-        rad = rad + th * jnp.stack([emr, emg, emb])
-        th = jnp.where(
-            scatter_mask,
-            th * jnp.stack([srr, srg, srb]),
-            th,
-        )
-
-        # ---- advance + termination ------------------------------------
-        off_sign = jnp.where(
-            sdx * nx + sdy * ny + sdz * nz >= 0.0, 1.0, -1.0
-        )
-        o = jnp.where(
-            scatter_mask,
-            jnp.stack([px + SELF_EPS * off_sign * nx,
-                       py + SELF_EPS * off_sign * ny,
-                       pz + SELF_EPS * off_sign * nz]),
-            o,
-        )
-        d = jnp.where(scatter_mask, jnp.stack([sdx, sdy, sdz]), d)
-        if has_volumes:
-            # pass-through / own-exit lanes advance past the boundary
-            # without scattering (kernel advance section; consumes one
-            # bounce iteration, integrator deviation note)
-            o = jnp.where(skip, o + (skip_t + SELF_EPS) * d, o)
-            # medium bookkeeping: enter on scatter, leave on skip, keep
-            # when scattering off a solid while inside
-            med_new = jnp.stack(
-                [v_id, v_den, v_ar, v_ag, v_ab, v_er, v_eg, v_eb]
-            )
-            med = jnp.where(vol_scatter[None, :], med_new, med)
-            med = med.at[0].set(
-                jnp.where(
-                    vol_scatter, v_id, jnp.where(skip, -1.0, med[0])
-                )
-            )
-        active = jnp.where(miss, 0.0, active)
-        valid = jnp.where(miss, 1.0, valid)
-        depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
-        exhausted = (active > 0.5) & (depth_ct > trace_depth - 0.5)
-        active = jnp.where(exhausted, 0.0, active)
-        terminated = was_active & (active < 0.5)
-        ok = terminated & (valid > 0.5)
-        # zero-valued score surrogates on BOTH accumulators (the valid
-        # count is itself a decision outcome; see render/renderer.py)
-        carrier = jnp.where(ok, lp - jax.lax.stop_gradient(lp), 0.0)
-        rad_ok = jnp.where(ok, rad, 0.0)
-        ok_f = jnp.where(ok, 1.0, 0.0)
-        csum = state["csum"] + rad_ok + (
-            jax.lax.stop_gradient(rad_ok) * carrier[None]
-        )
-        cnt = state["cnt"] + ok_f + jax.lax.stop_gradient(ok_f) * carrier
-
-        out = dict(
-            o=o, d=d, th=th, rad=rad, active=active, valid=valid,
-            started=started, depth_ct=depth_ct, csum=csum, cnt=cnt,
-            lp=lp,
-        )
-        if has_motion:
-            out["ptime"] = ptime
-        if has_volumes:
-            out["med"] = med
-        return out, None
+        it, tape_row, wt = per_it
+        return replay_iteration(
+            state, wt, tape_row, it, env, **statics_it
+        ), None
 
     # Two-level scan: the winner-parameter gather runs per BLOCK of
     # trace_depth iterations inside the outer body instead of as one
@@ -996,16 +1127,17 @@ def replay(
 
     def block_body(state, xs):
         b_idx, tape_blk, w_blk = xs
+        # gather then transpose to the step's (cols, n) convention
         wrows = entity_rows[w_blk.reshape(-1)].reshape(
             block, n, entity_rows.shape[1]
-        )
+        ).transpose(0, 2, 1)
         its = b_idx * block + jnp.arange(block, dtype=jnp.int32)
         state, _ = jax.lax.scan(
             jax.checkpoint(span_body), state,
             (
                 its.reshape(-1, span),
                 tape_blk.reshape(-1, span, n),
-                wrows.reshape(-1, span, n, wrows.shape[-1]),
+                wrows.reshape(-1, span, wrows.shape[1], n),
             ),
             unroll=_UNROLL,
         )
@@ -1015,7 +1147,10 @@ def replay(
         jax.checkpoint(block_body), state0,
         (jnp.arange(n_blocks, dtype=jnp.int32), tape_blocks, w_blocks),
     )
-    return state["csum"].T, state["cnt"]
+    return (
+        jnp.stack([state["csx"], state["csy"], state["csz"]], axis=-1),
+        state["cnt"],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1060,6 +1195,10 @@ def sample_batch_diff(
     #   PRNG streams match the single-device render bit-exactly
     pixel_base=0,  # () int32: pixel id rendered by lane 0 — this
     #   shard's row-major offset into the full image
+    kernel_bwd: bool = False,  # static: run the VJP as the Pallas
+    #   backward kernel (ops/megatrace_bwd — VMEM-resident reverse
+    #   sweep) instead of jax.vjp over the XLA replay.  Caller gates on
+    #   megatrace_bwd.kernel_bwd_eligible (no image atlas / cubemap).
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
     camera_row, rect/box geo+rec tables, texture record/atlas tables) via
@@ -1211,6 +1350,36 @@ def sample_batch_diff(
             jnp.zeros((n,), jnp.float32)
             if isinstance(cot["count"], SymbolicZero) else cot["count"]
         )
+
+        if kernel_bwd:
+            # VMEM-resident reverse sweep (ops/megatrace_bwd): same
+            # replay_iteration step, adjoint machine-derived inside the
+            # kernel — returns the identical cotangent structure
+            from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+            rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
+            assert cube is None  # kernel_bwd_eligible excludes cubemap
+            cots = megatrace_bwd.replay_grad(
+                tape, lane_f, camera_row, centers, radii, records,
+                sky_b, sky_t, _i32_of(ints[0], ints[1]),
+                cot_color, cot_count,
+                rect_tables=rt, box_tables=bt, tri_tables=trt,
+                tex_tables=tt, move_vectors=mv, vol0=v0,
+                samples=samples, trace_depth=trace_depth,
+                has_dielectrics=has_dielectrics, sky_on=sky_on,
+                jitter=jitter, interpret=interpret,
+                lane0=_i32_of(ints[2], ints[3]),
+                pixel0=_i32_of(ints[4], ints[5]),
+            )
+            (cot_cam, cot_c, cot_r, cot_rec, cot_sb, cot_st,
+             aux_part) = cots
+            aux_cot = {k: jnp.zeros_like(v) for k, v in aux.items()}
+            aux_cot.update(aux_part)
+            return (
+                cot_cam, cot_c, cot_r, cot_rec, cot_sb, cot_st,
+                aux_cot, jnp.zeros_like(lane_f),
+                jnp.zeros_like(count_f), jnp.zeros_like(ints),
+            )
 
         def color_of(camera_row, centers, radii, records, sky_b, sky_t,
                      aux):

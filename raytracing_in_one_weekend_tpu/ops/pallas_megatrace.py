@@ -2744,6 +2744,17 @@ def sample_batch(
         ) if want_tape else jax.ShapeDtypeStruct(
             (BATCH_OUT_ROWS, n_pad), jnp.float32
         ),
+        compiler_params=(
+            # tape launches: the (samples*depth, RAY_TILE) tape block
+            # blows the DEFAULT 16M scoped-vmem limit past 8 spp; the
+            # raised scope admits 16-64 spp grad batches (the same
+            # tile-tail amortization the forward's 64-spp batches buy —
+            # see ops/megatrace_bwd.VMEM_LIMIT for the backward's half)
+            None if (interpret or not want_tape)
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
+        ),
         interpret=interpret,
     )(*inputs)
 

@@ -540,8 +540,14 @@ def make_sharded_fused_train_step(
     """
     from raytracing_in_one_weekend_tpu.core import materials
     from raytracing_in_one_weekend_tpu.diff import params as params_mod
+    from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
     from raytracing_in_one_weekend_tpu.ops import megatrace_replay
     from raytracing_in_one_weekend_tpu.ops import pallas_megatrace as mk
+
+    # static per-topology choice: the VMEM-resident Pallas reverse sweep
+    # where eligible, the XLA replay VJP otherwise (same rule as the
+    # single-device renderer dispatch)
+    kernel_bwd = megatrace_bwd.kernel_bwd_eligible(scene_template)
 
     if not megatrace_replay.replay_eligible(scene_template):
         raise ValueError(
@@ -616,6 +622,7 @@ def make_sharded_fused_train_step(
             lane_base=base + g * jnp.int32(n),
             pixel_base=base,
             interpret=interpret,
+            kernel_bwd=kernel_bwd,
         )
         color, cnt = d["color"], d["count"]
         if sgroups > 1:

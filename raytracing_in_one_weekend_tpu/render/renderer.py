@@ -123,7 +123,9 @@ def render_batch(
     # symbolic-zero gate) instead of silently losing gradient paths;
     # route such losses through the wavefront by forcing ineligibility.
     if differentiable and noise_color == 0 and pallas_sphere.use_pallas():
-        from raytracing_in_one_weekend_tpu.ops import megatrace_replay
+        from raytracing_in_one_weekend_tpu.ops import (
+            megatrace_bwd, megatrace_replay,
+        )
 
         diff_fused = megatrace_replay.replay_eligible(scene)
     else:
@@ -182,6 +184,10 @@ def render_batch(
             has_dielectrics=scene.flags.has_dielectrics,
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
+            # VMEM-resident Pallas reverse sweep where eligible (no
+            # image atlas / cubemap); ineligible scenes keep the XLA
+            # replay's VJP (ops/megatrace_bwd.kernel_bwd_eligible)
+            kernel_bwd=megatrace_bwd.kernel_bwd_eligible(scene),
         )
         # (no lane reorder here: the diff-fused gate caps triangles at
         # VMEM residence, so the Morton-routed streamed-triangle path can

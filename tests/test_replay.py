@@ -1059,3 +1059,173 @@ class TestReplayCubemap:
         )
         assert called.get("hit"), "cubemap scene did not take diff-fused"
         assert float(jnp.max(acc2.sample_count)) > 0
+
+
+class TestKernelBackward:
+    """ops/megatrace_bwd: the Pallas backward kernel's machine-derived
+    adjoint must match the XLA replay's jax.vjp leaf-for-leaf (both run
+    the SAME replay_iteration step; interpret mode here, the Mosaic
+    compile is exercised on hardware by bench.py / the TPU suite)."""
+
+    @staticmethod
+    def _grad_pair(scene, camera, diff_leaves, fixed, *, w, h, s, d,
+                   sky_on=True, seed=5):
+        """jax.grad of a scalar loss wrt `diff_leaves` (dict pytree),
+        once per kernel_bwd setting.  `fixed` carries the non-diff
+        call kwargs."""
+        lane_count = jnp.full((w * h,), s, jnp.int32)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+
+        def loss(leaves, kernel_bwd):
+            kw = dict(fixed)
+            for k, v in leaves.items():
+                kw[k] = v
+            centers = kw.pop("centers", scene.spheres.center)
+            radii = kw.pop("radii", scene.spheres.radius)
+            records = kw.pop("records")
+            sky_b = kw.pop("sky_b", scene.environment.sky_bottom)
+            sky_t = kw.pop("sky_t", scene.environment.sky_top)
+            crow = kw.pop("cam_row", cam_row)
+            out = megatrace_replay.sample_batch_diff(
+                lane_count, jnp.zeros((w * h,)), crow,
+                centers, radii, records, sky_b, sky_t,
+                jnp.int32(seed), samples=s, trace_depth=d,
+                has_dielectrics=scene.flags.has_dielectrics,
+                sky_on=sky_on, interpret=True, kernel_bwd=kernel_bwd,
+                **kw,
+            )
+            img = out["color"] / jnp.maximum(out["count"], 1.0)[:, None]
+            probe = jnp.cos(
+                jnp.arange(img.size, dtype=jnp.float32).reshape(img.shape)
+                * 0.37
+            )
+            return jnp.sum(img * probe)
+
+        g_ref = jax.grad(lambda lv: loss(lv, False))(diff_leaves)
+        g_ker = jax.grad(lambda lv: loss(lv, True))(diff_leaves)
+        flat_r, _ = jax.tree.flatten_with_path(g_ref)
+        flat_k, _ = jax.tree.flatten(g_ker)
+        assert len(flat_r) == len(flat_k)
+        for (path, a), b in zip(flat_r, flat_k):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:  # e.g. the sphere tables of a no-sphere scene
+                continue
+            scale = np.max(np.abs(a)) + 1e-10
+            err = np.max(np.abs(a - b)) / scale
+            assert err < 5e-4, (jax.tree_util.keystr(path), scale, err)
+
+    def test_spheres_dielectrics_camera_sky(self):
+        w = h = 20
+        s, d = 3, 5
+        scene, camera, records = _setup(book_scenes.three_spheres, w, h)
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        leaves = dict(
+            centers=scene.spheres.center, radii=scene.spheres.radius,
+            records=records, cam_row=cam_row,
+            sky_b=scene.environment.sky_bottom,
+            sky_t=scene.environment.sky_top,
+        )
+        self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
+
+    def test_cornell_rect_box(self):
+        w = h = 16
+        s, d = 2, 5
+        scene, cs = book_scenes.cornell_box()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        rect_t, box_t = pallas_megatrace.pack_aux_tables(scene, packed)
+        leaves = dict(
+            records=records, rect_tables=rect_t, box_tables=box_t,
+        )
+        self._grad_pair(
+            scene, camera, leaves, {}, w=w, h=h, s=s, d=d, sky_on=False
+        )
+
+    def test_volumes_vol0_density(self):
+        w = h = 16
+        s, d = 2, 5
+        scene, cs = book_scenes.volume_test()
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        vol0 = pallas_megatrace.camera_containment_row(
+            scene, packed, camera.origin
+        )
+        leaves = dict(records=records, vol0=vol0,
+                      centers=scene.spheres.center)
+        self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
+
+    def test_motion_move_vectors(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        w = h = 16
+        s, d = 3, 4
+        b = SceneBuilder()
+        b.add_sphere((0.0, 0.0, -1.0), 0.5, b.lambert((0.2, 0.5, 0.8)),
+                     move_offset=(0.05, 0.08, 0.0))
+        b.add_sphere((0.0, -100.5, -1.0), 100.0, b.lambert((0.5, 0.5, 0.5)))
+        b.set_gradient_sky()
+        scene = b.build()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 90.0, 1.0,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        leaves = dict(records=records,
+                      move_vectors=scene.spheres.move_offset,
+                      centers=scene.spheres.center)
+        self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
+
+    def test_mesh_triangles(self):
+        w = h = 16
+        s, d = 2, 4
+        scene = _mesh_scene()
+        camera = camera_mod.make_camera(
+            jnp.asarray([0.0, 2.0, 6.0]), jnp.asarray([0.0, 0.7, 0.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 35.0, 1.0, focus_distance=6.0,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        tri_t = pallas_megatrace.pack_tri_tables(scene, packed)
+        leaves = dict(records=records, tri_tables=tri_t)
+        self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
+
+    def test_checker_texture(self):
+        from raytracing_in_one_weekend_tpu.models import testbeds
+
+        w = h = 16
+        s, d = 2, 4
+        scene, cs = testbeds.checkered_spheres()
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        tex_all = pallas_megatrace.pack_texture_tables(scene)
+        assert tex_all is not None and tex_all[1] is None
+        leaves = dict(records=records, tex_tables=tex_all[:3])
+        self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
+
+    def test_ineligible_scenes_keep_xla_replay(self):
+        # image atlas and cubemap skies stay on the XLA replay's VJP
+        from raytracing_in_one_weekend_tpu.models import testbeds
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        scene, _ = testbeds.textured_sphere()
+        assert megatrace_replay.replay_eligible(scene)
+        assert not megatrace_bwd.kernel_bwd_eligible(scene)

@@ -235,6 +235,11 @@ class TestShardedFused:
                     samples=spp // sg, trace_depth=depth,
                     has_dielectrics=bool(s.flags.has_dielectrics),
                     sky_on=int(s.flags.sky) == 1, interpret=True,
+                    # the sharded step selects the Pallas reverse sweep
+                    # for this (eligible) scene — use the same backward
+                    # here so the oracle isolates SHARDING equality
+                    # (backend equality is TestKernelBackward's job)
+                    kernel_bwd=True,
                 )
                 color = color + d["color"]
                 cnt = cnt + d["count"]
@@ -258,7 +263,10 @@ class TestShardedFused:
         np.testing.assert_allclose(
             np.asarray(grads8["sphere_centers"]),
             np.asarray(grads1["sphere_centers"]),
-            rtol=2e-5, atol=1e-7,
+            # the kernel backward's grid-sequential tile accumulators
+            # reduce in a different order per mesh shape; measured drift
+            # is ~3e-5 rel on the sample-parallel mesh (abs 2.5e-6)
+            rtol=1e-4, atol=1e-7,
         )
 
     def test_rejects_ineligible_scene(self):
