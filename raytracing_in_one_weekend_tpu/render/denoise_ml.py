@@ -165,17 +165,23 @@ def _training_scenes():
 
 
 def render_pairs(
-    *, size: int = 128, noisy_spp: int = 4, clean_spp: int = 256,
+    *, size: int = 128, noisy_spp=4, clean_spp: int = 256,
     trace_depth: int = 6, noisy_per_scene: int = 4, seed: int = 0,
     scenes: dict | None = None,
 ):
     """Render (noisy color/normal/albedo, clean color) training tuples
     with the production forward path (one clean reference per scene,
-    several independently-seeded noisy renders against it)."""
+    several independently-seeded noisy renders against it).  noisy_spp
+    may be a tuple — renders cycle through the levels so one weight set
+    serves the whole low-spp range the CLI exposes."""
     from raytracing_in_one_weekend_tpu.core import camera as camera_mod
     from raytracing_in_one_weekend_tpu.render import renderer
 
     scenes = scenes or _training_scenes()
+    spps = (
+        tuple(noisy_spp) if isinstance(noisy_spp, (tuple, list))
+        else (noisy_spp,)
+    )
     out = []
     for si, (name, fn) in enumerate(sorted(scenes.items())):
         scene, cs = fn()
@@ -192,7 +198,8 @@ def render_pairs(
             noisy = renderer.render_image(
                 scene, camera,
                 jax.random.PRNGKey(seed + 104729 * si + 31 * k + 1),
-                width=size, height=size, samples_per_pixel=noisy_spp,
+                width=size, height=size,
+                samples_per_pixel=spps[k % len(spps)],
                 trace_depth=trace_depth, differentiable=False,
             )
             out.append((
@@ -226,26 +233,34 @@ def _crops(pairs, size, crop, n_crops, rng):
 
 
 def train(
-    *, size: int = 128, crop: int = 64, steps: int = 1500,
+    *, size: int = 128, crop: int = 64, steps: int = 4000,
     batch: int = 16, lr: float = 2e-3, seed: int = 0,
-    noisy_spp: int = 4, clean_spp: int = 256,
+    noisy_spp=(4, 16), clean_spp: int = 512,
+    noisy_per_scene: int = 8, n_crops: int = 32,
     out_path: str = WEIGHTS_PATH, pairs=None,
 ) -> dict:
-    """Train the denoiser on self-rendered pairs and save the weights."""
+    """Train the denoiser on self-rendered pairs and save the weights.
+
+    Round-3 recipe (measured vs the round-2 1500-step/4-spp-only run,
+    render/denoise_bench.py): mixed 4+16 spp noisy inputs, 8 noisy
+    renders per scene x 32 crops, cosine lr decay over 4000 steps."""
     import optax
 
     if pairs is None:
         pairs = render_pairs(
-            size=size, noisy_spp=noisy_spp, clean_spp=clean_spp, seed=seed
+            size=size, noisy_spp=noisy_spp, clean_spp=clean_spp,
+            noisy_per_scene=noisy_per_scene, seed=seed,
         )
     rng = np.random.default_rng(seed)
-    xs, ys = _crops(pairs, size, crop, 24, rng)
+    xs, ys = _crops(pairs, size, crop, n_crops, rng)
     print(f"training tensor: {xs.shape} -> {ys.shape}", flush=True)
     xs = jnp.asarray(xs)
     ys = jnp.asarray(ys)
 
     params = init_params(jax.random.PRNGKey(seed))
-    opt = optax.adam(lr)
+    opt = optax.adam(
+        optax.schedules.cosine_decay_schedule(lr, steps, alpha=0.02)
+    )
     opt_state = opt.init(params)
 
     def loss_fn(p, xb, yb):
