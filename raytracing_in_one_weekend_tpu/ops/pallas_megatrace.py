@@ -144,7 +144,15 @@ TRI_STREAM_MAX = 262144  # ... and stream per-block from HBM instead:
 # ~44KB at the cap), not by VMEM or the flat slab sweep.
 TRI_SUP = 16  # blocks per super-block cull entry (3072 triangles)
 TRI_REC_ROWS = 32  # triangle record rows (materials + normals + uvs)
-TRI_STREAM_REC_BASE = 16  # record cols start here in the streamed table
+TRI_SLOT = 3  # triangles packed per 128-col streamed row: the fused
+# row only uses 9 geo + 32 record = 41 cols, but Mosaic requires HBM DMA
+# slices with 128-multiple minor dims — packing 3 x 42-col slots per row
+# cuts the streamed transfer volume 3x (the sweep is BANDWIDTH-bound:
+# super-granularity DMA and per-block double-buffering both measured
+# slower, see BENCHMARKS.md dead ends)
+TRI_SLOT_COLS = 42  # col stride of one packed slot (9 geo + 32 rec + 1)
+TRI_ROWS = TRI_BLOCK // TRI_SLOT  # streamed rows per block (64)
+TRI_STREAM_REC_BASE = 9  # record cols start here WITHIN a packed slot
 TEX_ROWS = 16  # per-material texture record rows (pack_texture_tables)
 MAT_PAD = 128
 IMG_AH_MAX = 1024  # atlas rows (images * height) the plane dot can hold
@@ -781,7 +789,7 @@ def _bounce_step(
         # while_loop), so this per-block cull + stream IS the big-mesh
         # path (FindHitCandidates, SampleBatchJob.cs:403-448, re-shaped).
         tbl_h, ab_ref, sup_ref, tbl_s, dma_sem = tri_c
-        n_blk = tbl_h.shape[0] // TRI_BLOCK
+        n_blk = tbl_h.shape[0] // TRI_ROWS
         n_sup = n_blk // TRI_SUP
         rb = TRI_STREAM_REC_BASE
 
@@ -795,12 +803,26 @@ def _bounce_step(
 
         ivx, ivy, ivz = _inv_d(dx), _inv_d(dy), _inv_d(dz)
 
-        def _stream_sweep(carry):
+        def _slot_sweep(carry, cb):
+            # Möller–Trumbore over ONE packed slot (TRI_ROWS triangles
+            # at STATIC col base cb of the scratch — see TRI_SLOT)
             tb, tu, tv, tr = carry
-            eax, eay, eaz = tbl_s[:, 0:1], tbl_s[:, 1:2], tbl_s[:, 2:3]
-            ebx, eby, ebz = tbl_s[:, 3:4], tbl_s[:, 4:5], tbl_s[:, 5:6]
-            v0x, v0y, v0z = tbl_s[:, 6:7], tbl_s[:, 7:8], tbl_s[:, 8:9]
-            pvx = dy * eaz - dz * eay  # (TB, T)
+            eax, eay, eaz = (
+                tbl_s[:, cb + 0 : cb + 1],
+                tbl_s[:, cb + 1 : cb + 2],
+                tbl_s[:, cb + 2 : cb + 3],
+            )
+            ebx, eby, ebz = (
+                tbl_s[:, cb + 3 : cb + 4],
+                tbl_s[:, cb + 4 : cb + 5],
+                tbl_s[:, cb + 5 : cb + 6],
+            )
+            v0x, v0y, v0z = (
+                tbl_s[:, cb + 6 : cb + 7],
+                tbl_s[:, cb + 7 : cb + 8],
+                tbl_s[:, cb + 8 : cb + 9],
+            )
+            pvx = dy * eaz - dz * eay  # (TRI_ROWS, T)
             pvy = dz * eax - dx * eaz
             pvz = dx * eay - dy * eax
             det = ebx * pvx + eby * pvy + ebz * pvz
@@ -826,13 +848,13 @@ def _bounce_step(
                 jnp.int32
             )
             blk_rows = jax.lax.broadcasted_iota(
-                jnp.int32, (TRI_BLOCK, t_cols), 0
+                jnp.int32, (TRI_ROWS, t_cols), 0
             )
             blk_hot = (blk_rows == blk_idx).astype(jnp.float32)
-            # record cols rb..rb+31 of the fused row: contract the TB
-            # dim against the one-hot
+            # record cols cb+rb..cb+rb+31 of the slot: contract the
+            # TRI_ROWS dim against the one-hot
             blk_rec = jax.lax.dot_general(
-                tbl_s[:, rb : rb + TRI_REC_ROWS], blk_hot,
+                tbl_s[:, cb + rb : cb + rb + TRI_REC_ROWS], blk_hot,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, T)
@@ -845,6 +867,11 @@ def _bounce_step(
                 jnp.where(wins, blk_v, tv),
                 jnp.where(wins, blk_rec, tr),
             )
+
+        def _stream_sweep(carry):
+            for j in range(TRI_SLOT):  # static unroll: static col bases
+                carry = _slot_sweep(carry, j * TRI_SLOT_COLS)
+            return carry
 
         def _slab_pred(ref, base, best):
             """True when any ACTIVE lane's ray can beat its current best
@@ -884,16 +911,17 @@ def _bounce_step(
             blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
 
             def _do(carry):
-                # Synchronous single-buffer DMA.  A double-buffered
-                # prefetch (2-slot scratch, block i+1 started under the
+                # Synchronous single-buffer DMA of TRI_ROWS packed rows
+                # (TRI_SLOT triangles each).  A double-buffered prefetch
+                # (2-slot scratch, block i+1 started under the
                 # pre-sweep bound while block i sweeps) measured SLOWER
                 # (2.9 -> 2.6 MRays/s on mesh_large): the stale-superset
                 # predicate issues transfers for blocks the fresh bound
                 # then culls, and the slot/flag machinery doubles the
                 # slab evaluations.  The sync stall is already small vs
-                # the 192-row sweep.
+                # the 192-triangle sweep.
                 cp = pltpu.make_async_copy(
-                    tbl_h.at[pl.ds(blk * TRI_BLOCK, TRI_BLOCK)],
+                    tbl_h.at[pl.ds(blk * TRI_ROWS, TRI_ROWS)],
                     tbl_s, dma_sem,
                 )
                 cp.start()
@@ -1715,14 +1743,17 @@ def pack_tri_stream_tables(scene, packed_materials):
     (TRI_MAX < count <= TRI_STREAM_MAX), or None when the scene has no
     triangles.
 
-    Returns (tbl (T_pad, 128), aabb_row (1, n_blk * 8), sup_row
-    (1, n_sup * 8)).  tbl stays in HBM (pl.ANY) and is DMA'd one
-    TRI_BLOCK chunk at a time — one fused row per triangle: cols 0-15 =
-    the pack_tri_tables geo row (edge_a | edge_b | vert0), cols 16-47 =
-    the pack_tri_tables record TRANSPOSED.  The 128-col row width keeps
+    Returns (tbl (n_blk * TRI_ROWS, 128), aabb_row (1, n_blk * 8),
+    sup_row (1, n_sup * 8)).  tbl stays in HBM (pl.ANY) and is DMA'd one
+    TRI_ROWS chunk (= TRI_BLOCK triangles) at a time — TRI_SLOT
+    triangles per 128-col row, each in a TRI_SLOT_COLS slot: slot cols
+    0-8 = edge_a | edge_b | vert0, cols 9-40 = the pack_tri_tables
+    record TRANSPOSED (slot j of row b*TRI_ROWS+s holds triangle
+    b*TRI_BLOCK + j*TRI_ROWS + s).  The 128-col row width keeps
     every DMA slice aligned to the f32 lane tiling (Mosaic rejects HBM
-    slices whose minor dim is not a 128 multiple).  aabb_row rides in
-    SMEM: cols blk*8+0..2 = min xyz, +3..5 = max xyz of that block
+    slices whose minor dim is not a 128 multiple); packing 3 slots per
+    row cuts streamed bytes 3x vs one-triangle-per-row.  aabb_row rides
+    in SMEM: cols blk*8+0..2 = min xyz, +3..5 = max xyz of that block
     (pad-only blocks carry a degenerate far point, see pack_tri_tables).
     sup_row is the second cull level: the union AABB of each run of
     TRI_SUP consecutive blocks, so the kernel skips whole super-blocks
@@ -1766,7 +1797,7 @@ def pack_tri_stream_tables(scene, packed_materials):
     n_blk = -(-t // TRI_BLOCK)
     n_blk = -(-n_blk // TRI_SUP) * TRI_SUP
     t_pad = n_blk * TRI_BLOCK
-    tbl = jnp.zeros((t_pad, 128), jnp.float32)
+    tbl = jnp.zeros((t_pad, TRI_SLOT_COLS), jnp.float32)
     tbl = tbl.at[:t, 0:3].set(edge_a)
     tbl = tbl.at[:t, 3:6].set(edge_b)
     tbl = tbl.at[:t, 6:9].set(vert0)
@@ -1818,7 +1849,20 @@ def pack_tri_stream_tables(scene, packed_materials):
     tbl = tbl.at[:t, r + 18 : r + 21].set(normals[:, :, 2])
     tbl = tbl.at[:t, r + 21 : r + 24].set(uvs[:, 0, :])
     tbl = tbl.at[:t, r + 24 : r + 27].set(uvs[:, 1, :])
-    return tbl, aabb, sup
+    # Interleave TRI_SLOT per-triangle rows into each 128-col streamed
+    # row: slot j of packed row (b*TRI_ROWS + s) holds triangle
+    # b*TRI_BLOCK + j*TRI_ROWS + s, so a block's TRI_BLOCK triangles
+    # occupy exactly TRI_ROWS rows and the per-block DMA moves 1/TRI_SLOT
+    # the bytes of the one-triangle-per-row layout (the sweep is
+    # bandwidth-bound — BENCHMARKS.md dead ends).
+    packed = (
+        tbl.reshape(n_blk, TRI_SLOT, TRI_ROWS, TRI_SLOT_COLS)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_blk * TRI_ROWS, TRI_SLOT * TRI_SLOT_COLS)
+    )
+    out = jnp.zeros((n_blk * TRI_ROWS, 128), jnp.float32)
+    out = out.at[:, : TRI_SLOT * TRI_SLOT_COLS].set(packed)
+    return out, aabb, sup
 
 
 def pack_texture_tables(scene):
@@ -2716,7 +2760,9 @@ def sample_batch(
         ),
         scratch_shapes=(
             [
-                pltpu.VMEM((TRI_BLOCK, 128), jnp.float32),
+                # TRI_SLOT triangles per 128-col row (see pack_tri_
+                # stream_tables): one block = TRI_ROWS rows
+                pltpu.VMEM((TRI_ROWS, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]
             if tri_stream_tables is not None else []

@@ -496,12 +496,21 @@ class TestTriangleKernel:
         fused_vmem = np.concatenate(
             [np.asarray(geo[:t, 0:9]), np.asarray(rec[:, :t]).T], axis=1
         )
+        # un-interleave the TRI_SLOT-triangles-per-row packing back to
+        # one fused row per triangle (inverse of the packer's transpose)
+        n_blk = tbl.shape[0] // pallas_megatrace.TRI_ROWS
+        sc = pallas_megatrace.TRI_SLOT_COLS
+        un = (
+            np.asarray(tbl)[:, : pallas_megatrace.TRI_SLOT * sc]
+            .reshape(n_blk, pallas_megatrace.TRI_ROWS,
+                     pallas_megatrace.TRI_SLOT, sc)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_blk * pallas_megatrace.TRI_BLOCK, sc)
+        )
         fused_stream = np.concatenate(
             [
-                np.asarray(tbl[:t, 0:9]),
-                np.asarray(
-                    tbl[:t, rb : rb + pallas_megatrace.TRI_REC_ROWS]
-                ),
+                un[:t, 0:9],
+                un[:t, rb : rb + pallas_megatrace.TRI_REC_ROWS],
             ],
             axis=1,
         )
@@ -510,14 +519,13 @@ class TestTriangleKernel:
         np.testing.assert_array_equal(
             fused_vmem[order_a], fused_stream[order_b]
         )
-        n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
         assert aabb.shape == (1, n_blk * 8)
         # every block AABB must bound the vertices of its (Morton-sorted)
         # rows — read them from the packed table, which owns the order
         for blk in range(n_blk):
             sl = slice(blk * pallas_megatrace.TRI_BLOCK,
                        (blk + 1) * pallas_megatrace.TRI_BLOCK)
-            rows = tbl[sl]
+            rows = jnp.asarray(un[sl])
             real = jnp.any(rows[:, 0:9] != 0.0, axis=1)
             if not bool(jnp.any(real)):
                 continue
@@ -666,7 +674,7 @@ class TestTriangleKernel:
         stream_tables = pallas_megatrace.pack_tri_stream_tables(
             scene, packed
         )
-        assert stream_tables[0].shape[0] % pallas_megatrace.TRI_BLOCK == 0
+        assert stream_tables[0].shape[0] % pallas_megatrace.TRI_ROWS == 0
         out = pallas_megatrace.sample_batch(
             jnp.full((w * h,), s, jnp.int32), jnp.zeros((w * h,)),
             pallas_megatrace.pack_camera_row(camera, w, h),
