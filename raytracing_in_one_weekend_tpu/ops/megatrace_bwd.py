@@ -19,6 +19,21 @@ skipped — the persistent-lane forward's early-out (pallas_megatrace
 ._batch_kernel) guarantees such a block is an identity step, so this is
 the backward's mirror of the forward's reclaimed-lane win.
 
+Lane layout (round 4): every per-lane value is a PACKED (8, 128) block
+— 8 sublanes x 128 lanes = one full vreg per row — instead of the
+round-3 (1, T) rows.  Measured on v5e: Mosaic lays a (1, N) f32 row out
+one-sublane-per-vreg, so (1, T) elementwise math wastes 7/8 of the VPU
+(.scratch/layout_bench.py: (1,1024) 41 Gop/s vs (8,1024) 254 Gop/s,
+identical wall time).  A tile is BWD_TILE = 1024 lanes shaped (8, 128);
+host-side `_to8` regroups every (R, N) lane-major input into
+(R*8, N/8) so the kernel slices var k as rows [k*8:(k+1)*8] with no
+in-kernel relayouts.  The one-hot winner fetch flattens (8, 128) ->
+(1, 1024) and reshapes the (cols, 1024) matmul result to
+(cols*8, 128) — both pure sublane regroups (.scratch/proto_pack8.py
+validated the semantics on hardware).  replay_iteration is
+shape-polymorphic (elementwise row math), so it runs unchanged on the
+packed rows.
+
 Scope (kernel_bwd_eligible): the replay scope MINUS image-atlas
 textures and cubemap skies — their per-lane texel gathers have no
 Mosaic lowering here yet (the XLA replay keeps those scenes).  Covers
@@ -32,6 +47,7 @@ intersections, Material.cs scatter, SampleBatchJob.cs fold).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,12 +56,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_in_one_weekend_tpu.ops import megatrace_replay as mr
 
-BWD_TILE = 256  # lanes per backward tile.  The reverse sweep's jax.vjp
-# keeps the whole step's residuals live at once, so the per-lane stack
-# is ~6x the forward kernel's — 512 lanes measured 25.3M scoped VMEM
-# demand vs the default 16M limit (the pallas_call raises it to
-# VMEM_LIMIT below, so larger tiles are available for tuning)
-SCAL_PAD = 48  # padded scalar-cotangent rows (24 cam + 6 sky + 8 vol0)
+SUB = 8  # sublanes per packed lane block (one full vreg row)
+LN = 128  # lanes per packed row
+BWD_TILE = SUB * LN  # 1024 lanes per backward tile, shaped (8, 128).
+# Tile width is a pure packing choice: the kernel is
+# throughput-bound, so wall time tracks total vreg-ops, and (8, 128)
+# blocks hit 8x the elements per vreg-op of the old (1, T) rows.
+SCAL_PAD = 48  # padded scalar-cotangent vars (24 cam + 6 sky + 8 vol0)
 VMEM_LIMIT = 100 * 1024 * 1024  # scoped-vmem ceiling for the Mosaic
 # compile (v5e has 128M physical; the default 16M scope rejects
 # wider tiles long before the hardware does)
@@ -89,13 +106,26 @@ def _state_keys(has_motion: bool, has_volumes: bool) -> tuple:
 
 
 def _pack_state(state, keys):
-    # one (rows, T) block of (1, T) rows — the only shape op in the
-    # kernel besides the one-hot matmuls (checkpoint store format)
+    # one (rows*8, 128) block of (8, 128) vars — the only shape op in
+    # the kernel besides the one-hot matmuls (checkpoint store format)
     return jnp.concatenate([state[k] for k in keys], axis=0)
 
 
 def _unpack_state(carry, keys):
-    return {k: carry[i:i + 1] for i, k in enumerate(keys)}
+    return {k: carry[i * SUB:(i + 1) * SUB] for i, k in enumerate(keys)}
+
+
+def _to8(x):
+    """(R, N) lane-major -> (R*8, N/8): each BWD_TILE lane span becomes
+    a per-tile (8, 128) block so the kernel never relayouts.  N must be
+    a multiple of BWD_TILE."""
+    r, n = x.shape
+    nt = n // BWD_TILE
+    return (
+        x.reshape(r, nt, SUB, LN)
+        .transpose(0, 2, 1, 3)
+        .reshape(r * SUB, nt * LN)
+    )
 
 
 def _bwd_kernel(
@@ -108,45 +138,43 @@ def _bwd_kernel(
     has_volumes = statics["has_volumes"]
     keys = _state_keys(has_motion, has_volumes)
     rows = len(keys)
-    slot = -(-rows // 8) * 8  # Mosaic: dynamic sublane offsets must be
-    # provable multiples of 8
+    srows = rows * SUB  # per-iteration checkpoint stride (8-multiple by
+    # construction: Mosaic dynamic sublane offsets must be provable
+    # multiples of 8)
     span = trace_depth
     iters = samples * trace_depth
     nblk = iters // span
-    t = pix_ref.shape[1]
 
-    # EVERY lane value in this kernel is a rank-2 (1, T) row: rank-1
-    # (T,) rows as loop/cond carries or vjp leaves CHECK-crash Mosaic's
-    # layout inference (layout.h:320 "arr.size() >= layout_rank") —
-    # measured on the reduced prototypes in .scratch/proto_rank{1,2}.py
-    # ((T,) dict carries crash, (1, T) rows compile and match to 0 ulp).
+    def var(ref, k):
+        # packed var k of a _to8'd ref: one (8, 128) vreg block
+        return ref[k * SUB:(k + 1) * SUB, :]
+
     table_t = table_ref[:, :]  # (cols, s_tot) transposed entity table
     seed = seed_ref[0, 0]
-    # first-tile flag rides pix row 3 (1.0 only on the first lane tile;
-    # read as a (1,1)-slice reduction — the one 0-d pattern the rank-2
-    # prototype validated — instead of program_id, which has no
-    # interpret-mode lowering)
-    first_tile = jnp.max(pix_ref[3:4, 0:1])
-    lane = pix_ref[0:1, :]
-    per_pixel = pix_ref[1:2, :]
-    pixels = pix_ref[2:3, :]
+    # first-tile flag rides pix var 3 (1.0 only on the first lane tile;
+    # read as a (1,1)-slice reduction instead of program_id, which has
+    # no interpret-mode lowering)
+    first_tile = jnp.max(pix_ref[3 * SUB:3 * SUB + 1, 0:1])
+    lane = var(pix_ref, 0)
+    per_pixel = var(pix_ref, 1)
+    pixels = var(pix_ref, 2)
 
-    # differentiable env values as BROADCAST (1, T) lane rows, not 0-d
-    # scalars: a scalar diff's transpose is a lane reduction Mosaic
-    # also can't lay out; row cotangents stay elementwise and XLA sums
+    # differentiable env values as BROADCAST (8, 128) lane blocks, not
+    # 0-d scalars: a scalar diff's transpose is a lane reduction Mosaic
+    # can't lay out; block cotangents stay elementwise and XLA sums
     # the lanes after the kernel
-    cam = [cam_ref[k:k + 1, :] for k in range(24)]
+    cam = [var(cam_ref, k) for k in range(24)]
     diffs = dict(
         co=tuple(cam[0:3]), ll=tuple(cam[3:6]), hh=tuple(cam[6:9]),
         vv=tuple(cam[9:12]), rr=tuple(cam[12:15]), uu=tuple(cam[15:18]),
         lens_radius=cam[18], width=cam[19], height=cam[20],
         cam_tail=tuple(cam[21:24]),  # unused rows: zero cotangent,
         # kept so the row layout below stays position-stable
-        sky_b=tuple(sky_ref[k:k + 1, :] for k in range(3)),
-        sky_t=tuple(sky_ref[k:k + 1, :] for k in range(3, 6)),
+        sky_b=tuple(var(sky_ref, k) for k in range(3)),
+        sky_t=tuple(var(sky_ref, k) for k in range(3, 6)),
     )
     if has_volumes:
-        diffs["vol0"] = tuple(vol0_ref[k:k + 1, :] for k in range(8))
+        diffs["vol0"] = tuple(var(vol0_ref, k) for k in range(8))
 
     env_nondiff = dict(
         per_pixel=per_pixel,
@@ -166,16 +194,18 @@ def _bwd_kernel(
         )
         if has_volumes:
             env["vol0"] = diffs["vol0"]
-        w = jnp.clip(tape_row, 0.0, None).astype(jnp.int32)  # (1, T)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (s_tot, t), 0)
-        onehot = (iota == w).astype(jnp.float32)  # (S, T)
+        w = jnp.clip(tape_row, 0.0, None).astype(jnp.int32)  # (8, 128)
+        wflat = w.reshape(1, SUB * LN)  # sublane regroup: t = sub*128+ln
+        iota = jax.lax.broadcasted_iota(jnp.int32, (s_tot, SUB * LN), 0)
+        onehot = (iota == wflat).astype(jnp.float32)  # (S, 1024)
         wtf = jax.lax.dot_general(
             table_t, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (cols, T)
-        # hand the step a tuple of (1, T) rows so its wt[k] indexing
-        # never materializes a rank-1 lane vector
-        wt = tuple(wtf[k:k + 1, :] for k in range(cols))
+        )  # (cols, 1024)
+        packed = wtf.reshape(cols * SUB, LN)  # row k*8.. = var k (8,128)
+        wt = tuple(
+            packed[k * SUB:(k + 1) * SUB, :] for k in range(cols)
+        )
         return mr.replay_iteration(
             state, wt, tape_row, it, env, **statics
         )
@@ -184,13 +214,15 @@ def _bwd_kernel(
         # a block whose tape rows are all idle (-2) is an identity step
         # (every lane done + nothing left to regenerate — the forward's
         # early-out wrote the fill), so both sweeps skip it
-        m = tape_ref[pl.ds(bi * span, 1), :]
+        m = tape_ref[pl.ds(bi * span * SUB, SUB), :]
         for j in range(1, span):
-            m = jnp.maximum(m, tape_ref[pl.ds(bi * span + j, 1), :])
+            m = jnp.maximum(
+                m, tape_ref[pl.ds((bi * span + j) * SUB, SUB), :]
+            )
         return jnp.max(m) > -1.5
 
     # ---- phase 1: forward sweep, checkpoint carry per block ---------
-    zrow = jnp.zeros((1, t), jnp.float32)
+    zrow = jnp.zeros((SUB, LN), jnp.float32)
     state0 = {k: zrow for k in keys}
     state0.update(thx=zrow + 1.0, thy=zrow + 1.0, thz=zrow + 1.0)
     if has_volumes:
@@ -198,7 +230,7 @@ def _bwd_kernel(
 
     def fwd_block(bi, state):
         if not full_store:
-            ckpt_ref[pl.ds(bi * slot, rows), :] = _pack_state(
+            ckpt_ref[pl.ds(bi * srows, srows), :] = _pack_state(
                 state, keys
             )
 
@@ -206,13 +238,13 @@ def _bwd_kernel(
             it = bi * span + j
             if full_store:
                 # per-ITERATION entry states: phase 2 reads them back
-                # directly, no re-forward sweep (slot stays an 8-row
-                # multiple so it*slot is a provable sublane offset)
-                ckpt_ref[pl.ds(it * slot, rows), :] = _pack_state(
+                # directly, no re-forward sweep
+                ckpt_ref[pl.ds(it * srows, srows), :] = _pack_state(
                     st, keys
                 )
             return kstep(
-                st, table_t, diffs, tape_ref[pl.ds(it, 1), :], it
+                st, table_t, diffs,
+                tape_ref[pl.ds(it * SUB, SUB), :], it,
             )
 
         return jax.lax.cond(
@@ -222,13 +254,16 @@ def _bwd_kernel(
             state,
         )
 
-    jax.lax.fori_loop(0, nblk, fwd_block, state0)
+    # debug-only phase knobs for perf attribution (.scratch/bwd_profile)
+    _p1 = nblk if os.environ.get("BWD_SKIP_PHASE1") is None else 0
+    _p2 = nblk if os.environ.get("BWD_SKIP_PHASE2") is None else 0
+    jax.lax.fori_loop(0, _p1, fwd_block, state0)
 
     # ---- phase 2: reverse sweep with per-iteration jax.vjp -----------
     cot0 = {k: zrow for k in keys}
     cot0.update(
-        csx=cot_ref[0:1, :], csy=cot_ref[1:2, :], csz=cot_ref[2:3, :],
-        cnt=cot_ref[3:4, :],
+        csx=var(cot_ref, 0), csy=var(cot_ref, 1), csz=var(cot_ref, 2),
+        cnt=var(cot_ref, 3),
     )
     dtab0 = jnp.zeros((cols, s_tot), jnp.float32)
     dscal0 = jax.tree.map(lambda s: jnp.zeros_like(s), diffs)
@@ -239,17 +274,17 @@ def _bwd_kernel(
         def run(acc):
             if not full_store:
                 st = _unpack_state(
-                    ckpt_ref[pl.ds(bi * slot, rows), :], keys
+                    ckpt_ref[pl.ds(bi * srows, srows), :], keys
                 )
 
                 def refwd(j, st):
-                    blk_ref[pl.ds(j * slot, rows), :] = _pack_state(
+                    blk_ref[pl.ds(j * srows, srows), :] = _pack_state(
                         st, keys
                     )
                     it = bi * span + j
                     return kstep(
-                        st, table_t, diffs, tape_ref[pl.ds(it, 1), :],
-                        it,
+                        st, table_t, diffs,
+                        tape_ref[pl.ds(it * SUB, SUB), :], it,
                     )
 
                 jax.lax.fori_loop(0, span, refwd, st)
@@ -259,12 +294,12 @@ def _bwd_kernel(
                 j = span - 1 - j2
                 it = bi * span + j
                 st_in = _unpack_state(
-                    ckpt_ref[pl.ds(it * slot, rows), :]
+                    ckpt_ref[pl.ds(it * srows, srows), :]
                     if full_store
-                    else blk_ref[pl.ds(j * slot, rows), :],
+                    else blk_ref[pl.ds(j * srows, srows), :],
                     keys,
                 )
-                row = tape_ref[pl.ds(it, 1), :]
+                row = tape_ref[pl.ds(it * SUB, SUB), :]
                 _, vjp_fn = jax.vjp(
                     lambda s, tb, df: kstep(s, tb, df, row, it),
                     st_in, table_t, diffs,
@@ -280,13 +315,14 @@ def _bwd_kernel(
         return jax.lax.cond(block_live(bi), run, lambda a: a, acc)
 
     _, dtab, dscal = jax.lax.fori_loop(
-        0, nblk, rev_block, (cot0, dtab0, dscal0)
+        0, _p2, rev_block, (cot0, dtab0, dscal0)
     )
 
     # ---- accumulate across lane tiles (sequential TPU grid) ----------
     flat, _ = jax.tree.flatten(dscal)  # sorted-key order; replay_grad
-    # reconstructs with the same treedef.  Each entry is a (1, T) row
-    # cotangent of a broadcast input; XLA sums lanes after the kernel.
+    # reconstructs with the same treedef.  Each entry is an (8, 128)
+    # block cotangent of a broadcast input; XLA sums lanes after the
+    # kernel.
     rows_s = list(flat)
     rows_s += [zrow] * (SCAL_PAD - len(rows_s))
     scal_block = jnp.concatenate(rows_s, axis=0)
@@ -294,7 +330,7 @@ def _bwd_kernel(
     @pl.when(first_tile > 0.5)
     def _init():
         dtable_ref[:, :] = jnp.zeros((cols, s_tot), jnp.float32)
-        dscal_ref[:, :] = jnp.zeros((SCAL_PAD, t), jnp.float32)
+        dscal_ref[:, :] = jnp.zeros((SCAL_PAD * SUB, LN), jnp.float32)
 
     dtable_ref[:, :] += dtab
     dscal_ref[:, :] += scal_block
@@ -403,24 +439,33 @@ def replay_grad(
     )
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    # broadcast lane-row layouts (see _bwd_kernel: no 0-d diffs)
+    # broadcast lane-block layouts (see _bwd_kernel: no 0-d diffs);
+    # every per-lane input is regrouped by _to8 so the kernel reads
+    # var k as packed rows [k*8:(k+1)*8]
     cam = jnp.broadcast_to(
-        camera_row.astype(jnp.float32)[:, None], (24, BWD_TILE)
+        jnp.repeat(camera_row.astype(jnp.float32), SUB)[:, None],
+        (24 * SUB, LN),
     )
     sky = jnp.broadcast_to(
-        jnp.concatenate(
-            [sky_bottom.astype(jnp.float32),
-             sky_top.astype(jnp.float32)]
+        jnp.repeat(
+            jnp.concatenate(
+                [sky_bottom.astype(jnp.float32),
+                 sky_top.astype(jnp.float32)]
+            ),
+            SUB,
         )[:, None],
-        (6, BWD_TILE),
+        (6 * SUB, LN),
     )
     vol0_row = jnp.broadcast_to(
-        (vol0.astype(jnp.float32) if has_volumes
-         else jnp.zeros((8,), jnp.float32))[:, None],
-        (8, BWD_TILE),
+        jnp.repeat(
+            (vol0.astype(jnp.float32) if has_volumes
+             else jnp.zeros((8,), jnp.float32)),
+            SUB,
+        )[:, None],
+        (8 * SUB, LN),
     )
 
-    pix = jnp.zeros((8, n_pad), jnp.float32)
+    pix = jnp.zeros((4, n_pad), jnp.float32)
     pix = pix.at[0, :].set(
         jnp.arange(n_pad, dtype=jnp.float32)
         + jnp.asarray(lane0, jnp.float32)
@@ -439,17 +484,16 @@ def replay_grad(
     cot = cot.at[3, :n].set(cot_count.astype(jnp.float32))
 
     rows = len(_state_keys(has_motion, has_volumes))
-    slot = -(-rows // 8) * 8
-    full_store = iters * slot * BWD_TILE * 4 <= FULL_STORE_BYTES
+    srows = rows * SUB
+    full_store = iters * srows * LN * 4 <= FULL_STORE_BYTES
     if full_store:
         scratch = [
-            pltpu.VMEM((iters * slot, BWD_TILE), jnp.float32),
+            pltpu.VMEM((iters * srows, LN), jnp.float32),
         ]
     else:
         scratch = [
-            pltpu.VMEM((iters // trace_depth * slot, BWD_TILE),
-                       jnp.float32),
-            pltpu.VMEM((trace_depth * slot, BWD_TILE), jnp.float32),
+            pltpu.VMEM((iters // trace_depth * srows, LN), jnp.float32),
+            pltpu.VMEM((trace_depth * srows, LN), jnp.float32),
         ]
 
     grid = (n_pad // BWD_TILE,)
@@ -463,17 +507,17 @@ def replay_grad(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((24, BWD_TILE), lambda i: (0, 0),
+            pl.BlockSpec((24 * SUB, LN), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, BWD_TILE), lambda i: (0, 0),
+            pl.BlockSpec((6 * SUB, LN), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BWD_TILE), lambda i: (0, 0),
+            pl.BlockSpec((8 * SUB, LN), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BWD_TILE), lambda i: (0, i),
+            pl.BlockSpec((4 * SUB, LN), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((iters, BWD_TILE), lambda i: (0, i),
+            pl.BlockSpec((iters * SUB, LN), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BWD_TILE), lambda i: (0, i),
+            pl.BlockSpec((4 * SUB, LN), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cols, s_tot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -481,12 +525,12 @@ def replay_grad(
         out_specs=(
             pl.BlockSpec((cols, s_tot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SCAL_PAD, BWD_TILE), lambda i: (0, 0),
+            pl.BlockSpec((SCAL_PAD * SUB, LN), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((cols, s_tot), jnp.float32),
-            jax.ShapeDtypeStruct((SCAL_PAD, BWD_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((SCAL_PAD * SUB, LN), jnp.float32),
         ),
         scratch_shapes=scratch,
         compiler_params=(
@@ -494,8 +538,8 @@ def replay_grad(
             else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
         ),
         interpret=interpret,
-    )(seed_arr, cam, sky, vol0_row, pix, tape_pad, cot,
-      entity_rows.T)
+    )(seed_arr, cam, sky, vol0_row, _to8(pix), _to8(tape_pad),
+      _to8(cot), entity_rows.T)
 
     # ---- scatter the table cotangent back to the scene leaves --------
     (dleaves,) = build_vjp(dtable.T)
@@ -514,7 +558,9 @@ def replay_grad(
         diffs_proto["vol0"] = (0.0,) * 8
     treedef = jax.tree.structure(diffs_proto)
     nscal = treedef.num_leaves
-    scal_vals = [jnp.sum(dscal[i, :]) for i in range(nscal)]
+    scal_vals = [
+        jnp.sum(dscal[i * SUB:(i + 1) * SUB, :]) for i in range(nscal)
+    ]
     ds = jax.tree.unflatten(treedef, scal_vals)
 
     cot_cam = jnp.stack(

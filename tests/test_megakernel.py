@@ -711,16 +711,26 @@ class TestTriangleKernel:
         tbl, aabb, sup = pallas_megatrace.pack_tri_stream_tables(
             scene, packed
         )
-        n_blk = tbl.shape[0] // pallas_megatrace.TRI_BLOCK
+        n_blk = tbl.shape[0] // pallas_megatrace.TRI_ROWS
         assert n_blk % pallas_megatrace.TRI_SUP == 0
         assert aabb.shape == (1, n_blk * 8)
         assert sup.shape == (1, (n_blk // pallas_megatrace.TRI_SUP) * 8)
-        assert tbl.shape == (n_blk * pallas_megatrace.TRI_BLOCK, 128)
-        # real rows survive the Morton permutation exactly once: the
-        # packed vert0 multiset must match the scene's
+        assert tbl.shape == (n_blk * pallas_megatrace.TRI_ROWS, 128)
+        # un-interleave the TRI_SLOT-triangles-per-row packing back to
+        # one row per triangle (inverse of the packer's transpose),
+        # then: real rows survive the Morton permutation exactly once —
+        # the packed vert0 multiset must match the scene's
+        sc = pallas_megatrace.TRI_SLOT_COLS
+        un = jnp.asarray(
+            np.asarray(tbl)[:, : pallas_megatrace.TRI_SLOT * sc]
+            .reshape(n_blk, pallas_megatrace.TRI_ROWS,
+                     pallas_megatrace.TRI_SLOT, sc)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_blk * pallas_megatrace.TRI_BLOCK, sc)
+        )
         order = jnp.lexsort(scene.triangles.vert0.T)
-        rows = tbl[:, 6:9]
-        real = jnp.any(tbl[:, 0:9] != 0.0, axis=1)
+        rows = un[:, 6:9]
+        real = jnp.any(un[:, 0:9] != 0.0, axis=1)
         packed_v0 = rows[real]
         assert packed_v0.shape[0] == t
         porder = jnp.lexsort(packed_v0.T)
