@@ -39,6 +39,7 @@ white-noise flavor.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -773,6 +774,8 @@ def _bounce_step(
             tri_v = jnp.where(blk_wins, blk_v, tri_v)
             tri_idx = jnp.where(blk_wins, blk_gidx, tri_idx)
             trec = jnp.where(blk_wins, blk_rec, trec)
+        if os.environ.get("MESH_COUNT") is not None:
+            rays_cast = rays_cast + _sweep_ct
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
         mat = jnp.where(tri_wins, trec[0:11, :], mat)
@@ -803,24 +806,24 @@ def _bounce_step(
 
         ivx, ivy, ivz = _inv_d(dx), _inv_d(dy), _inv_d(dz)
 
-        def _slot_sweep(carry, cb):
+        def _slot_sweep(carry, cb, brows):
             # Möller–Trumbore over ONE packed slot (TRI_ROWS triangles
-            # at STATIC col base cb of the scratch — see TRI_SLOT)
+            # at STATIC col base cb of the resident block — see TRI_SLOT)
             tb, tu, tv, tr = carry
             eax, eay, eaz = (
-                tbl_s[:, cb + 0 : cb + 1],
-                tbl_s[:, cb + 1 : cb + 2],
-                tbl_s[:, cb + 2 : cb + 3],
+                brows[:, cb + 0 : cb + 1],
+                brows[:, cb + 1 : cb + 2],
+                brows[:, cb + 2 : cb + 3],
             )
             ebx, eby, ebz = (
-                tbl_s[:, cb + 3 : cb + 4],
-                tbl_s[:, cb + 4 : cb + 5],
-                tbl_s[:, cb + 5 : cb + 6],
+                brows[:, cb + 3 : cb + 4],
+                brows[:, cb + 4 : cb + 5],
+                brows[:, cb + 5 : cb + 6],
             )
             v0x, v0y, v0z = (
-                tbl_s[:, cb + 6 : cb + 7],
-                tbl_s[:, cb + 7 : cb + 8],
-                tbl_s[:, cb + 8 : cb + 9],
+                brows[:, cb + 6 : cb + 7],
+                brows[:, cb + 7 : cb + 8],
+                brows[:, cb + 8 : cb + 9],
             )
             pvx = dy * eaz - dz * eay  # (TRI_ROWS, T)
             pvy = dz * eax - dx * eaz
@@ -854,7 +857,7 @@ def _bounce_step(
             # record cols cb+rb..cb+rb+31 of the slot: contract the
             # TRI_ROWS dim against the one-hot
             blk_rec = jax.lax.dot_general(
-                tbl_s[:, cb + rb : cb + rb + TRI_REC_ROWS], blk_hot,
+                brows[:, cb + rb : cb + rb + TRI_REC_ROWS], blk_hot,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, T)
@@ -868,10 +871,12 @@ def _bounce_step(
                 jnp.where(wins, blk_rec, tr),
             )
 
-        def _stream_sweep(carry):
+        def _stream_sweep(carry, brows):
+            extra = carry[4:]
+            carry = carry[:4]
             for j in range(TRI_SLOT):  # static unroll: static col bases
-                carry = _slot_sweep(carry, j * TRI_SLOT_COLS)
-            return carry
+                carry = _slot_sweep(carry, j * TRI_SLOT_COLS, brows)
+            return carry + extra
 
         def _slab_pred(ref, base, best):
             """True when any ACTIVE lane's ray can beat its current best
@@ -907,51 +912,92 @@ def _bounce_step(
             ).astype(jnp.float32)
             return jnp.max(jnp.where(active > 0.0, lane_may, 0.0)) > 0.0
 
+        # debug-only attribution knobs (.scratch measurements): force
+        # every pred true (cull cost/benefit) or drop the per-block
+        # level (super-only cull)
+        _force = os.environ.get("MESH_FORCE_SWEEP") is not None
+        _sup_only = os.environ.get("MESH_SUP_ONLY") is not None
+
         def _blk_body(blk, carry):
-            blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
+            # post-DMA per-block cull: the block's rows are already VMEM
+            # resident (the super-level DMA below), so this pred only
+            # gates the 192-triangle sweep — no transfer latency rides
+            # on it.  The shrinking per-lane bound (carry[0]) still
+            # culls the back shell of closed meshes block by block.
+            if _force or _sup_only:
+                blk_pred = jnp.bool_(True)
+            else:
+                blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
 
             def _do(carry):
-                # Synchronous single-buffer DMA of TRI_ROWS packed rows
-                # (TRI_SLOT triangles each).  A double-buffered prefetch
-                # (2-slot scratch, block i+1 started under the
-                # pre-sweep bound while block i sweeps) measured SLOWER
-                # (2.9 -> 2.6 MRays/s on mesh_large): the stale-superset
-                # predicate issues transfers for blocks the fresh bound
-                # then culls, and the slot/flag machinery doubles the
-                # slab evaluations.  The sync stall is already small vs
-                # the 192-triangle sweep.
-                cp = pltpu.make_async_copy(
-                    tbl_h.at[pl.ds(blk * TRI_ROWS, TRI_ROWS)],
-                    tbl_s, dma_sem,
-                )
-                cp.start()
-                cp.wait()
-                return _stream_sweep(carry)
+                rows = tbl_s[
+                    pl.ds((blk % TRI_SUP) * TRI_ROWS, TRI_ROWS), :
+                ]
+                c = _stream_sweep(carry, rows)
+                if os.environ.get("MESH_COUNT") is not None:
+                    # debug: sweep tally rides the 5th carry slot
+                    return c[:4] + (c[4] + 1.0,)
+                return c
 
             return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
 
         def _sup_body(sup, carry):
-            # level-2 cull: one slab test skips TRI_SUP blocks' worth of
-            # per-block tests, keeping the loop O(blocks near the ray)
-            sup_pred = _slab_pred(sup_ref, sup * 8, carry[0])
-            return jax.lax.cond(
-                sup_pred,
-                lambda c: jax.lax.fori_loop(
-                    sup * TRI_SUP, (sup + 1) * TRI_SUP, _blk_body, c
-                ),
-                lambda c: c,
-                carry,
+            # level-2 cull + super-granular DMA: one slab test skips
+            # TRI_SUP blocks' worth of per-block tests, and one 512KB
+            # transfer (TRI_SUP*TRI_ROWS rows) replaces up to TRI_SUP
+            # synchronous 32KB block DMAs.  Round 3 paid a ~5us DMA
+            # round trip PER PASSING BLOCK (measured: mesh_huge was
+            # "DMA-bound" yet its total streamed bytes were <100ms/batch
+            # of bandwidth — the cost was transfer LATENCY serialized
+            # with the pred chain, not bytes).  Shipping a whole super
+            # costs ~0.7us of extra bandwidth and removes the per-block
+            # stall; blocks the bound then culls only waste VPU-free
+            # DMA bytes.  (The round-2 "super-granularity DMA measured
+            # slower" experiment swept every shipped block — this keeps
+            # the per-block sweep cull.)
+            sup_pred = (
+                jnp.bool_(True) if _force
+                else _slab_pred(sup_ref, sup * 8, carry[0])
             )
 
-        tri_best, tri_u, tri_v, trec = jax.lax.fori_loop(
-            0, n_sup, _sup_body,
-            (
-                jnp.full((1, t_cols), BIG, jnp.float32),
-                zero,
-                zero,
-                jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
-            ),
-        )
+            def _do_sup(carry):
+                cp = pltpu.make_async_copy(
+                    tbl_h.at[
+                        pl.ds(sup * TRI_SUP * TRI_ROWS,
+                              TRI_SUP * TRI_ROWS)
+                    ],
+                    tbl_s, dma_sem,
+                )
+                cp.start()
+                cp.wait()
+                return jax.lax.fori_loop(
+                    sup * TRI_SUP, (sup + 1) * TRI_SUP, _blk_body, carry
+                )
+
+            return jax.lax.cond(sup_pred, _do_sup, lambda c: c, carry)
+
+        if os.environ.get("MESH_COUNT") is not None:
+            tri_best, tri_u, tri_v, trec, _sweep_ct = jax.lax.fori_loop(
+                0, n_sup, _sup_body,
+                (
+                    jnp.full((1, t_cols), BIG, jnp.float32),
+                    zero, zero,
+                    jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
+                    zero,
+                ),
+            )
+        else:
+            tri_best, tri_u, tri_v, trec = jax.lax.fori_loop(
+                0, n_sup, _sup_body,
+                (
+                    jnp.full((1, t_cols), BIG, jnp.float32),
+                    zero,
+                    zero,
+                    jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
+                ),
+            )
+        if os.environ.get("MESH_COUNT") is not None:
+            rays_cast = rays_cast + _sweep_ct
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
         mat = jnp.where(tri_wins, trec[0:11, :], mat)
@@ -2156,6 +2202,7 @@ def _batch_kernel(
     has_noise: bool = False, has_cos: bool = False,
     has_volumes: bool = False, has_motion: bool = False,
     want_tape: bool = False, has_sph_blocks: bool = False,
+    lockstep: bool = False,
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
@@ -2294,6 +2341,21 @@ def _batch_kernel(
 
         # ---- regenerate: start the next sample on idle lanes ----------
         regen = (pactive < 0.5) & (started < per_pixel)
+        if lockstep:
+            # LOCKSTEP regeneration (streamed-mesh scenes): lanes only
+            # start a new sample at trace_depth boundaries, so every
+            # active path in the tile is at the SAME (sample, bounce)
+            # phase.  The streamed-triangle cull is tile-grained (a
+            # block is swept when ANY active lane may hit it) — with
+            # per-lane regen the tile mixes fresh camera rays with
+            # deep-bounce rays every iteration and the union covers
+            # ~half the mesh; in lockstep the camera-ray iterations
+            # have a tight frustum union (few blocks) and the divergent
+            # bounce iterations carry few active lanes and short
+            # distance bounds.  Paths can't outlive trace_depth, so
+            # cohorts stay aligned; the iteration budget
+            # samples*trace_depth is exact, not amortized.
+            regen = regen & (it % trace_depth == 0)
         if hw_prng:
             u = _uniforms_hw((8, t_shape[1]))
         else:
@@ -2426,12 +2488,14 @@ def _batch_kernel(
             tape_ref[pl.ds(it, 1), :] = code
         (ox, oy, oz, dx, dy, dz, thx, thy, thz, rx, ry, rz,
          pactive, valid, anx, any_, anz, aax, aay, aaz,
-         got, events, _,
+         got, events, _rc,
          in_id, in_den, in_ar, in_ag, in_ab, in_er, in_eg, in_eb,
          ptime) = carry
 
         depth_ct = depth_ct + jnp.where(was_active, 1.0, 0.0)
         rays = rays + jnp.where(was_active, 1.0, 0.0)
+        if os.environ.get("MESH_COUNT") is not None:
+            rays = rays + _rc  # debug: per-iteration sweep tally
 
         # depth exhaustion fails the sample (SampleBatchJob.cs:380-381)
         exhausted = (pactive > 0.5) & (depth_ct > trace_depth - 0.5)
@@ -2757,12 +2821,20 @@ def sample_batch(
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
             want_tape=want_tape,
+            lockstep=(
+                tri_stream_tables is not None
+                and os.environ.get("MESH_LOCKSTEP") is not None
+            ),  # opt-in: measured SLOWER (mesh_large 4.0 -> 2.9) — the
+            # 4x iteration inflation outweighs the tighter unions; kept
+            # as a measurement knob for the sorted-wavefront follow-up
         ),
         scratch_shapes=(
             [
                 # TRI_SLOT triangles per 128-col row (see pack_tri_
-                # stream_tables): one block = TRI_ROWS rows
-                pltpu.VMEM((TRI_ROWS, 128), jnp.float32),
+                # stream_tables): one SUPER-block resident at a time
+                # (TRI_SUP blocks x TRI_ROWS rows = 512KB; the stream
+                # DMAs super-granular, the sweep stays block-granular)
+                pltpu.VMEM((TRI_SUP * TRI_ROWS, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]
             if tri_stream_tables is not None else []
