@@ -1207,6 +1207,7 @@ def sample_batch_diff(
     losses are photometric).  Gradients wrt scene leaves (rect quat/pos,
     box extents, materials, atlas texels) flow through the caller's
     pack_aux_tables/pack_materials/pack_texture_tables."""
+    interpret = interpret or mk.FORCE_INTERPRET
     statics = dict(
         samples=samples, trace_depth=trace_depth,
         has_dielectrics=has_dielectrics, sky_on=sky_on, jitter=jitter,

@@ -47,6 +47,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+
+FORCE_INTERPRET = False  # test hook: monkeypatched True (with
+# pallas_sphere.use_pallas) so CPU suites can drive the RENDERER's fused
+# dispatch glue through interpret-mode kernels.  Read at trace time —
+# set it before the first jitted call of a session.
 RAY_TILE = 1024
 SPHERE_PAD = 128
 SPH_BLOCK = 256  # sphere rows per cond-skipped sweep chunk (big scenes; 128 measured a wash)
@@ -2647,6 +2652,7 @@ def sample_batch(
     rect_tables/box_tables (from pack_aux_tables) add oriented rect/box
     entities to the in-kernel intersection sweep.
     """
+    interpret = interpret or FORCE_INTERPRET
     if want_tape:
         # the replay VJP mirrors only the reproducible hash PRNG; a tape
         # recorded under the hardware PRNG would silently replay different

@@ -31,6 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+
+FORCE_INTERPRET = False  # test hook (see pallas_megatrace.FORCE_INTERPRET)
 RAY_TILE = 512
 SPHERE_PAD = 128  # pad sphere count to a lane multiple
 PAD_CENTER = 1e17
@@ -98,6 +100,7 @@ def sphere_select(
     """Nearest-sphere selection. Returns (best_t, best_idx, exit_t), each
     (N,).  Selection only — recompute the winner's quadratic for gradients.
     """
+    interpret = interpret or FORCE_INTERPRET
     n = origin.shape[0]
     s = centers.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE
@@ -262,6 +265,7 @@ def sphere_select_full(
       constants fetch); use the gather path when gradients wrt sphere
       geometry are needed.
     """
+    interpret = interpret or FORCE_INTERPRET
     n = origin.shape[0]
     s = centers.shape[0]
     r_cols = records.shape[1]

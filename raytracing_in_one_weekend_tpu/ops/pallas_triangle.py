@@ -24,6 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
+
+FORCE_INTERPRET = False  # test hook (see pallas_megatrace.FORCE_INTERPRET)
 # Moller-Trumbore keeps ~10 (T_pad, RAY_TILE) f32 temporaries live; tile
 # sizes are chosen to stay under the ~16MB VMEM budget.
 RAY_TILE = 256
@@ -115,6 +117,7 @@ def triangle_select(
 ):
     """Nearest-triangle selection; returns (best_t (N,), best_idx (N,)).
     Selection only (detached) — re-evaluate the winner for gradients."""
+    interpret = interpret or FORCE_INTERPRET
     n = origin.shape[0]
     t_count = edge_a.shape[0]
     n_pad = -(-n // RAY_TILE) * RAY_TILE

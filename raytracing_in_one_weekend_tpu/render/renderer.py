@@ -114,14 +114,106 @@ def render_batch(
         )
         return acc, _reduce_metrics(acc, d["rays"])
 
+    def _wavefront_pass(start_acc):
+        """The scan-over-samples wavefront integrator (defined here so
+        the diff-fused branch below can reuse it as the AOV-gradient
+        carrier).  Returns (accumulators, per-sample pixel rays)."""
+
+        def one_sample(carry, sample_index):
+            acc_c = carry
+            skey = rng.sample_key(key, sample_index)
+            first_bounce_tsd = None
+            if noise_color != 0 and noise_state is not None:
+                # Pixel-correlated sampler flavors (RandomSource.cs
+                # NoiseColor): blue / spatio-temporal blue drive jitter +
+                # lens draws, and — when the real STBN cosine set is
+                # loaded — the first bounce's Lambert scatter
+                # (RandomSource.cs:63-89).
+                from raytracing_in_one_weekend_tpu.core import randomsource
+
+                u4 = randomsource.pixel_uniforms(
+                    noise_state, draw_base + sample_index, width, height
+                )
+                coords = camera_mod.pixel_coords(
+                    width, height, None, sub_pixel_jitter,
+                    jitter_uv=u4[:, 0:2],
+                )
+                rays = camera_mod.generate_rays(
+                    camera, coords, skey, lens_uv=u4[:, 2:4]
+                )
+                first_bounce_tsd = randomsource.pixel_cosine(
+                    noise_state, draw_base + sample_index, width, height
+                )
+            else:
+                coords = camera_mod.pixel_coords(
+                    width, height, skey if sub_pixel_jitter else None,
+                    sub_pixel_jitter,
+                )
+                rays = camera_mod.generate_rays(camera, coords, skey)
+            lane_active = row_active & (sample_index < per_pixel)
+            result = integrator.trace(
+                scene, rays, skey, trace_depth,
+                differentiable=differentiable,
+                active=lane_active, first_bounce_tsd=first_bounce_tsd,
+            )
+
+            valid = result.valid & row_active
+            fvalid = valid.astype(jnp.float32)
+            is_first_ever = acc_c.sample_count == 0.0
+
+            color_add = result.radiance * fvalid[:, None]
+            count_add = fvalid
+            if differentiable:
+                # zero-valued score-function surrogates
+                # (integrator.TraceResult logp): unbiased gradients of the
+                # SAMPLING DECISIONS (volume free paths, material
+                # lotteries) need E[f * dlogp] on the color SUM and on the
+                # valid COUNT — both are functions of those decisions.
+                # One surrogate per accumulated product (a product of two
+                # surrogated factors double-counts).  logp is identically
+                # 0 along deterministic branches, so lambert-only scenes
+                # see no extra variance.
+                carrier = result.logp - jax.lax.stop_gradient(result.logp)
+                color_add = color_add + (
+                    jax.lax.stop_gradient(color_add) * carrier[:, None]
+                )
+                count_add = count_add + (
+                    jax.lax.stop_gradient(count_add) * carrier
+                )
+
+            new_acc = film.Accumulators(
+                color=acc_c.color + color_add,
+                sample_count=acc_c.sample_count + count_add,
+                normal=acc_c.normal + result.aov_normal * fvalid[:, None],
+                albedo=acc_c.albedo + result.aov_albedo * fvalid[:, None],
+                weight=acc_c.weight + result.events * fvalid,
+                # Fallback AOVs: the first sample's AOV, valid or not
+                # (SampleBatchJob.cs:146-151 s==0 fallback capture).
+                fallback_normal=jnp.where(
+                    (is_first_ever & lane_active)[:, None],
+                    result.aov_normal,
+                    acc_c.fallback_normal,
+                ),
+                fallback_albedo=jnp.where(
+                    (is_first_ever & lane_active)[:, None],
+                    result.aov_albedo,
+                    acc_c.fallback_albedo,
+                ),
+            )
+            return new_acc, result.pixel_rays
+
+        return jax.lax.scan(
+            one_sample, start_acc, jnp.arange(samples), unroll=1
+        )
+
     # --- differentiable fused path (ops/megatrace_replay): fused-kernel
     # primal + tape-replay VJP.  Sphere/rect/box/VMEM-triangle gradient
     # scope (Cornell + mesh classes); everything else keeps the wavefront
-    # below.  NOTE: only the COLOR sum's and valid COUNT's cotangents
-    # propagate — an AOV-regularized loss (normal/albedo/weight) raises
-    # NotImplementedError at trace time (megatrace_replay._bwd's
-    # symbolic-zero gate) instead of silently losing gradient paths;
-    # route such losses through the wavefront by forcing ineligibility.
+    # below.  The replay propagates the COLOR sum's and valid COUNT's
+    # cotangents; AOV (normal/albedo/weight) cotangents ride a
+    # stop-gradient-grafted differentiable wavefront term added at the
+    # end of this branch — automatic, no flag, and free for photometric
+    # losses (DCE removes the unused wavefront subgraph).
     if differentiable and noise_color == 0 and pallas_sphere.use_pallas():
         from raytracing_in_one_weekend_tpu.ops import (
             megatrace_bwd, megatrace_replay,
@@ -192,6 +284,32 @@ def render_batch(
         # (no lane reorder here: the diff-fused gate caps triangles at
         # VMEM residence, so the Morton-routed streamed-triangle path can
         # never be taken)
+
+        # ---- automatic AOV-gradient fallback -------------------------
+        # The tape replay propagates only the color/count cotangents; an
+        # AOV-regularized loss (normal/albedo/weight) used to raise
+        # NotImplementedError at transpose time.  Instead, graft the
+        # differentiable WAVEFRONT's AOV channels on with stop-gradient
+        # algebra: primal values stay the kernel's (the wave terms cancel
+        # exactly), while AOV cotangents flow through the wavefront graph
+        # (threefry sample set — an independent unbiased gradient
+        # estimate, like any fresh MC estimate of the same expectation).
+        # When the loss never touches an AOV channel its cotangent is
+        # zero and XLA dead-code-eliminates the whole wavefront subgraph,
+        # so photometric-loss gradients pay nothing.
+        acc_w, _ = _wavefront_pass(film.zero_accumulators(n))
+        d_wave = dict(
+            normal=acc_w.normal,
+            albedo=acc_w.albedo,
+            weight=acc_w.weight,
+            fallback_normal=acc_w.fallback_normal,
+            fallback_albedo=acc_w.fallback_albedo,
+        )
+        for k, wv in d_wave.items():
+            d[k] = (
+                jax.lax.stop_gradient(d[k])
+                + wv - jax.lax.stop_gradient(wv)
+            )
         return _apply_deltas(acc, d, lane_count)
 
     noise_fusable = noise_color == 0 or noise_state is not None
@@ -314,88 +432,7 @@ def render_batch(
             d = {k: v[rank] for k, v in d.items()}
         return _apply_deltas(acc, d, lane_count)
 
-    def one_sample(carry, sample_index):
-        acc_c = carry
-        skey = rng.sample_key(key, sample_index)
-        first_bounce_tsd = None
-        if noise_color != 0 and noise_state is not None:
-            # Pixel-correlated sampler flavors (RandomSource.cs NoiseColor):
-            # blue / spatio-temporal blue drive jitter + lens draws, and
-            # — when the real STBN cosine set is loaded — the first
-            # bounce's Lambert scatter (RandomSource.cs:63-89).
-            from raytracing_in_one_weekend_tpu.core import randomsource
-
-            u4 = randomsource.pixel_uniforms(
-                noise_state, draw_base + sample_index, width, height
-            )
-            coords = camera_mod.pixel_coords(
-                width, height, None, sub_pixel_jitter, jitter_uv=u4[:, 0:2]
-            )
-            rays = camera_mod.generate_rays(
-                camera, coords, skey, lens_uv=u4[:, 2:4]
-            )
-            first_bounce_tsd = randomsource.pixel_cosine(
-                noise_state, draw_base + sample_index, width, height
-            )
-        else:
-            coords = camera_mod.pixel_coords(
-                width, height, skey if sub_pixel_jitter else None,
-                sub_pixel_jitter,
-            )
-            rays = camera_mod.generate_rays(camera, coords, skey)
-        lane_active = row_active & (sample_index < per_pixel)
-        result = integrator.trace(
-            scene, rays, skey, trace_depth, differentiable=differentiable,
-            active=lane_active, first_bounce_tsd=first_bounce_tsd,
-        )
-
-        valid = result.valid & row_active
-        fvalid = valid.astype(jnp.float32)
-        is_first_ever = acc_c.sample_count == 0.0
-
-        color_add = result.radiance * fvalid[:, None]
-        count_add = fvalid
-        if differentiable:
-            # zero-valued score-function surrogates (integrator.TraceResult
-            # logp): unbiased gradients of the SAMPLING DECISIONS (volume
-            # free paths, material lotteries) need E[f * dlogp] on the
-            # color SUM and on the valid COUNT — both are functions of
-            # those decisions.  One surrogate per accumulated product (a
-            # product of two surrogated factors double-counts).  logp is
-            # identically 0 along deterministic branches, so lambert-only
-            # scenes see no extra variance.
-            carrier = result.logp - jax.lax.stop_gradient(result.logp)
-            color_add = color_add + (
-                jax.lax.stop_gradient(color_add) * carrier[:, None]
-            )
-            count_add = count_add + (
-                jax.lax.stop_gradient(count_add) * carrier
-            )
-
-        new_acc = film.Accumulators(
-            color=acc_c.color + color_add,
-            sample_count=acc_c.sample_count + count_add,
-            normal=acc_c.normal + result.aov_normal * fvalid[:, None],
-            albedo=acc_c.albedo + result.aov_albedo * fvalid[:, None],
-            weight=acc_c.weight + result.events * fvalid,
-            # Fallback AOVs: the first sample's AOV, valid or not
-            # (SampleBatchJob.cs:146-151 s==0 fallback capture).
-            fallback_normal=jnp.where(
-                (is_first_ever & lane_active)[:, None],
-                result.aov_normal,
-                acc_c.fallback_normal,
-            ),
-            fallback_albedo=jnp.where(
-                (is_first_ever & lane_active)[:, None],
-                result.aov_albedo,
-                acc_c.fallback_albedo,
-            ),
-        )
-        return new_acc, result.pixel_rays
-
-    acc, pixel_rays_per_sample = jax.lax.scan(
-        one_sample, acc, jnp.arange(samples), unroll=1
-    )
+    acc, pixel_rays_per_sample = _wavefront_pass(acc)
     pixel_rays = jnp.sum(pixel_rays_per_sample, axis=0)
 
     return acc, _reduce_metrics(acc, pixel_rays)
