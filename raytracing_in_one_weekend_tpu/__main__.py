@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-duration", type=float, default=None,
                    help="stop after this many seconds")
     p.add_argument("--output", default="render.png")
+    p.add_argument("--preview-every", type=int, default=0, metavar="N",
+                   help="write the in-progress image to OUTPUT every N "
+                        "batches (the reference's previewAfterBatch live "
+                        "blit, Raytracer.cs:804-807,1062-1091 — here a "
+                        "progressive PNG refresh)")
     p.add_argument("--save-aovs", action="store_true",
                    help="also save normal/albedo AOV PNGs")
     p.add_argument("--save-diagnostics", action="store_true",
@@ -183,6 +188,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"{stats.duration_s * 1e3:.1f} ms",
                 file=sys.stderr,
             )
+        if (
+            args.preview_every > 0
+            and stats.batch_index % args.preview_every == 0
+        ):
+            # progressive preview (previewAfterBatch): refresh OUTPUT with
+            # the combined/denoised in-progress image; interlace gap fill
+            # covers not-yet-traced rows (film.py:69)
+            images = r.images(tonemap=args.tonemap)
+            image_util.write_png(args.output, np.asarray(images["color"]))
 
     r.run(max_duration_seconds=args.max_duration, on_batch=report)
 
