@@ -797,6 +797,99 @@ def main_mesh(outdir: str = "gallery", steps: int = 400) -> None:
           f"{e0[~seen].mean():.4f} -> {e1[~seen].mean():.4f}")
 
 
+def main_motion(outdir: str = "gallery", steps: int = 120) -> None:
+    """Recover a sphere's motion-blur offset FROM its own blur (the
+    time-augmented silhouette term, diff/boundary.edge_gradients d_move;
+    reference motion model Entity.cs:124-127 TransformAtTime).  Round 3
+    measured interior-only descent diverging (cos 0.24) — the loss
+    signal lives in the swept silhouette."""
+    import optax
+
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.diff import boundary, params as params_mod
+    from raytracing_in_one_weekend_tpu.render import film, renderer
+    from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+    from raytracing_in_one_weekend_tpu.utils import image as image_mod
+
+    w = h = 128
+    spp, depth = 48, 5
+    b = SceneBuilder()
+    lam = b.lambert((0.8, 0.2, 0.2))
+    ground = b.lambert((0.5, 0.5, 0.5))
+    b.add_sphere((-0.3, 0.0, -1.2), 0.35, lam, move_offset=(0.0, 0.0, 0.0))
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    b.set_gradient_sky()
+    scene = b.build()
+    camera = camera_mod.make_camera(
+        jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+        jnp.asarray([0.0, 1.0, 0.0]), 90.0, w / h,
+    )
+    true_move = jnp.asarray([[0.6, 0.1, 0.25], [0.0, 0.0, 0.0]])
+
+    def save(color, path):
+        img = film.CombinedImage(
+            color=color, normal=jnp.zeros_like(color),
+            albedo=jnp.zeros_like(color),
+        )
+        image_mod.write_png(
+            path, np.asarray(film.finalize(img, w, h)["color"])
+        )
+
+    target = renderer.render_image(
+        params_mod.set_sphere_move_offsets(scene, true_move), camera,
+        jax.random.PRNGKey(3), width=w, height=h,
+        samples_per_pixel=128, trace_depth=depth, differentiable=False,
+    ).color
+    save(target, f"{outdir}/motion_target.png")
+
+    @jax.jit
+    def render(p, k):
+        sc = params_mod.apply_params(scene, p)
+        return renderer.render_image(
+            sc, camera, k, width=w, height=h,
+            samples_per_pixel=spp, trace_depth=depth,
+        ).color
+
+    def image_loss(img):
+        return jnp.mean((img - target) ** 2)
+
+    vg = jax.jit(
+        boundary.value_and_grad_with_boundary(
+            render, image_loss,
+            lambda p: params_mod.apply_params(scene, p),
+            camera, w, h,
+            boundary.BoundaryConfig(
+                samples_per_sphere=256, trace_depth=depth, probe_spp=4
+            ),
+        )
+    )
+    params = {"sphere_move_offsets": jnp.zeros((2, 3), jnp.float32)}
+    save(render(params, jax.random.PRNGKey(0)),
+         f"{outdir}/motion_init.png")
+    opt = optax.adam(0.04)
+    state = opt.init(params)
+    key = jax.random.PRNGKey(17)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        loss, grads = vg(params, k)
+        losses.append(float(loss))
+        updates, state = opt.update(grads, state)
+        params = optax.apply_updates(params, updates)
+    dt = time.perf_counter() - t0
+    save(render(params, jax.random.PRNGKey(1)),
+         f"{outdir}/motion_final.png")
+    got = np.asarray(params["sphere_move_offsets"][0])
+    want = np.asarray(true_move[0])
+    cos = float(got @ want / (np.linalg.norm(got) * np.linalg.norm(want)
+                              + 1e-12))
+    print(f"steps={steps} wall={dt:.1f}s ({dt/steps*1e3:.0f} ms/step)")
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+    print(f"move {np.round(got, 3)} vs true {np.round(want, 3)} "
+          f"(cos {cos:.3f}, |err| {np.linalg.norm(got - want):.3f})")
+
+
 def _quat_mul(a, b):
     """Hamilton product of (…,4) quats in (x,y,z,w) layout: rotation b
     followed by a."""
@@ -823,5 +916,7 @@ if __name__ == "__main__":
         main_texture(_out)
     elif _mode == "mesh":
         main_mesh(_out)
+    elif _mode == "motion":
+        main_motion(_out)
     else:
         main(_out)

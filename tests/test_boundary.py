@@ -574,3 +574,104 @@ class TestBoundaryInverse:
         err0 = float(jnp.abs(perturbed - true_pos).max())
         err1 = float(jnp.abs(final["box_positions"] - true_pos).max())
         assert err1 < err0 * 0.5, (err0, err1, losses[:3], losses[-3:])
+
+
+class TestMotionBoundaryGradients:
+    """Time-augmented silhouette term (edge_gradients d_move): motion
+    recovered FROM its own blur.  Round 3 measured interior-only descent
+    on move_offset diverging (cos 0.24, PARITY.md) — the loss signal
+    lives in the swept silhouette, which the static edge sampler never
+    saw.  The edge integral now averages over shutter time with
+    dc(t)/dmove = t."""
+
+    def _motion_setup(self, true_move=(0.6, 0.0, 0.25)):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        lam = b.lambert((0.8, 0.2, 0.2))
+        ground = b.lambert((0.5, 0.5, 0.5))
+        b.add_sphere((-0.3, 0.0, -1.2), 0.35, lam,
+                     move_offset=(0.0, 0.0, 0.0))
+        b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+        b.set_gradient_sky()
+        scene = b.build()
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 90.0, 1.0,
+        )
+        true = jnp.asarray([list(true_move), [0.0, 0.0, 0.0]])
+        target_scene = params_mod.set_sphere_move_offsets(scene, true)
+        target = renderer.render_image(
+            target_scene, cam, jax.random.PRNGKey(3),
+            width=W, height=H, samples_per_pixel=SPP, trace_depth=DEPTH,
+        ).color
+
+        @jax.jit
+        def render(p, k):
+            s = params_mod.apply_params(scene, p)
+            return renderer.render_image(
+                s, cam, k, width=W, height=H,
+                samples_per_pixel=SPP, trace_depth=DEPTH,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = jax.jit(
+            boundary.value_and_grad_with_boundary(
+                render, image_loss,
+                lambda p: params_mod.apply_params(scene, p),
+                cam, W, H,
+                boundary.BoundaryConfig(
+                    samples_per_sphere=512, trace_depth=DEPTH, probe_spp=8
+                ),
+            )
+        )
+        return scene, cam, render, image_loss, vg, true
+
+    def test_move_gradient_fullframe_allclose(self):
+        scene, cam, render, image_loss, vg, true = self._motion_setup()
+        base = {
+            "sphere_move_offsets": jnp.asarray(
+                [[0.3, 0.0, 0.1], [0.0, 0.0, 0.0]]
+            )
+        }
+        keys = [jax.random.PRNGKey(i) for i in range(2)]
+        ad = np.mean(
+            [np.asarray(vg(base, k)[1]["sphere_move_offsets"])
+             for k in keys],
+            axis=0,
+        )
+        fd = _fd(
+            render, image_loss, base, "sphere_move_offsets", 0, 4e-3, keys
+        )
+        assert np.isfinite(ad).all()
+        assert np.sign(ad[0, 0]) == np.sign(fd) or abs(fd) < 2e-3
+        assert abs(ad[0, 0] - fd) < max(0.35 * abs(fd), 5e-3), (
+            ad[0, 0], fd,
+        )
+
+    def test_recover_move_from_blur(self):
+        import optax
+
+        scene, cam, render, image_loss, vg, true = self._motion_setup()
+        params = {
+            "sphere_move_offsets": jnp.zeros((2, 3), jnp.float32)
+        }
+        opt = optax.adam(0.05)
+        state = opt.init(params)
+        key = jax.random.PRNGKey(17)
+        for i in range(40):
+            key, k = jax.random.split(key)
+            loss, grads = vg(params, k)
+            updates, state = opt.update(grads, state)
+            params = optax.apply_updates(params, updates)
+        got = np.asarray(params["sphere_move_offsets"][0])
+        want = np.asarray(true[0])
+        cos = float(
+            got @ want / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12)
+        )
+        assert cos > 0.9, (got, want, cos)
+        assert abs(np.linalg.norm(got) - np.linalg.norm(want)) < 0.35, (
+            got, want,
+        )

@@ -392,3 +392,35 @@ class TestAOVFallback:
             restore()
         assert np.all(np.isfinite(g))
         assert np.abs(g).max() > 0
+
+
+class TestDeepDepthGrad:
+    """Gradients at the reference's default-scale trace depth
+    (Raytracer.cs:88 traceDepth 35; benches historically ran depth 8).
+    The wavefront adjoint scans depth iterations and the kernel
+    backward's tape is samples*depth long — both must stay FD-correct
+    at depth >= 16, not just the shallow bench depth."""
+
+    def test_albedo_grad_fd_depth16(self):
+        scene, cam_settings = book_scenes.single_sphere()
+        loss = _make_loss(
+            params_mod.set_texture_colors, scene, cam_settings,
+            spp=4, depth=16,
+        )
+        report = gradcheck.check_grads(
+            loss, scene.textures.main_color, eps=1e-3, rtol=0.1, atol=1e-3
+        )
+        assert report["allclose"], report
+        assert report["cosine"] > 0.999, report
+
+    def test_center_grad_fd_depth16_interior(self):
+        scene, cam_settings = book_scenes.single_sphere()
+        mask = _interior_mask(24, 24, 9, 15, 9, 15)
+        loss = _make_loss(
+            params_mod.set_sphere_centers, scene, cam_settings,
+            pixel_mask=mask, spp=4, depth=16,
+        )
+        report = gradcheck.check_grads(
+            loss, scene.spheres.center, eps=1e-3, rtol=0.15, atol=2e-3
+        )
+        assert report["cosine"] > 0.99, report

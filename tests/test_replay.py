@@ -1229,3 +1229,37 @@ class TestKernelBackward:
         scene, _ = testbeds.textured_sphere()
         assert megatrace_replay.replay_eligible(scene)
         assert not megatrace_bwd.kernel_bwd_eligible(scene)
+
+
+class TestKernelBackwardDeepDepth:
+    """Depth >= 16 through the Pallas backward (the reference's default
+    traceDepth is 35, Raytracer.cs:88): the checkpoint/re-forward mode
+    engages (full_store needs iters*rows*8*128*4 bytes and depth-16
+    tapes exceed the budget at real tile sizes) and the adjoint must
+    still match the XLA replay leaf-for-leaf.
+
+    ~15 min of CPU interpret-mode compile, so gated behind RTIW_SLOW=1
+    (verified green 2026-08-20); the default evidence for deep-depth
+    gradients is the depth-35 hardware bench row in BENCHMARKS.md plus
+    tests/test_grad.py::TestDeepDepthGrad (wavefront FD, depth 16)."""
+
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("RTIW_SLOW"),
+        reason="~15 min interpret compile; set RTIW_SLOW=1",
+    )
+    def test_three_spheres_depth16(self):
+        w = h = 12
+        s, d = 1, 16  # 1 spp keeps the unrolled interpret program (and
+        # its compile) half the size — depth is the thing under test
+        scene, camera, records = _setup(book_scenes.three_spheres, w, h)
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        leaves = dict(
+            centers=scene.spheres.center, radii=scene.spheres.radius,
+            records=records, cam_row=cam_row,
+        )
+        TestKernelBackward._grad_pair(
+            scene, camera, leaves, {}, w=w, h=h, s=s, d=d
+        )
