@@ -125,7 +125,12 @@ def scatter(
     #   unitvec3_cosine set (RandomSource.cs:63-89 SpatioTemporalBlue
     #   arm); replaces the Lambert diffuse draw when lambert_tsd_on
     lambert_tsd_on: jnp.ndarray | bool = False,  # traced bool: use the
-    #   pre-drawn set this bounce (the renderer gates it to bounce 0)
+    #   pre-drawn set this bounce (the renderer gates it to bounce 0,
+    #   or every bounce under full STBN routing)
+    u_override: jnp.ndarray | None = None,  # (6, N) pre-drawn scalar
+    #   uniforms replacing the threefry draws — the STBN scalar set
+    #   (randomsource.pixel_scalar) so EVERY lottery/inversion draw
+    #   carries the flavored sampler (RandomSource.cs:27-33)
 ) -> Scatter:
     """Scatter all rays at once (reference dispatch: Material.cs:68-174)."""
     mats = scene.materials
@@ -158,9 +163,12 @@ def scatter(
         )
 
     n = ray_direction.shape[0]
-    u = jax.random.uniform(
-        rng.purpose_key(key, rng.Purpose.SCATTER_A), (6, n)
-    )
+    if u_override is not None:
+        u = u_override
+    else:
+        u = jax.random.uniform(
+            rng.purpose_key(key, rng.Purpose.SCATTER_A), (6, n)
+        )
     ua, ub, uc, ud, u_choice, u_choice2 = u
 
     # ---- Standard (Material.cs:75-119) -----------------------------------

@@ -40,10 +40,15 @@ class NoiseState(NamedTuple):
     slices for spatio-temporal blue.
     cosine — (T, S, S, 3) tangent-space (y-up) cosine-hemisphere
     directions from the real stbn_unitvec3_cosine set, or None (white
-    first-bounce scatter)."""
+    first-bounce scatter).
+    scalar — (T, S, S) scalars from the real stbn_scalar set (the
+    reference's NextFloat arm, RandomSource.cs:27-33), or None: drives
+    EVERY in-path scalar draw (rough-normal inversion, material
+    lotteries, dielectric choice, volume free path) when present."""
 
     tiles: jnp.ndarray
     cosine: Optional[jnp.ndarray] = None
+    scalar: Optional[jnp.ndarray] = None
 
 
 def make_noise_state(
@@ -67,6 +72,7 @@ def make_noise_state(
         return NoiseState(
             tiles=jnp.asarray(stbn.stbn_camera_tiles(tables)),
             cosine=jnp.asarray(tables.cosine),
+            scalar=jnp.asarray(tables.scalar),
         )
     tiles = jnp.stack(
         [noise.make_blue_noise_tile(TILE, 4, seed + i) for i in range(temporal)]
@@ -131,3 +137,70 @@ def pixel_cosine(
     if state is None or state.cosine is None:
         return None
     return _tile_lookup(state.cosine, draw_index, width, height)
+
+
+def _tile_lookup_split(table, slice_index, offset_index, width, height):
+    """_tile_lookup with the temporal-slice index decoupled from the R2
+    offset index: the STBN sets are optimized along the temporal axis
+    at stride 1 (consecutive slices anticorrelate per pixel), so
+    consecutive DRAWS must step slices by 1 while (bounce, purpose)
+    decorrelation rides the spatial R2 offsets only.  (Folding bounce or
+    purpose into one combined index gave slice strides that were even —
+    period-2 slice cycling measured WORSE than white noise.)"""
+    t, size = table.shape[0], table.shape[1]
+    tile_idx = jnp.mod(jnp.asarray(slice_index).astype(jnp.int32), t)
+    offs = noise.per_pixel_noise_offset(
+        jnp.asarray(offset_index).astype(jnp.float32), size
+    )
+    ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
+    tx = jnp.mod(xs + offs[..., 0], size)
+    ty = jnp.mod(ys + offs[..., 1], size)
+    return table[tile_idx, ty, tx]
+
+
+def pixel_scalar(
+    state: Optional[NoiseState],
+    draw_index: jnp.ndarray,  # () per-sample progressive draw counter
+    bounce,  # () bounce index within the path
+    purpose: int,  # decorrelation salt (one per independent consumer)
+    width: int,
+    height: int,
+) -> Optional[jnp.ndarray]:
+    """(width*height,) pixel-correlated scalars from the STBN scalar set
+    (the reference's flavored NextFloat, RandomSource.cs:27-33), or None
+    when the flavor carries no scalar set.
+
+    Temporal slice advances 1 per draw (the set's optimized axis);
+    (bounce, purpose) decorrelate through the R2 spatial offset and a
+    Cranley-Patterson rotation — both spectrum-preserving."""
+    if state is None or state.scalar is None:
+        return None
+    idx = jnp.asarray(draw_index).astype(jnp.float32)
+    b = jnp.asarray(bounce).astype(jnp.float32)
+    off_idx = idx * 97.0 + b * 11.0 + jnp.float32(purpose) * 29.0
+    vals = _tile_lookup_split(
+        state.scalar[..., None], idx + b, off_idx, width, height
+    )[..., 0]
+    rot = noise.r2_sequence(off_idx + 0.5)[..., 0]
+    return jnp.mod(vals + rot, 1.0)
+
+
+def pixel_cosine_at(
+    state: Optional[NoiseState],
+    draw_index: jnp.ndarray,
+    bounce,  # () bounce index (0 = the pixel_cosine first-bounce draw)
+    width: int,
+    height: int,
+) -> Optional[jnp.ndarray]:
+    """pixel_cosine generalized to every bounce: slice stride 1 per
+    draw, per-bounce R2 offsets (RandomSource.cs:63-89 — the reference
+    advances its per-pixel counter every draw; the bounce offset plays
+    that role).  Unit vectors take no Cranley-Patterson rotation."""
+    if state is None or state.cosine is None:
+        return None
+    idx = jnp.asarray(draw_index).astype(jnp.float32)
+    b = jnp.asarray(bounce).astype(jnp.float32)
+    return _tile_lookup_split(
+        state.cosine, idx + b, idx * 97.0 + b * 11.0 + 7.0,
+        width, height,
+    )

@@ -322,7 +322,7 @@ def _smith_masking(cos_theta, roughness):
 def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
     sky_on: bool, has_volumes: bool = False, has_motion: bool = False,
-    want_winner: bool = False, cos_tsd=None,
+    want_winner: bool = False, cos_tsd=None, cos_all: bool = False,
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -1206,7 +1206,10 @@ def _bounce_step(
         wy = tsx * bty + tsy * ny + tsz * bby
         wz = tsx * btz + tsy * nz + tsz * bbz
         wx, wy, wz = _normalize3(wx, wy, wz)
-        fb = depth < 0.5
+        # cos_all: the in-kernel STBN fetch supplies a fresh flavored
+        # cosine direction EVERY bounce (full RandomSource.cs:63-89
+        # routing); the pre-drawn path only has the first bounce's
+        fb = depth > -1.0 if cos_all else depth < 0.5
         lmx = jnp.where(fb, wx, lmx)
         lmy = jnp.where(fb, wy, lmy)
         lmz = jnp.where(fb, wz, lmz)
@@ -2036,6 +2039,61 @@ def pack_noise_cosine(noise_state, count_in, width, height, samples):
     return stacked.transpose(2, 0, 1).reshape(3 * samples, -1)
 
 
+def pack_noise_tables(noise_state, temporal: int = 8):
+    """Pack the sampler-flavor tables for the IN-KERNEL tile fetch, or
+    None when the flavor has none.
+
+    Returns (tbl (rows, 128) f32, meta) with meta a STATIC dict:
+      size  — tile side (128 for the real STBN sets, 64 synthesized)
+      T     — temporal slices kept (capped at `temporal`)
+      cam   — row base of the 4 camera channels (4*T*size rows,
+              channel-major: channel c slice t row y at
+              cam + ((c*T)+t)*size + y)
+      cos   — row base of the 3 cosine channels, or -1
+      scal  — row base of the scalar set, or -1
+
+    Unlike pack_noise_uniforms/pack_noise_cosine (pre-drawn (C*samples,N)
+    rows with per-pixel progressive counters — exact wavefront parity,
+    but ~270MB of HBM per 64-spp cover batch plus a per-iteration
+    samples-row one-hot fetch), the packed tables live once in VMEM
+    (~4MB) and the kernel fetches by (iteration, purpose)-keyed tile
+    roll — same spatial blue-noise property, draw counters keyed by
+    iteration instead of per-pixel sample index (persistent lanes
+    regenerate at different iterations, so per-pixel counters cannot be
+    shared anyway)."""
+    if noise_state is None:
+        return None
+    tiles = noise_state.tiles  # (T0, S, S, 4) — may be traced (jit)
+    t0, size = tiles.shape[0], tiles.shape[1]
+    if size > 128:
+        return None  # 256px blue-noise EXRs keep the pre-drawn path
+    t = min(t0, temporal)
+    blocks = [
+        tiles[:t, :, :, c].reshape(t * size, size) for c in range(4)
+    ]
+    meta = {"size": size, "T": t, "cam": 0, "cos": -1, "scal": -1}
+    rows = 4 * t * size
+    if noise_state.cosine is not None:
+        cos = noise_state.cosine
+        assert cos.shape[1] == size
+        assert min(cos.shape[0], temporal) == t  # matching slice counts
+        meta["cos"] = rows
+        for c in range(3):
+            blocks.append(cos[:t, :, :, c].reshape(t * size, size))
+        rows += 3 * t * size
+    if noise_state.scalar is not None:
+        scal = noise_state.scalar
+        assert scal.shape[1] == size
+        meta["scal"] = rows
+        blocks.append(scal[:t].reshape(t * size, size))
+        rows += t * size
+    tbl = jnp.zeros((rows, 128), jnp.float32)
+    tbl = tbl.at[:, :size].set(
+        jnp.concatenate(blocks, axis=0).astype(jnp.float32)
+    )
+    return jnp.asarray(tbl), meta
+
+
 def _bounce_textures(
     tex_c, mat_id, alb, normal, point, uv, t_cols,
 ):
@@ -2194,6 +2252,77 @@ def _turbulence_rows(perlin_ref, px, py, pz, t_cols, depth: int = 7):
     return jnp.clip(acc, 0.0, 1.0)
 
 
+
+def _stbn_rows(
+    ntbl_ref, meta, base, chn, seq, salt, px_row, py_row, t_cols,
+):
+    """In-kernel flavored-draw fetch: chn (1, t_cols) rows with
+    value[lane] = tile[t_idx, (py+offy) % S, (px+offx) % S] from the
+    pack_noise_tables layout — the PerPixelNoise addressing
+    (PerPixelNoise.cs:24-44) with the draw counter `seq` keyed by
+    iteration.
+
+    Cost shape: because lanes are row-major pixels and the image width
+    is a multiple of the tile size S, (px[lane]+offx) % S advances by 1
+    per lane THROUGH row wraps — so the whole fetch is: per image row
+    covered by the tile, one (1, S) table-row read + one (S, S)
+    rotation matmul (k0 = (px0+offx) % S, shared across rows/channels),
+    lane-tiled to (1, t_cols) and masked together by py.  No per-lane
+    gathers, no (samples, N) one-hots.
+
+    Returns a LIST of chn rows (uniform channels; the caller applies
+    Cranley-Patterson rotations where the draw is a scalar)."""
+    size, t = meta[0], meta[1]
+    nrows = t_cols // max(size, 1)  # lane reps of one tile row
+    # R2 offsets (R2.cs:8-16 plastic constants) + temporal slice — all
+    # scalars shared by the tile
+    seqf = seq.astype(jnp.float32) + jnp.float32(salt) * 101.0 + 0.5
+    offx = jnp.floor(
+        jnp.mod(seqf * 0.7548776662466927, 1.0) * size
+    ).astype(jnp.int32)
+    offy = jnp.floor(
+        jnp.mod(seqf * 0.5698402909980532, 1.0) * size
+    ).astype(jnp.int32)
+    t_idx = jnp.mod(seq + jnp.int32(salt), t)
+
+    px0 = px_row[0, 0].astype(jnp.int32)
+    py0 = py_row[0, 0].astype(jnp.int32)
+    k0 = jnp.mod(px0 + offx, size)
+    # rotation one-hot: rot[j] = row[(j + k0) % S]
+    br = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    bc = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    perm = (br == jnp.mod(bc + k0, size)).astype(jnp.float32)
+
+    # distinct image rows the tile covers (static count)
+    n_img_rows = meta[5]
+    out = [jnp.zeros((1, t_cols), jnp.float32) for _ in range(chn)]
+    for rr in range(n_img_rows):
+        y_rr = jnp.mod(py0 + rr + offy, size)
+        mask = py_row == (py0 + rr).astype(jnp.float32)
+        for c in range(chn):
+            row_idx = base + (c * t + t_idx) * size + y_rr
+            tile_row = ntbl_ref[pl.ds(row_idx, 1), :][:, :size]
+            rot = jax.lax.dot_general(
+                tile_row, perm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, S)
+            tiled = jnp.concatenate([rot] * nrows, axis=1)
+            out[c] = jnp.where(mask, tiled, out[c])
+    return out
+
+
+def _cp_rotate(rows, seq, salt):
+    """Cranley-Patterson rotation for scalar-uniform fetches (mod-1
+    shift preserves the blue-noise spectrum; randomsource.pixel_scalar
+    does the same XLA-side)."""
+    seqf = seq.astype(jnp.float32) + jnp.float32(salt) * 101.0 + 0.5
+    out = []
+    for i, r in enumerate(rows):
+        rot = jnp.mod(seqf * 0.7548776662466927 + i * 0.3819660113, 1.0)
+        out.append(jnp.mod(r + rot, 1.0))
+    return out
+
+
 def _batch_kernel(
     seed_ref, cam_ref, sky_ref, vol0_ref, pix_ref, sph_ref, rec_ref,
     *aux_and_out,
@@ -2208,6 +2337,9 @@ def _batch_kernel(
     has_volumes: bool = False, has_motion: bool = False,
     want_tape: bool = False, has_sph_blocks: bool = False,
     lockstep: bool = False,
+    noise_meta: tuple | None = None,  # (size, T, cam, cos, scal,
+    #   n_img_rows) static layout of the in-kernel noise tables
+    #   (pack_noise_tables); None keeps the pre-drawn path
 ):
     # aux refs arrive positionally in (rect_geo, rect_rec, box_geo,
     # box_rec) order, each pair present only when the scene has that kind;
@@ -2242,6 +2374,7 @@ def _batch_kernel(
     cube_c = (aux.pop(0), cube_dims) if has_cube else None
     noise_ref = aux.pop(0) if has_noise else None
     cos_ref = aux.pop(0) if has_cos else None
+    ntbl_ref = aux.pop(0) if noise_meta is not None else None
 
     lane = pix_ref[0:1, :]  # (1, T) global lane ids as f32 (RNG keying)
     per_pixel = pix_ref[1:2, :]  # samples to take this batch
@@ -2368,6 +2501,26 @@ def _batch_kernel(
                 (8, t_shape[1]), seed_ref[0, 0],
                 it * jnp.int32(1013904223), lane,
             )
+        if noise_meta is not None:
+            # IN-KERNEL flavored fetch (pack_noise_tables): per-draw
+            # tile rolls off the VMEM-resident STBN tables, draw counter
+            # keyed by batch-base + iteration (pix row 4 carries the
+            # batch's draw_base so progressive batches never repeat a
+            # draw sequence)
+            seq = pix_ref[4, 0].astype(jnp.int32) + it
+        if noise_meta is not None and noise_ref is None:
+            cam_rows = _stbn_rows(
+                ntbl_ref, noise_meta, noise_meta[2], 4, seq, 0,
+                px_row, py_row, t_shape[1],
+            )
+            cam_u = tuple(_cp_rotate(cam_rows, seq, 0))
+            if noise_meta[3] >= 0:
+                cos_tsd = tuple(_stbn_rows(
+                    ntbl_ref, noise_meta, noise_meta[3], 3, seq, 1,
+                    px_row, py_row, t_shape[1],
+                ))
+            else:
+                cos_tsd = None
         if noise_ref is not None or cos_ref is not None:
             # pixel-correlated per-sample draws are pre-drawn XLA-side
             # (randomsource.pixel_uniforms / pixel_cosine — exact
@@ -2388,7 +2541,7 @@ def _batch_kernel(
                 )
                 for c in range(4)
             )
-        else:
+        elif noise_meta is None:
             cam_u = (u[0:1], u[1:2], u[2:3], u[3:4])
         if cos_ref is not None:
             # this sample's pre-drawn tangent-space cosine direction
@@ -2402,7 +2555,7 @@ def _batch_kernel(
                 )
                 for c in range(3)
             )
-        else:
+        elif noise_meta is None:
             cos_tsd = None
         if jitter:
             jx, jy = cam_u[0], cam_u[1]
@@ -2459,7 +2612,16 @@ def _batch_kernel(
             in_eg = jnp.where(regen, vol0_ref[0, 6], in_eg)
             in_eb = jnp.where(regen, vol0_ref[0, 7], in_eb)
         if has_motion:
-            ptime = jnp.where(regen, u[7:8], ptime)
+            tdraw = u[7:8]
+            if noise_meta is not None and noise_meta[4] >= 0:
+                tdraw = _cp_rotate(
+                    _stbn_rows(
+                        ntbl_ref, noise_meta, noise_meta[4], 1, seq, 9,
+                        px_row, py_row, t_shape[1],
+                    ),
+                    seq, 9,
+                )[0]
+            ptime = jnp.where(regen, tdraw, ptime)
 
         was_active = pactive > 0.5
 
@@ -2476,11 +2638,27 @@ def _batch_kernel(
                 (8, t_shape[1]), seed_ref[0, 0],
                 it * jnp.int32(1013904223) + jnp.int32(7919), lane,
             )
+        if noise_meta is not None and noise_meta[4] >= 0:
+            # FULL flavored routing: the scatter block's scalar draws
+            # (rough-normal inversion ua/ub, Lambert inversion uc/ud,
+            # the two lotteries, the volume free path) come from the
+            # STBN scalar set — the reference feeds every NextFloat
+            # through the selected NoiseColor (RandomSource.cs:27-33
+            # called from Material.cs:75-161)
+            srows = []
+            for k in range(7):
+                r = _stbn_rows(
+                    ntbl_ref, noise_meta, noise_meta[4], 1, seq, 2 + k,
+                    px_row, py_row, t_shape[1],
+                )
+                srows.append(_cp_rotate(r, seq, 2 + k)[0])
+            ub = jnp.concatenate(srows + [ub[7:8]], axis=0)
         carry = _bounce_step(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
             has_volumes=has_volumes, has_motion=has_motion,
             want_winner=want_tape, cos_tsd=cos_tsd,
+            cos_all=noise_meta is not None and noise_meta[3] >= 0,
         )
         if want_tape:
             carry, (widx, whit) = carry
@@ -2590,7 +2768,7 @@ def camera_containment_row(scene, packed_materials, origin) -> jnp.ndarray:
     jax.jit,
     static_argnames=("samples", "trace_depth", "t_min", "has_dielectrics",
                      "sky_on", "hw_prng", "early_out", "jitter", "interpret",
-                     "img_dims", "cube_dims", "want_tape"),
+                     "img_dims", "cube_dims", "want_tape", "noise_meta"),
 )
 def sample_batch(
     lane_count: jnp.ndarray,  # (N,) per-pixel samples to take (int or float)
@@ -2640,6 +2818,17 @@ def sample_batch(
     #   tangent-space cosine-hemisphere directions (pack_noise_cosine,
     #   the real STBN unitvec3_cosine set) for the first-bounce Lambert
     #   draw (RandomSource.cs:63-89)
+    noise_tbl: jnp.ndarray | None = None,  # pack_noise_tables array:
+    #   IN-KERNEL flavored fetch (full RandomSource routing — camera,
+    #   every-bounce cosine, every scalar lottery/inversion, shutter
+    #   time); requires noise_meta, row-major lanes, and an image width
+    #   that is a multiple of the tile size.  Mutually exclusive with
+    #   the pre-drawn noise_uniforms/noise_cosine rows.
+    noise_draw_base: jnp.ndarray | int = 0,  # () batch draw-counter base
+    #   (progressive batches must not repeat draw sequences)
+    noise_meta: tuple | None = None,  # static (size, T, cam, cos, scal,
+    #   n_img_rows) from pack_noise_tables (+ n_img_rows appended by the
+    #   caller: distinct image rows per RAY_TILE lane tile)
     want_tape: bool = False,  # also return the replay tape (forces the
     #   reproducible hash PRNG; see megatrace_replay)
 ):
@@ -2668,6 +2857,7 @@ def sample_batch(
         assert (tex_tables is None or tex_tables[1] is None)
         assert noise_uniforms is None
         assert noise_cosine is None
+        assert noise_tbl is None
     if hw_prng is None:
         hw_prng = not interpret
     n = lane_count.shape[0]
@@ -2684,6 +2874,12 @@ def sample_batch(
         pix = pix.at[3, :].set(jnp.arange(n_pad, dtype=jnp.float32))
     else:
         pix = pix.at[3, :n].set(pixel_index.astype(jnp.float32))
+    if noise_tbl is not None:
+        assert noise_meta is not None and pixel_index is None
+        # row 4: the batch's draw-counter base for the in-kernel fetch
+        pix = pix.at[4, :].set(
+            jnp.asarray(noise_draw_base, jnp.float32)
+        )
 
     # blocked-sweep gate (SPH_CULL_MIN; tape mode keeps the dense sweep —
     # the replay's row space must stay the caller's order).  Camera-
@@ -2799,6 +2995,14 @@ def sample_batch(
                 memory_space=pltpu.VMEM,
             )
         )
+    if noise_tbl is not None:
+        inputs.append(noise_tbl)
+        in_specs.append(
+            pl.BlockSpec(
+                noise_tbl.shape, lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     grid = (n_pad // RAY_TILE,)
     out = pl.pallas_call(
@@ -2827,6 +3031,7 @@ def sample_batch(
             has_volumes=vol0 is not None,
             has_motion=move_offsets is not None,
             want_tape=want_tape,
+            noise_meta=noise_meta,
             lockstep=(
                 tri_stream_tables is not None
                 and os.environ.get("MESH_LOCKSTEP") is not None

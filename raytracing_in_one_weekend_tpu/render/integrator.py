@@ -32,7 +32,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from raytracing_in_one_weekend_tpu.core import environment, materials, math3, rng
+from raytracing_in_one_weekend_tpu.core import (
+    environment, materials, math3, randomsource, rng,
+)
 from raytracing_in_one_weekend_tpu.core.ray import Rays, SELF_INTERSECTION_OFFSET
 from raytracing_in_one_weekend_tpu.ops import intersect
 from raytracing_in_one_weekend_tpu.scene.scene import MaterialType, Scene
@@ -88,7 +90,17 @@ def trace(
     first_bounce_tsd: jnp.ndarray | None = None,  # (N, 3) pre-drawn
     #   tangent-space cosine directions for the FIRST bounce's Lambert
     #   draw (the STBN unitvec3_cosine set, RandomSource.cs:63-89);
-    #   deeper bounces stay white
+    #   deeper bounces stay white unless noise_ctx routes them
+    noise_ctx: tuple | None = None,  # (NoiseState, draw_index (), width,
+    #   height): FULL flavored-draw routing — when the state carries the
+    #   STBN scalar/cosine sets, every bounce's scatter draws
+    #   (rough-normal inversion, material lotteries, dielectric choice),
+    #   the volume free-path draw and every Lambert cosine draw come
+    #   from the baked sets with (draw, bounce, purpose)-keyed R2
+    #   offsets — the reference feeds ALL of these through the selected
+    #   NoiseColor (RandomSource.cs:27-33 NextFloat from Material.cs
+    #   lotteries, :63-89 OnCosineWeightedHemisphere from
+    #   Material.cs:92,107)
 ) -> TraceResult:
     """Trace a wavefront of rays to completion (one full path per ray).
 
@@ -112,6 +124,7 @@ def trace(
     mega = (
         not differentiable
         and first_bounce_tsd is None  # megatrace has no pre-drawn-set slot
+        and noise_ctx is None
         and pallas_sphere.use_pallas()
         and pallas_megatrace.scene_eligible(scene)
     )
@@ -207,9 +220,29 @@ def trace(
 
     def bounce(state: PathState, bounce_index):
         bkey = rng.bounce_key(key, bounce_index)
+        flavored = None
+        if noise_ctx is not None:
+            nstate, dbase, width, height = noise_ctx
+            if nstate is not None and nstate.scalar is not None:
+                # one draw slot per (sample, bounce); purposes split the
+                # slot into independent streams (randomsource.pixel_*
+                # R2-offset keying)
+                u6 = jnp.stack([
+                    randomsource.pixel_scalar(
+                        nstate, dbase, bounce_index, pu, width, height
+                    )
+                    for pu in range(6)
+                ])
+                u_free = randomsource.pixel_scalar(
+                    nstate, dbase, bounce_index, 6, width, height
+                )
+                tsd = randomsource.pixel_cosine_at(
+                    nstate, dbase, bounce_index, width, height
+                )
+                flavored = (u6, u_free, tsd)
         new_state = _bounce_once(
             scene, state, bkey, bounce_index, packed, sph_records,
-            first_bounce_tsd,
+            first_bounce_tsd, flavored=flavored,
         )
         # Per-pixel ray counting (the reference increments
         # Diagnostics.RayCount every bounce, SampleBatchJob.cs:203).
@@ -242,6 +275,8 @@ def _bounce_once(
     packed: jnp.ndarray | None = None,
     sph_records: jnp.ndarray | None = None,
     first_bounce_tsd: jnp.ndarray | None = None,
+    flavored: tuple | None = None,  # (u6 (6,N), u_free (N,), tsd (N,3)):
+    #   full STBN draw routing (see trace's noise_ctx)
 ) -> PathState:
     mats = scene.materials
     if packed is None:
@@ -291,9 +326,12 @@ def _bounce_once(
         # --- probabilistic volume walk (SampleBatchJob.cs:212-303) ---------
         vol_mat = jnp.where(in_vol, state.inside_volume, hit.material)
         density = mats.parameter[jnp.maximum(vol_mat, 0)]
-        u_free = jax.random.uniform(
-            rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (n,)
-        )
+        if flavored is not None and flavored[1] is not None:
+            u_free = flavored[1]
+        else:
+            u_free = jax.random.uniform(
+                rng.purpose_key(key, rng.Purpose.VOLUME_FREE_PATH), (n,)
+            )
         # the free-path draw is a sampling DECISION: detach its density
         # dependence and account for it through the score-function logp
         # below (keeping it traced here would double-count part of the
@@ -358,13 +396,20 @@ def _bounce_once(
         eff_material = hit.material
         eff_uv = hit.uv
 
+    if flavored is not None and flavored[2] is not None:
+        # full routing: every bounce's Lambert draw rides the cosine set
+        tsd, tsd_on = flavored[2], True
+    else:
+        tsd = first_bounce_tsd
+        tsd_on = (
+            bounce_index == 0 if first_bounce_tsd is not None else False
+        )
     sc = materials.scatter(
         scene, state.direction, eff_normal, eff_point, eff_uv, eff_material,
         key, packed=packed, row=row,
-        lambert_tsd=first_bounce_tsd,
-        lambert_tsd_on=(
-            bounce_index == 0 if first_bounce_tsd is not None else False
-        ),
+        lambert_tsd=tsd,
+        lambert_tsd_on=tsd_on,
+        u_override=flavored[0] if flavored is not None else None,
     )
     # material-lottery decisions join the path's score accumulator
     # (materials.Scatter.logp: specular/metal lotteries, dielectric

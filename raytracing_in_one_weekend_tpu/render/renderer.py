@@ -151,10 +151,18 @@ def render_batch(
                 )
                 rays = camera_mod.generate_rays(camera, coords, skey)
             lane_active = row_active & (sample_index < per_pixel)
+            noise_ctx = None
+            if noise_color != 0 and noise_state is not None:
+                # full flavored-draw routing (scalar/cosine sets at
+                # every bounce) — see integrator.trace noise_ctx
+                noise_ctx = (
+                    noise_state, draw_base + sample_index, width, height
+                )
             result = integrator.trace(
                 scene, rays, skey, trace_depth,
                 differentiable=differentiable,
                 active=lane_active, first_bounce_tsd=first_bounce_tsd,
+                noise_ctx=noise_ctx,
             )
 
             valid = result.valid & row_active
@@ -346,18 +354,32 @@ def render_batch(
             pallas_megatrace.pack_cubemap_table(scene)
             if scene.flags.sky == 2 else None
         )
-        noise_u = (
-            pallas_megatrace.pack_noise_uniforms(
-                noise_state, acc.sample_count, width, height, samples
-            )
+        # flavored-sampler dispatch: IN-KERNEL tile fetch when the
+        # tables fit the packed layout and lanes are row-major (full
+        # RandomSource routing at ~zero HBM cost), else the pre-drawn
+        # per-sample rows (exact wavefront-parity camera+first-bounce)
+        noise_pack = (
+            pallas_megatrace.pack_noise_tables(noise_state)
             if noise_color != 0 else None
-        )  # pixel-order columns (lanes are pixel-order, see NOTE below)
-        noise_c = (
-            pallas_megatrace.pack_noise_cosine(
-                noise_state, acc.sample_count, width, height, samples
+        )
+        noise_u = noise_c = noise_tbl = noise_meta = None
+        if noise_pack is not None and width % noise_pack[1]["size"] == 0:
+            noise_tbl, meta = noise_pack
+            exact = pallas_megatrace.RAY_TILE % width == 0
+            n_img_rows = max(1, pallas_megatrace.RAY_TILE // width) + (
+                0 if exact else 2
             )
-            if noise_color != 0 else None
-        )  # first-bounce STBN cosine directions (None without the set)
+            noise_meta = (
+                meta["size"], meta["T"], meta["cam"], meta["cos"],
+                meta["scal"], n_img_rows,
+            )
+        elif noise_color != 0:
+            noise_u = pallas_megatrace.pack_noise_uniforms(
+                noise_state, acc.sample_count, width, height, samples
+            )  # pixel-order columns (lanes are pixel-order, see NOTE)
+            noise_c = pallas_megatrace.pack_noise_cosine(
+                noise_state, acc.sample_count, width, height, samples
+            )  # first-bounce STBN cosine directions
         vol0 = (
             pallas_megatrace.camera_containment_row(
                 scene, packed, camera.origin
@@ -379,6 +401,18 @@ def render_batch(
         sph_cull = (
             scene.spheres.center.shape[0] > pallas_megatrace.SPH_CULL_MIN
         )
+        if (tri_stream_tables is not None or sph_cull) and (
+            noise_tbl is not None
+        ):
+            # Morton lanes break the in-kernel fetch's row-major
+            # contiguity — those scene classes keep pre-drawn rows
+            noise_tbl = noise_meta = None
+            noise_u = pallas_megatrace.pack_noise_uniforms(
+                noise_state, acc.sample_count, width, height, samples
+            )
+            noise_c = pallas_megatrace.pack_noise_cosine(
+                noise_state, acc.sample_count, width, height, samples
+            )
         if tri_stream_tables is not None or sph_cull:
             order, rank = pallas_megatrace.morton_order(width, height)
             order = jnp.asarray(order)
@@ -415,6 +449,10 @@ def render_batch(
             cube_dims=cube_all[1] if cube_all is not None else (0, 0),
             noise_uniforms=noise_u,
             noise_cosine=noise_c,
+            noise_tbl=noise_tbl,
+            noise_meta=noise_meta,
+            noise_draw_base=jnp.asarray(draw_base, jnp.int32)
+            * (samples * trace_depth),
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

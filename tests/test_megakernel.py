@@ -1148,3 +1148,55 @@ class TestMotionKernel:
         assert pallas_megatrace.scene_eligible(
             scene, allow_rect_box=True, allow_volumes=True, allow_motion=True
         )
+
+
+class TestNoiseTablesKernel:
+    """The IN-KERNEL flavored fetch (pack_noise_tables + _stbn_rows):
+    full RandomSource routing — camera draws, every-bounce cosine
+    scatter, every scalar lottery — via VMEM tile rolls instead of
+    pre-drawn (C*samples, N) rows.  Statistical parity with the
+    wavefront (distributions match; counters are iteration-keyed, so no
+    bitwise oracle exists), driven through the RENDERER dispatch."""
+
+    def test_stbn_in_kernel_matches_wavefront_statistically(self):
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        state = randomsource.make_noise_state(
+            NoiseColor.SPATIO_TEMPORAL_BLUE
+        )
+        if state.scalar is None:
+            pytest.skip("real STBN assets unavailable")
+        w, h = 128, 8  # width % tile size == 0 -> in-kernel path
+        s, d = 8, 5
+        scene, camera = _setup(book_scenes.three_spheres, w, h)
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+            noise_color=2, noise_state=state, differentiable=True,
+        )
+
+        saved = pallas_sphere.use_pallas
+        pallas_sphere.use_pallas = lambda: True
+        pallas_megatrace.FORCE_INTERPRET = True
+        try:
+            out, mout = renderer.render_batch(
+                scene, camera, film.zero_accumulators(w * h),
+                jax.random.PRNGKey(0),
+                width=w, height=h, samples=s, trace_depth=d,
+                noise_color=2, noise_state=state, differentiable=False,
+            )
+        finally:
+            pallas_sphere.use_pallas = saved
+            pallas_megatrace.FORCE_INTERPRET = False
+        assert float(jnp.mean(out.sample_count)) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out.color)) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(mout.total_rays) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )

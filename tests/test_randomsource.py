@@ -152,11 +152,14 @@ class TestRenderWithNoiseFlavors:
 
     @pytest.mark.skipif(not HAS_ASSETS, reason="reference assets not present")
     def test_stbn_reduces_variance_on_flat_lit_scene(self):
-        """The real STBN sets (camera draws + first-bounce cosine
-        scatter) must beat white noise in per-pixel error at equal spp
-        on a diffuse sky-lit scene — the feature's whole point
-        (RandomSource.cs:63-89).  Measured: ~6.5% lower MSE at 4 spp;
-        deterministic given the fixed keys."""
+        """The real STBN sets — now routed through EVERY draw of the
+        wavefront path (camera, every bounce's cosine scatter, scalar
+        lotteries, RandomSource.cs:27-33,63-89) — must beat white noise
+        at equal spp on a diffuse sky-lit scene.  Two gates: raw MSE
+        (measured ~7% lower at 4 spp) and, the feature's actual claim,
+        LOW-FREQUENCY error energy after a 4x4 box filter (error pushed
+        to high frequencies; measured ~0.57x white).  Deterministic
+        given the fixed keys."""
         scene, cs = book_scenes.single_sphere()
         w = h = 32
         cam = camera_mod.make_camera(
@@ -187,6 +190,21 @@ class TestRenderWithNoiseFlavors:
             ])
 
         assert mse(2) < mse(0)
+
+        def lowfreq_mse(noise):
+            out = []
+            for k in range(3):
+                err = (
+                    render(noise, 4, jax.random.PRNGKey(k)) - ref
+                ).reshape(h, w, 3)
+                blurred = err.reshape(
+                    h // 4, 4, w // 4, 4, 3
+                ).mean(axis=(1, 3))
+                out.append((blurred ** 2).mean())
+            return float(np.mean(out))
+
+        # the spectral claim: blue error filters away (ratio ~0.57)
+        assert lowfreq_mse(2) < 0.8 * lowfreq_mse(0)
 
     def test_driver_with_blue_noise(self):
         scene, cs = book_scenes.single_sphere()
