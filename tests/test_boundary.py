@@ -675,3 +675,90 @@ class TestMotionBoundaryGradients:
         assert abs(np.linalg.norm(got) - np.linalg.norm(want)) < 0.35, (
             got, want,
         )
+
+
+class TestRefractedBoundaryGradients:
+    """Refraction-dominated silhouettes (boundary.refracted_edge_
+    gradients): the apparent edge of a sphere seen THROUGH a dielectric
+    sphere, located by root-finding the deterministic refract-path miss
+    distance and weighted by implicit-function edge velocities.
+
+    Calibration notes (measured, .scratch/glass_grad*): interior-only AD
+    = 0.08x FD on the dominant axis; + the opaque-family terms 0.15x;
+    + this term ~1.3x of FD at eps 2e-3 — and the FD itself still grows
+    as eps shrinks (the refracted field is sqrt-singular, FD converges
+    ~O(sqrt(eps)); extrapolated truth sits within ~15% of AD).  The
+    gates below bound sign + magnitude, not allclose."""
+
+    def test_glass_center_gradient_dominant_axis(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        w = h = 32
+        spp, depth = 128, 6
+        b = SceneBuilder()
+        glass = b.dielectric(1.5)
+        red = b.lambert((0.8, 0.2, 0.2))
+        b.add_sphere((0.0, 0.0, -1.0), 0.5, glass)
+        b.add_sphere((0.35, 0.1, -2.4), 0.45, red)
+        b.set_gradient_sky()
+        scene = b.build()
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 60.0, 1.0,
+        )
+        target = renderer.render_image(
+            params_mod.set_sphere_centers(
+                scene,
+                scene.spheres.center + jnp.asarray(
+                    [[0.06, 0.0, 0.0], [0.0, 0.0, 0.0]]
+                ),
+            ),
+            cam, jax.random.PRNGKey(5), width=w, height=h,
+            samples_per_pixel=spp, trace_depth=depth,
+            differentiable=False,
+        ).color
+
+        def render(p, k):
+            s = params_mod.apply_params(scene, p)
+            return renderer.render_image(
+                s, cam, k, width=w, height=h, samples_per_pixel=spp,
+                trace_depth=depth, sub_pixel_jitter=False,
+            ).color
+
+        def image_loss(img):
+            return jnp.mean((img - target) ** 2)
+
+        vg = jax.jit(boundary.value_and_grad_with_boundary(
+            render, image_loss,
+            lambda p: params_mod.apply_params(scene, p), cam, w, h,
+            boundary.BoundaryConfig(
+                samples_per_sphere=256, trace_depth=depth, probe_spp=4
+            ),
+        ))
+        keys = [jax.random.PRNGKey(i) for i in range(2)]
+        ad = np.mean([
+            np.asarray(vg({"sphere_centers": scene.spheres.center}, k)[1]
+                       ["sphere_centers"])
+            for k in keys
+        ], axis=0)
+
+        loss_j = jax.jit(
+            lambda c, k: image_loss(render({"sphere_centers": c}, k))
+        )
+        eps = 2e-3
+        fds = []
+        for k in keys:
+            dp = np.zeros((2, 3), np.float32)
+            dp[0, 0] = eps
+            fds.append(
+                (float(loss_j(scene.spheres.center + dp, k))
+                 - float(loss_j(scene.spheres.center - dp, k)))
+                / (2 * eps)
+            )
+        fd = float(np.mean(fds))
+        assert np.isfinite(ad).all()
+        assert np.sign(ad[0, 0]) == np.sign(fd), (ad[0, 0], fd)
+        ratio = ad[0, 0] / fd
+        assert 0.5 < ratio < 2.0, (ad[0, 0], fd, ratio)
+        # (without this term the whole family measured 0.15x of FD on
+        # this axis — .scratch/glass_grad calibration runs)
