@@ -149,8 +149,11 @@ def _tile_lookup_split(table, slice_index, offset_index, width, height):
     period-2 slice cycling measured WORSE than white noise.)"""
     t, size = table.shape[0], table.shape[1]
     tile_idx = jnp.mod(jnp.asarray(slice_index).astype(jnp.int32), t)
+    # wrap before the float R2 math: frac(x * alpha) loses precision as
+    # x grows (f32 ulp is 0.06 at 1M) and the offsets would quantize
     offs = noise.per_pixel_noise_offset(
-        jnp.asarray(offset_index).astype(jnp.float32), size
+        jnp.mod(jnp.asarray(offset_index).astype(jnp.float32), 4096.0),
+        size,
     )
     ys, xs = jnp.divmod(jnp.arange(width * height, dtype=jnp.int32), width)
     tx = jnp.mod(xs + offs[..., 0], size)
@@ -181,7 +184,7 @@ def pixel_scalar(
     vals = _tile_lookup_split(
         state.scalar[..., None], idx + b, off_idx, width, height
     )[..., 0]
-    rot = noise.r2_sequence(off_idx + 0.5)[..., 0]
+    rot = noise.r2_sequence(jnp.mod(off_idx, 4096.0) + 0.5)[..., 0]
     return jnp.mod(vals + rot, 1.0)
 
 

@@ -2276,6 +2276,10 @@ def _stbn_rows(
     nrows = t_cols // max(size, 1)  # lane reps of one tile row
     # R2 offsets (R2.cs:8-16 plastic constants) + temporal slice — all
     # scalars shared by the tile
+    # wrap before the float R2 math: frac(seq * alpha) in f32 loses the
+    # fraction entirely past ~2^22 (ulp 0.25 at 4M draws would collapse
+    # the offsets to 4 values); 8192 draws of R2 coverage then repeat
+    seq = jnp.mod(seq, 8192)
     seqf = seq.astype(jnp.float32) + jnp.float32(salt) * 101.0 + 0.5
     offx = jnp.floor(
         jnp.mod(seqf * 0.7548776662466927, 1.0) * size
@@ -2315,6 +2319,7 @@ def _cp_rotate(rows, seq, salt):
     """Cranley-Patterson rotation for scalar-uniform fetches (mod-1
     shift preserves the blue-noise spectrum; randomsource.pixel_scalar
     does the same XLA-side)."""
+    seq = jnp.mod(seq, 8192)  # f32 frac precision (see _stbn_rows)
     seqf = seq.astype(jnp.float32) + jnp.float32(salt) * 101.0 + 0.5
     out = []
     for i, r in enumerate(rows):
