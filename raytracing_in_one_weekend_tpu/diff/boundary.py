@@ -1048,6 +1048,13 @@ def refracted_edge_gradients(
     ]
     d_centers = jnp.zeros_like(centers)
     d_radii = jnp.zeros_like(radii)
+    if len(pairs) > 64:
+        # each pair traces its own root-find + probe graph; cover-scale
+        # scenes (dozens of dielectrics x hundreds of spheres) would
+        # compile tens of thousands of bodies.  Inverse problems at that
+        # scale keep interior + opaque-family terms only (documented
+        # PARITY deviation); the term exists for the glass-POSE class.
+        return d_centers, d_radii
     if not pairs:
         return d_centers, d_radii
 
