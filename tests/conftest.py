@@ -32,3 +32,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables_between_modules():
+    """The XLA CPU backend segfaults inside backend_compile_and_load on
+    big jits once the process carries a few hundred tests' worth of live
+    executables (round 2 hit it ~190 tests in at test_replay's
+    wavefront-grad jit; round 4 at test_replay's aux-kind grad jits —
+    always in full-suite runs only, never standalone).  The round-2 fix
+    cleared caches immediately before the single biggest compile; the
+    suite has since grown more big-compile sites, so drop live
+    executables at every module boundary instead."""
+    jax.clear_caches()
+    yield

@@ -18,6 +18,19 @@ from raytracing_in_one_weekend_tpu.models import book_scenes
 from raytracing_in_one_weekend_tpu.ops import megatrace_replay, pallas_megatrace
 
 
+def _force_interpret(monkeypatch):
+    """Route every Pallas kernel the renderer may trace (including the
+    AOV-graft wavefront's select kernels) through interpret mode — the
+    dispatch-forcing tests stub use_pallas on CPU."""
+    from raytracing_in_one_weekend_tpu.ops import (
+        pallas_sphere, pallas_triangle,
+    )
+
+    monkeypatch.setattr(pallas_megatrace, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(pallas_sphere, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(pallas_triangle, "FORCE_INTERPRET", True)
+
+
 def _setup(scene_fn, w, h):
     scene, cs = scene_fn()
     camera = camera_mod.make_camera(
@@ -426,6 +439,7 @@ def test_renderer_diff_fused_dispatch(monkeypatch):
     from raytracing_in_one_weekend_tpu.render import film, renderer
 
     monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+    _force_interpret(monkeypatch)
     orig = megatrace_replay.sample_batch_diff
     monkeypatch.setattr(
         megatrace_replay, "sample_batch_diff",
@@ -492,17 +506,21 @@ def _smooth_triangle_scene():
     return b.build()
 
 
-def test_aov_loss_rejected_photometric_ok(monkeypatch):
-    """Only color/count cotangents propagate through the diff-fused
-    path; an AOV-regularized loss must raise LOUDLY at trace time
-    instead of silently dropping its gradient paths (the
-    symbolic-zero gate in megatrace_replay._bwd)."""
+def test_aov_loss_flows_photometric_ok(monkeypatch):
+    """Round 3 asserted AOV losses RAISE at trace time (the replay
+    propagates only color/count cotangents); round 4's renderer grafts
+    a differentiable-wavefront AOV term onto the fused branch, so an
+    AOV loss must now produce finite nonzero gradients instead —
+    matching tests/test_grad.py::TestAOVFallback, which additionally
+    proves exact equality with the pure wavefront.  The raise survives
+    only for DIRECT sample_batch_diff callers (the backstop)."""
     import functools
 
     from raytracing_in_one_weekend_tpu.ops import pallas_sphere
     from raytracing_in_one_weekend_tpu.render import film, renderer
 
     monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+    _force_interpret(monkeypatch)
     orig = megatrace_replay.sample_batch_diff
     monkeypatch.setattr(
         megatrace_replay, "sample_batch_diff",
@@ -531,11 +549,12 @@ def test_aov_loss_rejected_photometric_ok(monkeypatch):
     )(scene.spheres.center)
     assert bool(jnp.any(g != 0.0))
 
-    # AOV-regularized losses are rejected at trace time
-    with pytest.raises(NotImplementedError, match="normal"):
-        jax.grad(lambda c: jnp.sum(render_acc(c).normal))(
-            scene.spheres.center
-        )
+    # AOV-regularized losses flow via the wavefront graft (no raise)
+    g_aov = jax.grad(lambda c: jnp.sum(render_acc(c).normal))(
+        scene.spheres.center
+    )
+    assert bool(jnp.all(jnp.isfinite(g_aov)))
+    assert bool(jnp.any(g_aov != 0.0))
 
 
 class TestReplayTriangles:
@@ -648,6 +667,7 @@ class TestReplayTriangles:
         from raytracing_in_one_weekend_tpu.render import film, renderer
 
         monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        _force_interpret(monkeypatch)
         orig = megatrace_replay.sample_batch_diff
         called = {}
 
@@ -909,6 +929,7 @@ class TestReplayVolumesMotion:
         from raytracing_in_one_weekend_tpu.render import film, renderer
 
         monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        _force_interpret(monkeypatch)
         called = {}
         orig = megatrace_replay.sample_batch_diff
 
@@ -1037,6 +1058,7 @@ class TestReplayCubemap:
         from raytracing_in_one_weekend_tpu.render import film, renderer
 
         monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
+        _force_interpret(monkeypatch)
         called = {}
         orig = megatrace_replay.sample_batch_diff
 
