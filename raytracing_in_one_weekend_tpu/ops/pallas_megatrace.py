@@ -740,6 +740,8 @@ def _bounce_step(
         tri_v = zero
         tri_idx = zero
         trec = jnp.zeros((trec_ref.shape[0], t_cols), jnp.float32)
+        _sweep_ct = zero  # MESH_COUNT debug tally (+1 per swept block,
+        #   matching the streamed branch's carry-slot semantics)
         for st in range(0, t_rows, TRI_BLOCK):
             en = min(st + TRI_BLOCK, t_rows)
             bx0 = (tgeo[st, 9] - ox) * ivx
@@ -779,6 +781,7 @@ def _bounce_step(
             tri_v = jnp.where(blk_wins, blk_v, tri_v)
             tri_idx = jnp.where(blk_wins, blk_gidx, tri_idx)
             trec = jnp.where(blk_wins, blk_rec, trec)
+            _sweep_ct = _sweep_ct + jnp.where(blk_pred, 1.0, 0.0)
         if os.environ.get("MESH_COUNT") is not None:
             rays_cast = rays_cast + _sweep_ct
         tri_wins = tri_best < best_t
@@ -2663,7 +2666,16 @@ def _batch_kernel(
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
             has_volumes=has_volumes, has_motion=has_motion,
             want_winner=want_tape, cos_tsd=cos_tsd,
-            cos_all=noise_meta is not None and noise_meta[3] >= 0,
+            # every-bounce flavored cosines only when the SCALAR set is
+            # also packed — the wavefront's noise_ctx gates its whole
+            # flavored bounce path on state.scalar (integrator.trace), so
+            # a cosine-only flavor must stay first-bounce-only here too
+            # or the two integrators diverge statistically
+            cos_all=(
+                noise_meta is not None
+                and noise_meta[3] >= 0
+                and noise_meta[4] >= 0
+            ),
         )
         if want_tape:
             carry, (widx, whit) = carry

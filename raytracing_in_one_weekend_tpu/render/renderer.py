@@ -36,6 +36,23 @@ class BatchMetrics(NamedTuple):
     #   (Diagnostics.RayCount buffer view, Raytracer.cs:239-250)
 
 
+def noise_draw_base(draw_base, samples: int, trace_depth: int):
+    """Per-batch base for the kernel's iteration-keyed flavored-draw
+    counter.  `draw_base` arrives in SAMPLE units (driver.py:
+    batch_index * max_lanes); the kernel consumes at most
+    samples*trace_depth iteration draws per batch, and its R2 offsets
+    wrap mod 8192 (pallas_megatrace._stbn_rows f32-frac precision).  The
+    per-batch stride must therefore be (a) >= samples*trace_depth so
+    consecutive batches never overlap and (b) ODD so it is coprime to
+    the 2^13 wrap — all 8192 residues are visited before any repeat.
+    (The round-4 formula draw_base*samples*trace_depth had stride
+    samples^2*depth = 0 mod 8192 at the production 64-spp x depth-8
+    config: every progressive batch replayed the identical STBN
+    sequence and flavored accumulation stopped converging.)"""
+    stride = samples * trace_depth + (1 - (samples * trace_depth) % 2)
+    return (jnp.asarray(draw_base, jnp.int32) // samples) * stride
+
+
 def render_batch(
     scene: Scene,
     camera: Camera,
@@ -304,7 +321,13 @@ def render_batch(
         # estimate, like any fresh MC estimate of the same expectation).
         # When the loss never touches an AOV channel its cotangent is
         # zero and XLA dead-code-eliminates the whole wavefront subgraph,
-        # so photometric-loss gradients pay nothing.
+        # so photometric-loss gradients pay nothing.  CAVEAT: that DCE
+        # fires at TRACE time, so the loss must be jitted TOGETHER with
+        # this render (jit(lambda ...: loss(render_batch(...)))); a
+        # standalone-jitted differentiable forward returns every AOV
+        # channel and therefore executes the full wavefront alongside
+        # the kernel (XLA cannot fold float `wv - stop_gradient(wv)`).
+        # Forward-only callers should pass differentiable=False.
         acc_w, _ = _wavefront_pass(film.zero_accumulators(n))
         d_wave = dict(
             normal=acc_w.normal,
@@ -451,8 +474,9 @@ def render_batch(
             noise_cosine=noise_c,
             noise_tbl=noise_tbl,
             noise_meta=noise_meta,
-            noise_draw_base=jnp.asarray(draw_base, jnp.int32)
-            * (samples * trace_depth),
+            noise_draw_base=noise_draw_base(
+                draw_base, samples, trace_depth
+            ),
             vol0=vol0,
             move_offsets=(
                 scene.spheres.move_offset

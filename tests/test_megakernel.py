@@ -1200,3 +1200,63 @@ class TestNoiseTablesKernel:
         assert float(mout.total_rays) == pytest.approx(
             float(mref.total_rays), rel=0.05
         )
+
+    def test_noise_draw_base_progressive_stride(self):
+        """Progressive batches must never replay a draw sequence: the
+        per-batch seq base must advance by >= samples*trace_depth (no
+        overlap) and visit DISTINCT residues mod the kernel's 8192 R2
+        wrap (pallas_megatrace._stbn_rows).  The round-4 formula
+        (draw_base * samples * trace_depth) had stride samples^2*depth
+        = 0 mod 8192 at the production 64-spp x depth-8 config — every
+        batch reused the identical STBN jitter/lens/lottery draws."""
+        for samples, depth in [(64, 8), (8, 8), (32, 8), (50, 35)]:
+            consumed = samples * depth
+            bases = [
+                int(renderer.noise_draw_base(b * samples, samples, depth))
+                for b in range(64)
+            ]
+            strides = {bases[i + 1] - bases[i] for i in range(63)}
+            assert all(s >= consumed for s in strides), (samples, depth)
+            residues = [b % 8192 for b in bases]
+            assert len(set(residues)) == len(residues), (samples, depth)
+
+    def test_stbn_progressive_batches_differ(self):
+        """Functional regression for the round-4 stride bug: with the
+        SAME key (identical hash-RNG seed) two progressive batches must
+        still produce different deltas because their flavored draw
+        sequences differ.  samples=8 x depth=8 puts the old formula's
+        batch-16 base at exactly 16*8*8*8 = 8192 = 0 mod the wrap, i.e.
+        identical to batch 0."""
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        state = randomsource.make_noise_state(
+            NoiseColor.SPATIO_TEMPORAL_BLUE
+        )
+        if state.scalar is None:
+            pytest.skip("real STBN assets unavailable")
+        w, h = 128, 8
+        s, d = 8, 8
+        scene, camera = _setup(book_scenes.three_spheres, w, h)
+
+        saved = pallas_sphere.use_pallas
+        pallas_sphere.use_pallas = lambda: True
+        pallas_megatrace.FORCE_INTERPRET = True
+        try:
+            outs = []
+            for batch_index in (0, 16):
+                acc, _ = renderer.render_batch(
+                    scene, camera, film.zero_accumulators(w * h),
+                    jax.random.PRNGKey(3),
+                    width=w, height=h, samples=s, trace_depth=d,
+                    noise_color=2, noise_state=state,
+                    differentiable=False,
+                    draw_base=jnp.asarray(batch_index * s, jnp.int32),
+                )
+                outs.append(acc.color)
+        finally:
+            pallas_sphere.use_pallas = saved
+            pallas_megatrace.FORCE_INTERPRET = False
+        diff = float(jnp.max(jnp.abs(outs[0] - outs[1])))
+        assert diff > 1e-4, "progressive batches replayed identical draws"
