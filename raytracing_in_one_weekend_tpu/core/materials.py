@@ -131,6 +131,10 @@ def scatter(
     #   uniforms replacing the threefry draws — the STBN scalar set
     #   (randomsource.pixel_scalar) so EVERY lottery/inversion draw
     #   carries the flavored sampler (RandomSource.cs:27-33)
+    vol_dir_override: jnp.ndarray | None = None,  # (N, 3) pre-drawn
+    #   ~unit-sphere directions replacing the isotropic volume scatter
+    #   draw — the STBN unitvec3 set (randomsource.pixel_unitvec3, the
+    #   reference's NextFloat3Direction arm, RandomSource.cs:113-128)
 ) -> Scatter:
     """Scatter all rays at once (reference dispatch: Material.cs:68-174)."""
     mats = scene.materials
@@ -284,7 +288,12 @@ def scatter(
 
     # ---- ProbabilisticVolume isotropic scatter (Material.cs:163-168) ------
     if scene.flags.has_volumes:
-        vol_dir = sampling.unit_sphere(uc, ud)
+        if vol_dir_override is not None:
+            # the baked STBN unitvec3 set (RandomSource.cs:113-128);
+            # byte quantization leaves |v| at 1 +- 0.02 — normalize
+            vol_dir = math3.normalize_safe(vol_dir_override)
+        else:
+            vol_dir = sampling.unit_sphere(uc, ud)
         vol_events = jnp.full((n,), 2.0)
 
     # ---- blend by type -----------------------------------------------------

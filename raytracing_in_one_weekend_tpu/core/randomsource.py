@@ -44,11 +44,16 @@ class NoiseState(NamedTuple):
     scalar — (T, S, S) scalars from the real stbn_scalar set (the
     reference's NextFloat arm, RandomSource.cs:27-33), or None: drives
     EVERY in-path scalar draw (rough-normal inversion, material
-    lotteries, dielectric choice, volume free path) when present."""
+    lotteries, dielectric choice, volume free path) when present.
+    unitvec3 — (T, S, S, 3) ~unit-sphere directions from the real
+    stbn_unitvec3 set (the reference's NextFloat3Direction arm,
+    RandomSource.cs:113-128 -> stbNoise.NextUnitVector3), or None:
+    drives the isotropic volume scatter when present."""
 
     tiles: jnp.ndarray
     cosine: Optional[jnp.ndarray] = None
     scalar: Optional[jnp.ndarray] = None
+    unitvec3: Optional[jnp.ndarray] = None
 
 
 def make_noise_state(
@@ -73,6 +78,7 @@ def make_noise_state(
             tiles=jnp.asarray(stbn.stbn_camera_tiles(tables)),
             cosine=jnp.asarray(tables.cosine),
             scalar=jnp.asarray(tables.scalar),
+            unitvec3=jnp.asarray(tables.unitvec3),
         )
     tiles = jnp.stack(
         [noise.make_blue_noise_tile(TILE, 4, seed + i) for i in range(temporal)]
@@ -205,5 +211,31 @@ def pixel_cosine_at(
     b = jnp.asarray(bounce).astype(jnp.float32)
     return _tile_lookup_split(
         state.cosine, idx + b, idx * 97.0 + b * 11.0 + 7.0,
+        width, height,
+    )
+
+
+def pixel_unitvec3(
+    state: Optional[NoiseState],
+    draw_index: jnp.ndarray,
+    bounce,  # () bounce index within the path
+    width: int,
+    height: int,
+) -> Optional[jnp.ndarray]:
+    """(width*height, 3) ~unit-sphere directions from the real STBN
+    unitvec3 set for the isotropic volume scatter (the reference's
+    NextFloat3Direction, RandomSource.cs:113-128 SpatioTemporalBlue arm
+    -> stbNoise.NextUnitVector3), or None when the flavor carries no
+    unitvec3 set.  Same slice/offset discipline as pixel_cosine_at
+    (stride-1 temporal axis, R2 spatial offsets; purpose salt 13 keeps
+    it decorrelated from the cosine set's 7); unit vectors take no
+    Cranley-Patterson rotation.  Consumers normalize (byte quantization
+    leaves |v| at 1 +- 0.02)."""
+    if state is None or state.unitvec3 is None:
+        return None
+    idx = jnp.asarray(draw_index).astype(jnp.float32)
+    b = jnp.asarray(bounce).astype(jnp.float32)
+    return _tile_lookup_split(
+        state.unitvec3, idx + b, idx * 97.0 + b * 11.0 + 13.0,
         width, height,
     )

@@ -323,6 +323,9 @@ def _bounce_step(
     depth, carry, u, consts, *, t_min: float, has_dielectrics: bool,
     sky_on: bool, has_volumes: bool = False, has_motion: bool = False,
     want_winner: bool = False, cos_tsd=None, cos_all: bool = False,
+    vol_dir=None,  # ((1,T),)*3 flavored ~unit directions for the
+    #   isotropic volume scatter (the STBN unitvec3 set,
+    #   RandomSource.cs:113-128); normalized here, every bounce
 ):
     """One path-tracing bounce over a (1, T) lane tile.
 
@@ -1279,7 +1282,12 @@ def _bounce_step(
     if has_volumes:
         # isotropic in-medium scatter (Material.cs:163-168): unit-sphere
         # direction, medium albedo as reflectance, 2 random events
-        vsx, vsy, vsz = _unit_sphere(uc, ud)
+        if vol_dir is not None:
+            # baked STBN unitvec3 set, already [-1,1]-remapped by
+            # stbn.load_stbn (byte quantization: |v| = 1±0.02)
+            vsx, vsy, vsz = _normalize3(*vol_dir)
+        else:
+            vsx, vsy, vsz = _unit_sphere(uc, ud)
         sdx = jnp.where(vol_scatter, vsx, sdx)
         sdy = jnp.where(vol_scatter, vsy, sdy)
         sdz = jnp.where(vol_scatter, vsz, sdz)
@@ -2054,6 +2062,8 @@ def pack_noise_tables(noise_state, temporal: int = 8):
               cam + ((c*T)+t)*size + y)
       cos   — row base of the 3 cosine channels, or -1
       scal  — row base of the scalar set, or -1
+      uv3   — row base of the 3 unitvec3 channels (isotropic volume
+              scatter, RandomSource.cs:113-128), or -1
 
     Unlike pack_noise_uniforms/pack_noise_cosine (pre-drawn (C*samples,N)
     rows with per-pixel progressive counters — exact wavefront parity,
@@ -2090,6 +2100,14 @@ def pack_noise_tables(noise_state, temporal: int = 8):
         meta["scal"] = rows
         blocks.append(scal[:t].reshape(t * size, size))
         rows += t * size
+    meta["uv3"] = -1
+    if getattr(noise_state, "unitvec3", None) is not None:
+        uv3 = noise_state.unitvec3
+        assert uv3.shape[1] == size
+        meta["uv3"] = rows
+        for c in range(3):
+            blocks.append(uv3[:t, :, :, c].reshape(t * size, size))
+        rows += 3 * t * size
     tbl = jnp.zeros((rows, 128), jnp.float32)
     tbl = tbl.at[:, :size].set(
         jnp.concatenate(blocks, axis=0).astype(jnp.float32)
@@ -2661,11 +2679,24 @@ def _batch_kernel(
                 )
                 srows.append(_cp_rotate(r, seq, 2 + k)[0])
             ub = jnp.concatenate(srows + [ub[7:8]], axis=0)
+        vol_tsd = None
+        if (
+            noise_meta is not None and has_volumes
+            and len(noise_meta) > 6 and noise_meta[6] >= 0
+            and noise_meta[4] >= 0  # same gate as the scatter scalars
+        ):
+            # isotropic volume scatter rides the baked unitvec3 set
+            # (RandomSource.cs:113-128 NextFloat3Direction); unit
+            # vectors take no Cranley-Patterson rotation
+            vol_tsd = tuple(_stbn_rows(
+                ntbl_ref, noise_meta, noise_meta[6], 3, seq, 13,
+                px_row, py_row, t_shape[1],
+            ))
         carry = _bounce_step(
             depth_ct, carry, ub, consts,
             t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
             has_volumes=has_volumes, has_motion=has_motion,
-            want_winner=want_tape, cos_tsd=cos_tsd,
+            want_winner=want_tape, cos_tsd=cos_tsd, vol_dir=vol_tsd,
             # every-bounce flavored cosines only when the SCALAR set is
             # also packed — the wavefront's noise_ctx gates its whole
             # flavored bounce path on state.scalar (integrator.trace), so

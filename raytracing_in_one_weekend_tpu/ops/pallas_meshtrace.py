@@ -1,0 +1,332 @@
+"""Bounce-synchronous streamed-mesh sampler (sorted-compacted wavefront).
+
+Reference: the per-ray BVH walk of FindHitCandidates
+(Runtime/Jobs/SampleBatchJob.cs:403-448 over BvhNodeData.cs:109-238) gives
+a desktop CPU O(log n) triangle tests per ray.  The fused megakernel's
+persistent-lane tiles cannot match that for HBM-streamed meshes: lanes in
+a tile desynchronize (each regenerates its next sample the moment a path
+dies), so the tile-grained block cull unions rays at MIXED bounce phases
+and passes ~half the mesh per iteration (~15,000 triangle-lane tests per
+ray on mesh_large — measured, BENCHMARKS.md).
+
+TPU-native redesign (this module): run the bounce loop OUTSIDE the kernel,
+one pallas launch per bounce over ALL lanes.
+
+  * Bounce-synchronous: every lane in a tile is at the same bounce, so a
+    camera-ray tile's block-cull union is its (tight) pixel-tile frustum,
+    and a bounce-k tile's union is the surface patch its rays left from.
+  * Sorted: lanes are Morton-ordered pixels with the wave's samples
+    interleaved adjacently — a RAY_TILE is a compact 2D pixel block.
+  * Compacted: between bounces a STABLE partition moves live lanes to the
+    front (stable = survivors keep their Morton order, so tiles stay
+    spatially coherent AND dense); all-dead trailing tiles skip via the
+    whole-tile early-out.
+  * The kernel body is one `pallas_megatrace._bounce_step` call — the
+    SAME sphere sweep, 2-level SMEM AABB cull, super-granular DMA,
+    Möller–Trumbore slot sweep, material scatter and sky fold as the
+    megakernel, so the two paths cannot drift apart formula-wise.
+
+Path state lives in HBM between bounces ((ST_ROWS, N) f32, donated via
+input_output_aliases); per-wave camera regeneration happens XLA-side
+(core.camera.generate_rays — threefry, wavefront-parity statistics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_in_one_weekend_tpu.ops.pallas_megatrace import (
+    RAY_TILE, TRI_ROWS, TRI_SUP,
+    _bounce_step, _pack_scene_tables, _pack_sky_row, _uniforms_hash,
+    morton_order,
+)
+
+FORCE_INTERPRET = False  # test hook (see pallas_megatrace.FORCE_INTERPRET)
+
+# State rows: carry slots 0..22 of pallas_megatrace._bounce_step in order
+# (origin xyz, direction xyz, throughput rgb, radiance rgb, active, valid,
+# aov-normal xyz, aov-albedo xyz, got_nonspecular, events, rays_cast),
+# then row 23 = lane id (hash-RNG keying + the inverse of the compaction
+# permutation: lane ids start as iota, so after any composition of
+# partitions the row itself IS the original index).
+ST_ROWS = 24
+LANE_ROW = 23
+_CARRY_ROWS = 23
+
+# per-(wave, bounce) salt spacing for the counter-based hash PRNG: the
+# kernel consumes 8 streams per draw block; these odd constants keep all
+# (wave, bounce) draw blocks on disjoint counters
+_SALT_WAVE = 1640531527  # golden-ratio odd constant (int32 range)
+_SALT_BOUNCE = 40503
+
+
+def _sync_kernel(
+    seed_ref, sky_ref, sph_ref, rec_ref, state_ref, tbl_h, ab_ref, sup_ref,
+    out_ref, tbl_s, dma_sem, *,
+    t_min: float, has_dielectrics: bool, sky_on: bool,
+):
+    """One bounce for one RAY_TILE of lanes (state rows in/out)."""
+    live = jnp.max(state_ref[12:13, :]) > 0.0
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[:, :] = state_ref[:, :]
+
+    @pl.when(live)
+    def _():
+        t_shape = (1, state_ref.shape[1])
+        lane = state_ref[LANE_ROW : LANE_ROW + 1, :]
+        u = _uniforms_hash(
+            (8, t_shape[1]), seed_ref[0, 0], seed_ref[0, 1], lane
+        )
+        zero = jnp.zeros(t_shape, jnp.float32)
+        bounce_f = seed_ref[0, 2].astype(jnp.float32)
+        depth_row = zero + bounce_f
+
+        carry = tuple(
+            state_ref[i : i + 1, :] for i in range(_CARRY_ROWS)
+        ) + (
+            # volume medium slots (id -1 = vacuum; unused, has_volumes off)
+            zero - 1.0, zero, zero, zero, zero, zero, zero, zero,
+            zero,  # shutter time (has_motion off)
+        )
+        consts = (
+            (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
+             sph_ref[:, 3:4], rec_ref, None, None),
+            None,  # rects
+            None,  # boxes
+            (tbl_h, ab_ref, sup_ref, tbl_s, dma_sem),  # streamed triangles
+            None,  # textures
+            None,  # cubemap
+            (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
+            (sky_ref[0, 3], sky_ref[0, 4], sky_ref[0, 5]),
+        )
+        carry = _bounce_step(
+            depth_row, carry, u, consts,
+            t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+            has_volumes=False, has_motion=False,
+        )
+        for i in range(_CARRY_ROWS):
+            out_ref[i : i + 1, :] = carry[i]
+        out_ref[LANE_ROW : LANE_ROW + 1, :] = lane
+
+
+def _bounce_launch(
+    state, seed, salt, bounce, sph, rec_t, sky, tbl_h, aabb_row, sup_row,
+    *, t_min: float, has_dielectrics: bool, sky_on: bool, interpret: bool,
+):
+    n_pad = state.shape[1]
+    s_pad = sph.shape[0]
+    seed_arr = jnp.stack(
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(salt, jnp.int32),
+         jnp.asarray(bounce, jnp.int32), jnp.int32(0)]
+    ).reshape(1, 4)
+    grid = (n_pad // RAY_TILE,)
+    return pl.pallas_call(
+        functools.partial(
+            _sync_kernel,
+            t_min=t_min, has_dielectrics=has_dielectrics, sky_on=sky_on,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (s_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                rec_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ST_ROWS, RAY_TILE), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # streamed triangle table
+            pl.BlockSpec(
+                aabb_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                sup_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ST_ROWS, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ST_ROWS, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TRI_SUP * TRI_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(seed_arr, sky, sph, rec_t, state, tbl_h, aabb_row, sup_row)
+
+
+def sample_batch_sync(
+    lane_count: jnp.ndarray,  # (N,) pixel-order samples to take per pixel
+    count_in: jnp.ndarray,  # (N,) accumulated valid samples before batch
+    camera,  # core.camera.Camera
+    key: jax.Array,
+    centers: jnp.ndarray,  # (S, 3)
+    radii: jnp.ndarray,  # (S,)
+    records: jnp.ndarray,  # (S, 11) packed material rows
+    sky_bottom: jnp.ndarray,
+    sky_top: jnp.ndarray,
+    tri_stream_tables: tuple,  # pack_tri_stream_tables output
+    *,
+    width: int,
+    height: int,
+    samples: int,
+    trace_depth: int,
+    t_min: float = 0.0,
+    has_dielectrics: bool = True,
+    sky_on: bool = True,
+    jitter: bool = True,
+    wave_spp: int = 8,
+    compact: bool = True,
+    interpret: bool = False,
+) -> dict:
+    """Fused-parity accumulation deltas for one batch, PIXEL order.
+
+    Same contract as pallas_megatrace.sample_batch (color/count/normal/
+    albedo/weight/rays/fallback_*), computed by the bounce-synchronous
+    wave loop: `samples` samples split into waves of `wave_spp` per
+    pixel; each wave regenerates camera rays XLA-side, then runs
+    `trace_depth` per-bounce kernel launches with a stable alive-first
+    compaction between bounces.
+    """
+    from raytracing_in_one_weekend_tpu.core import camera as camera_mod
+    from raytracing_in_one_weekend_tpu.core import rng
+
+    interpret = interpret or FORCE_INTERPRET
+    n = width * height
+    k_spp = max(1, min(wave_spp, samples))
+    n_waves = -(-samples // k_spp)
+    order, rank = morton_order(width, height)
+    order = jnp.asarray(order)
+    rank = jnp.asarray(rank)
+
+    nw = n * k_spp
+    nw_pad = -(-nw // RAY_TILE) * RAY_TILE
+
+    pix = jnp.repeat(order, k_spp)  # (nw,) pixel id per lane
+    px_f = (pix % width).astype(jnp.float32)
+    py_f = (pix // width).astype(jnp.float32)
+    per_lane_cap = lane_count[pix].astype(jnp.int32)
+    s_local = jnp.arange(nw, dtype=jnp.int32) % k_spp
+    count_in_m = count_in[order].astype(jnp.float32)  # (n,) morton order
+
+    seed = jax.random.randint(
+        rng.purpose_key(key, rng.Purpose.SCATTER_A), (), 0, 2**31 - 1
+    ).astype(jnp.int32)
+
+    sph, rec_t, _ = _pack_scene_tables(centers, radii, records, None)
+    sky = _pack_sky_row(sky_bottom, sky_top)
+    tbl_h, aabb_row, sup_row = tri_stream_tables
+
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    zeros_n3 = jnp.zeros((3, n), jnp.float32)
+    carry0 = (
+        zeros_n3, zeros_n,  # color sum, valid count
+        zeros_n3, zeros_n3, zeros_n,  # normal, albedo, weight sums
+        zeros_n,  # rays per pixel
+        zeros_n3, zeros_n3,  # fallback normal / albedo
+    )
+
+    def one_wave(carry, w):
+        (color, cnt, nsum, asum, wsum, rays_pix, fn, fa) = carry
+        wkey = jax.random.fold_in(key, w)
+        if jitter:
+            ju = jax.random.uniform(
+                rng.purpose_key(wkey, rng.Purpose.PIXEL_JITTER), (nw, 2)
+            )
+            jx, jy = ju[:, 0], ju[:, 1]
+        else:
+            jx = jy = 0.5
+        coords = jnp.stack(
+            [(px_f + jx) / width, (py_f + jy) / height], axis=-1
+        )
+        rays = camera_mod.generate_rays(camera, coords, wkey)
+        s_global = w * k_spp + s_local
+        active0 = (s_global < per_lane_cap).astype(jnp.float32)
+
+        state0 = jnp.zeros((ST_ROWS, nw_pad), jnp.float32)
+        state0 = state0.at[0:3, :nw].set(rays.origin.T)
+        state0 = state0.at[3:6, :nw].set(rays.direction.T)
+        state0 = state0.at[6:9, :].set(1.0)  # throughput
+        state0 = state0.at[12, :nw].set(active0)
+        state0 = state0.at[LANE_ROW, :].set(
+            jnp.arange(nw_pad, dtype=jnp.float32)
+        )
+
+        def bstep(state, b):
+            salt = (
+                w * jnp.int32(_SALT_WAVE) + b * jnp.int32(_SALT_BOUNCE)
+            )
+            state = _bounce_launch(
+                state, seed, salt, b, sph, rec_t, sky,
+                tbl_h, aabb_row, sup_row,
+                t_min=t_min, has_dielectrics=has_dielectrics,
+                sky_on=sky_on, interpret=interpret,
+            )
+            if compact:
+                # stable alive-first partition: survivors keep Morton
+                # order (coherent tiles), dead lanes sink to trailing
+                # tiles the kernel's whole-tile early-out skips
+                dead = state[12, :] < 0.5
+                perm = jnp.argsort(dead, stable=True)
+                state = state[:, perm]
+            return state, None
+
+        state, _ = jax.lax.scan(bstep, state0, jnp.arange(trace_depth))
+
+        # un-permute via the lane row (iota at wave start -> the row IS
+        # the original index after any composition of partitions)
+        orig = state[LANE_ROW, :].astype(jnp.int32)
+        res_rows = state[
+            jnp.array([9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 21, 22])
+        ]
+        res = jnp.zeros_like(res_rows).at[:, orig].set(res_rows)[:, :nw]
+        res = res.reshape(12, n, k_spp)
+        rad = res[0:3]
+        valid = res[3]  # 0/1 (depth-exhausted lanes keep 0: failed sample)
+        an = res[4:7]
+        aa = res[7:10]
+        ev = res[10]
+        rays_l = res[11]
+
+        color = color + jnp.sum(rad * valid[None], axis=2)
+        cnt = cnt + jnp.sum(valid, axis=1)
+        nsum = nsum + jnp.sum(an * valid[None], axis=2)
+        asum = asum + jnp.sum(aa * valid[None], axis=2)
+        wsum = wsum + jnp.sum(ev * valid, axis=1)
+        rays_pix = rays_pix + jnp.sum(rays_l, axis=1)
+
+        # fallback AOVs: the pixel's FIRST sample this run (wave 0,
+        # sample slot 0), captured valid or not (SampleBatchJob.cs:146-151)
+        is_first = (
+            (w == 0) & (count_in_m < 0.5) & (lane_count[order] > 0)
+        ).astype(jnp.float32)[None]
+        fn = fn + is_first * an[:, :, 0]
+        fa = fa + is_first * aa[:, :, 0]
+        return (color, cnt, nsum, asum, wsum, rays_pix, fn, fa), None
+
+    carry, _ = jax.lax.scan(one_wave, carry0, jnp.arange(n_waves))
+    (color, cnt, nsum, asum, wsum, rays_pix, fn, fa) = carry
+
+    # morton -> pixel order
+    return {
+        "color": color[:, rank].T,
+        "count": cnt[rank],
+        "normal": nsum[:, rank].T,
+        "albedo": asum[:, rank].T,
+        "weight": wsum[rank],
+        "rays": rays_pix[rank].astype(jnp.int32),
+        "fallback_normal": fn[:, rank].T,
+        "fallback_albedo": fa[:, rank].T,
+    }

@@ -239,7 +239,10 @@ def trace(
                 tsd = randomsource.pixel_cosine_at(
                     nstate, dbase, bounce_index, width, height
                 )
-                flavored = (u6, u_free, tsd)
+                uv3 = randomsource.pixel_unitvec3(
+                    nstate, dbase, bounce_index, width, height
+                )
+                flavored = (u6, u_free, tsd, uv3)
         new_state = _bounce_once(
             scene, state, bkey, bounce_index, packed, sph_records,
             first_bounce_tsd, flavored=flavored,
@@ -410,6 +413,10 @@ def _bounce_once(
         lambert_tsd=tsd,
         lambert_tsd_on=tsd_on,
         u_override=flavored[0] if flavored is not None else None,
+        vol_dir_override=(
+            flavored[3]
+            if flavored is not None and len(flavored) > 3 else None
+        ),
     )
     # material-lottery decisions join the path's score accumulator
     # (materials.Scatter.logp: specular/metal lotteries, dielectric

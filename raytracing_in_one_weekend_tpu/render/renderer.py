@@ -370,6 +370,51 @@ def render_batch(
         else:
             tri_tables = pallas_megatrace.pack_tri_tables(scene, packed)
             tri_stream_tables = None
+
+        # ---- bounce-synchronous streamed-mesh path -------------------
+        # The persistent-lane megakernel's tile-grained block cull unions
+        # rays at MIXED bounce phases (lanes desynchronize as they
+        # regenerate) and passes ~half the mesh per iteration; the
+        # sorted-compacted per-bounce loop (ops/pallas_meshtrace) keeps
+        # each tile phase-pure, Morton-coherent and dense, which is what
+        # makes the cull actually selective (the TPU answer to the
+        # reference's per-ray BVH walk, SampleBatchJob.cs:403-448).
+        import os as _os
+
+        if (
+            tri_stream_tables is not None
+            and noise_color == 0
+            and not scene.flags.has_volumes
+            and not scene.flags.has_motion
+            and not scene.flags.has_procedural_textures
+            and scene.flags.sky in (0, 1)
+            and scene.rects.rot.shape[0] == 0
+            and scene.boxes.rot.shape[0] == 0
+            and _os.environ.get("MESH_SYNC", "1") != "0"
+        ):
+            from raytracing_in_one_weekend_tpu.ops import pallas_meshtrace
+
+            lane_count = jnp.where(row_active, per_pixel, 0)
+            d = pallas_meshtrace.sample_batch_sync(
+                lane_count,
+                acc.sample_count,
+                camera,
+                key,
+                scene.spheres.center,
+                scene.spheres.radius,
+                pallas_megatrace.pack_sphere_records(scene, packed),
+                scene.environment.sky_bottom,
+                scene.environment.sky_top,
+                tri_stream_tables,
+                width=width,
+                height=height,
+                samples=samples,
+                trace_depth=trace_depth,
+                has_dielectrics=scene.flags.has_dielectrics,
+                sky_on=scene.flags.sky == 1,
+                jitter=sub_pixel_jitter,
+            )
+            return _apply_deltas(acc, d, lane_count)
         tex_all = pallas_megatrace.pack_texture_tables(scene)
         tex_tables = tex_all[:3] if tex_all is not None else None
         img_dims = tex_all[3] if tex_all is not None else (0, 0)
@@ -394,7 +439,7 @@ def render_batch(
             )
             noise_meta = (
                 meta["size"], meta["T"], meta["cam"], meta["cos"],
-                meta["scal"], n_img_rows,
+                meta["scal"], n_img_rows, meta.get("uv3", -1),
             )
         elif noise_color != 0:
             noise_u = pallas_megatrace.pack_noise_uniforms(

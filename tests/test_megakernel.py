@@ -1201,6 +1201,52 @@ class TestNoiseTablesKernel:
             float(mref.total_rays), rel=0.05
         )
 
+    def test_stbn_volume_unitvec3_matches_wavefront(self):
+        """The isotropic volume scatter rides the baked unitvec3 set
+        (RandomSource.cs:113-128 NextFloat3Direction) in BOTH
+        integrators under STBN: statistical parity on a volume scene
+        through the renderer dispatch."""
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        state = randomsource.make_noise_state(
+            NoiseColor.SPATIO_TEMPORAL_BLUE
+        )
+        if state.scalar is None or state.unitvec3 is None:
+            pytest.skip("real STBN assets unavailable")
+        w, h = 128, 8  # width % tile size == 0 -> in-kernel path
+        s, d = 8, 12
+        scene, camera = _setup(book_scenes.volume_test, w, h)
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+            noise_color=2, noise_state=state, differentiable=True,
+        )
+        saved = pallas_sphere.use_pallas
+        pallas_sphere.use_pallas = lambda: True
+        pallas_megatrace.FORCE_INTERPRET = True
+        try:
+            out, mout = renderer.render_batch(
+                scene, camera, film.zero_accumulators(w * h),
+                jax.random.PRNGKey(0),
+                width=w, height=h, samples=s, trace_depth=d,
+                noise_color=2, noise_state=state, differentiable=False,
+            )
+        finally:
+            pallas_sphere.use_pallas = saved
+            pallas_megatrace.FORCE_INTERPRET = False
+        assert float(jnp.mean(out.sample_count)) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.04
+        )
+        assert float(jnp.mean(out.color)) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.06
+        )
+        assert float(mout.total_rays) == pytest.approx(
+            float(mref.total_rays), rel=0.06
+        )
+
     def test_noise_draw_base_progressive_stride(self):
         """Progressive batches must never replay a draw sequence: the
         per-batch seq base must advance by >= samples*trace_depth (no

@@ -122,6 +122,38 @@ class TestBakedAssets:
         assert tiles.shape == (2, 256, 256, 4)
         assert tiles.min() >= 0.0 and tiles.max() < 1.0
 
+    def test_stbn_unitvec3_set_is_isotropic(self):
+        # the NextFloat3Direction arm (RandomSource.cs:113-128) — the
+        # volume scatter's source set: ~unit norms, zero-mean isotropy
+        t = stbn.load_stbn(temporal=2)
+        v = t.unitvec3[0].reshape(-1, 3)
+        norms = np.linalg.norm(v, axis=-1)
+        assert abs(norms.mean() - 1.0) < 0.02
+        assert np.abs(v.mean(axis=0)).max() < 0.03  # no preferred axis
+        # every octant populated (full sphere, not a hemisphere)
+        octant = (v[:, 0] > 0) * 4 + (v[:, 1] > 0) * 2 + (v[:, 2] > 0)
+        assert len(np.unique(octant)) == 8
+
+    def test_pixel_unitvec3_fetch_and_routing(self):
+        # randomsource.pixel_unitvec3: per-bounce draws differ, values
+        # come from the baked set (unit after normalize)
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        state = randomsource.make_noise_state(
+            NoiseColor.SPATIO_TEMPORAL_BLUE
+        )
+        if state is None or state.unitvec3 is None:
+            pytest.skip("real STBN assets unavailable")
+        a = randomsource.pixel_unitvec3(state, 0, 0, 16, 16)
+        b = randomsource.pixel_unitvec3(state, 0, 1, 16, 16)
+        assert a.shape == (256, 3)
+        norms = np.linalg.norm(np.asarray(a), axis=-1)
+        assert abs(norms.mean() - 1.0) < 0.02
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0.1
+        # white flavor carries no set
+        assert randomsource.pixel_unitvec3(None, 0, 0, 16, 16) is None
+
 
 class TestRenderWithNoiseFlavors:
     @pytest.mark.parametrize(
