@@ -34,11 +34,14 @@ validated the semantics on hardware).  replay_iteration is
 shape-polymorphic (elementwise row math), so it runs unchanged on the
 packed rows.
 
-Scope (kernel_bwd_eligible): the replay scope MINUS image-atlas
-textures and cubemap skies — their per-lane texel gathers have no
-Mosaic lowering here yet (the XLA replay keeps those scenes).  Covers
-the BASELINE gradient configs (cover-scene class), Cornell-class
-rect/box scenes, VMEM-resident meshes, convex volumes, motion blur.
+Scope (kernel_bwd_eligible): the FULL replay scope.  Covers the
+BASELINE gradient configs (cover-scene class), Cornell-class rect/box
+scenes, VMEM-resident meshes, convex volumes, motion blur, and (round
+5) image-atlas textures + cubemap skies: their per-lane texel fetches
+ride the same one-hot MXU contractions as the forward kernel
+(megatrace_replay._onehot_fetch3, onehot_fetch=True), whose jax.vjp
+transpose IS the texel cotangent scatter — accumulated into dedicated
+(3*w_pad, h_pad) output planes across lane tiles.
 
 Reference anchors are the replay's (View.cs camera, HitTests.cs
 intersections, Material.cs scatter, SampleBatchJob.cs fold).
@@ -73,15 +76,13 @@ FULL_STORE_BYTES = 24 * 1024 * 1024  # store EVERY iteration's entry
 
 
 def kernel_bwd_eligible(scene) -> bool:
-    """Static gate for the Pallas backward: the replay scope minus
-    image-atlas textures and cubemap skies (in-kernel per-lane texel
-    gathers are not lowered here yet; those scenes keep the XLA
-    replay's VJP)."""
-    return (
-        mr.replay_eligible(scene)
-        and scene.textures.atlas is None
-        and scene.flags.sky != 2
-    )
+    """Static gate for the Pallas backward: the full replay scope.
+    Image-atlas textures and cubemap skies (round 5) ride the same
+    one-hot MXU texel fetch as the forward kernel
+    (megatrace_replay._onehot_fetch3 under onehot_fetch=True); jax.vjp
+    transposes it into the texel cotangent scatter, accumulated into
+    dedicated (3*w_pad, h_pad) output planes."""
+    return mr.replay_eligible(scene)
 
 
 _BASE_KEYS = (
@@ -130,10 +131,19 @@ def _to8(x):
 
 def _bwd_kernel(
     seed_ref, cam_ref, sky_ref, vol0_ref, pix_ref, tape_ref,
-    cot_ref, table_ref, dtable_ref, dscal_ref, ckpt_ref, blk_ref=None,
-    *, samples: int, trace_depth: int, statics: dict, s_tot: int,
-    cols: int, full_store: bool = False,
+    cot_ref, table_ref, *rest,
+    samples: int, trace_depth: int, statics: dict, s_tot: int,
+    cols: int, full_store: bool = False, n_tex: int = 0,
 ):
+    # rest = [img_ref?][cube_ref?] dtable_ref dscal_ref
+    #        [dimg_ref?][dcube_ref?] ckpt_ref [blk_ref]
+    rest = list(rest)
+    tex_refs = [rest.pop(0) for _ in range(n_tex)]
+    dtable_ref = rest.pop(0)
+    dscal_ref = rest.pop(0)
+    dtex_refs = [rest.pop(0) for _ in range(n_tex)]
+    ckpt_ref = rest.pop(0)
+    blk_ref = rest.pop(0) if rest else None
     has_motion = statics["has_motion"]
     has_volumes = statics["has_volumes"]
     keys = _state_keys(has_motion, has_volumes)
@@ -183,7 +193,13 @@ def _bwd_kernel(
         seed=seed,
     )
 
-    def kstep(state, table_t, diffs, tape_row, it):
+    # texture-plane tables (image atlas / cubemap) as DIFFERENTIABLE
+    # kernel args: the one-hot fetch's vjp is the texel scatter
+    texs = tuple(r[:, :] for r in tex_refs)
+    has_img_tbl = statics["has_img"]
+    has_cube_tbl = statics["cube_pads"] is not None
+
+    def kstep(state, table_t, diffs, texs, tape_row, it):
         env = dict(env_nondiff)
         env.update(
             co=diffs["co"], ll=diffs["ll"], hh=diffs["hh"],
@@ -194,6 +210,10 @@ def _bwd_kernel(
         )
         if has_volumes:
             env["vol0"] = diffs["vol0"]
+        if has_img_tbl:
+            env["img_tbl"] = texs[0]
+        if has_cube_tbl:
+            env["cube_tbl"] = texs[-1]
         w = jnp.clip(tape_row, 0.0, None).astype(jnp.int32)  # (8, 128)
         wflat = w.reshape(1, SUB * LN)  # sublane regroup: t = sub*128+ln
         iota = jax.lax.broadcasted_iota(jnp.int32, (s_tot, SUB * LN), 0)
@@ -243,7 +263,7 @@ def _bwd_kernel(
                     st, keys
                 )
             return kstep(
-                st, table_t, diffs,
+                st, table_t, diffs, texs,
                 tape_ref[pl.ds(it * SUB, SUB), :], it,
             )
 
@@ -267,6 +287,7 @@ def _bwd_kernel(
     )
     dtab0 = jnp.zeros((cols, s_tot), jnp.float32)
     dscal0 = jax.tree.map(lambda s: jnp.zeros_like(s), diffs)
+    dtex0 = tuple(jnp.zeros_like(t) for t in texs)
 
     def rev_block(k, acc):
         bi = nblk - 1 - k
@@ -283,14 +304,14 @@ def _bwd_kernel(
                     )
                     it = bi * span + j
                     return kstep(
-                        st, table_t, diffs,
+                        st, table_t, diffs, texs,
                         tape_ref[pl.ds(it * SUB, SUB), :], it,
                     )
 
                 jax.lax.fori_loop(0, span, refwd, st)
 
             def rev_one(j2, acc):
-                cot_state, dtab, dscal = acc
+                cot_state, dtab, dscal, dtex = acc
                 j = span - 1 - j2
                 it = bi * span + j
                 st_in = _unpack_state(
@@ -301,21 +322,22 @@ def _bwd_kernel(
                 )
                 row = tape_ref[pl.ds(it * SUB, SUB), :]
                 _, vjp_fn = jax.vjp(
-                    lambda s, tb, df: kstep(s, tb, df, row, it),
-                    st_in, table_t, diffs,
+                    lambda s, tb, df, tx: kstep(s, tb, df, tx, row, it),
+                    st_in, table_t, diffs, texs,
                 )
-                dst, dt, dd = vjp_fn(cot_state)
+                dst, dt, dd, dtx = vjp_fn(cot_state)
                 return (
                     dst, dtab + dt,
                     jax.tree.map(jnp.add, dscal, dd),
+                    tuple(a + b for a, b in zip(dtex, dtx)),
                 )
 
             return jax.lax.fori_loop(0, span, rev_one, acc)
 
         return jax.lax.cond(block_live(bi), run, lambda a: a, acc)
 
-    _, dtab, dscal = jax.lax.fori_loop(
-        0, _p2, rev_block, (cot0, dtab0, dscal0)
+    _, dtab, dscal, dtex = jax.lax.fori_loop(
+        0, _p2, rev_block, (cot0, dtab0, dscal0, dtex0)
     )
 
     # ---- accumulate across lane tiles (sequential TPU grid) ----------
@@ -331,9 +353,13 @@ def _bwd_kernel(
     def _init():
         dtable_ref[:, :] = jnp.zeros((cols, s_tot), jnp.float32)
         dscal_ref[:, :] = jnp.zeros((SCAL_PAD * SUB, LN), jnp.float32)
+        for dref, tref in zip(dtex_refs, tex_refs):
+            dref[:, :] = jnp.zeros(tref.shape, jnp.float32)
 
     dtable_ref[:, :] += dtab
     dscal_ref[:, :] += scal_block
+    for dref, dtx in zip(dtex_refs, dtex):
+        dref[:, :] += dtx
 
 
 def replay_grad(
@@ -351,10 +377,11 @@ def replay_grad(
     rect_tables=None,
     box_tables=None,
     tri_tables=None,
-    tex_tables=None,  # (texrec, None, None) — image atlases are out of
-    #   scope here (kernel_bwd_eligible)
+    tex_tables=None,  # (texrec, None, img|None) — the atlas plane
+    #   table is differentiable via the one-hot fetch's vjp
     move_vectors=None,
     vol0=None,
+    cube_table=None,  # pack_cubemap_table planes — differentiable
     *,
     samples: int,
     trace_depth: int,
@@ -365,13 +392,18 @@ def replay_grad(
     interpret: bool = False,
     lane0=0,
     pixel0=0,
+    img_dims: tuple = (0, 0),
+    cube_dims: tuple = (0, 0),
 ):
     """VMEM-resident tape-replay VJP.  Returns the cotangent 7-tuple
     (camera_row, centers, radii, records, sky_bottom, sky_top, aux)
     matching jax.vjp(replay)'s structure for sample_batch_diff._bwd —
     aux keyed like sample_batch_diff's aux dict."""
     if tex_tables is not None:
-        assert tex_tables[1] is None and tex_tables[2] is None
+        assert tex_tables[1] is None  # perlin marble: wavefront only
+    img = tex_tables[2] if tex_tables is not None else None
+    has_img = img is not None
+    has_cube = cube_table is not None
     has_motion = move_vectors is not None
     has_volumes = vol0 is not None
     n = lane_count.shape[0]
@@ -431,11 +463,20 @@ def replay_grad(
         has_rects=rect_tables is not None,
         has_boxes=box_tables is not None,
         has_tris=tri_tables is not None,
-        has_tex=tex_tables is not None, has_img=False,
+        has_tex=tex_tables is not None, has_img=has_img,
         has_dielectrics=has_dielectrics, sky_on=sky_on,
         trace_depth=trace_depth, t_min=t_min,
-        img_pads=(0, 0, 1, 1), cube_pads=None,
+        img_pads=(
+            (img_dims[0], img_dims[1], img.shape[0] // 3, img.shape[1])
+            if has_img else (0, 0, 1, 1)
+        ),
+        cube_pads=(
+            (cube_dims[0], cube_dims[1],
+             cube_table.shape[0] // 3, cube_table.shape[1])
+            if has_cube else None
+        ),
         mvbase=layout["mvbase"], txbase=layout["txbase"],
+        onehot_fetch=True,  # Mosaic context: texels via one-hot MXU
     )
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
@@ -501,12 +542,22 @@ def replay_grad(
             pltpu.VMEM((trace_depth * srows, LN), jnp.float32),
         ]
 
+    tex_inputs = []
+    if has_img:
+        tex_inputs.append(img.astype(jnp.float32))
+    if has_cube:
+        tex_inputs.append(cube_table.astype(jnp.float32))
+    tex_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for t in tex_inputs
+    ]
+
     grid = (n_pad // BWD_TILE,)
-    dtable, dscal = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _bwd_kernel, samples=samples, trace_depth=trace_depth,
             statics=statics, s_tot=s_tot, cols=cols,
-            full_store=full_store,
+            full_store=full_store, n_tex=len(tex_inputs),
         ),
         grid=grid,
         in_specs=[
@@ -526,16 +577,19 @@ def replay_grad(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cols, s_tot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + tex_specs,
         out_specs=(
             pl.BlockSpec((cols, s_tot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SCAL_PAD * SUB, LN), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        ) + tuple(tex_specs),
         out_shape=(
             jax.ShapeDtypeStruct((cols, s_tot), jnp.float32),
             jax.ShapeDtypeStruct((SCAL_PAD * SUB, LN), jnp.float32),
+        ) + tuple(
+            jax.ShapeDtypeStruct(t.shape, jnp.float32)
+            for t in tex_inputs
         ),
         scratch_shapes=scratch,
         compiler_params=(
@@ -544,7 +598,11 @@ def replay_grad(
         ),
         interpret=interpret,
     )(seed_arr, cam, sky, vol0_row, _to8(pix), _to8(tape_pad),
-      _to8(cot), entity_rows.T)
+      _to8(cot), entity_rows.T, *tex_inputs)
+    dtable, dscal = out[0], out[1]
+    dtex_out = list(out[2:])
+    dimg = dtex_out.pop(0) if has_img else None
+    dcube = dtex_out.pop(0) if has_cube else None
 
     # ---- scatter the table cotangent back to the scene leaves --------
     (dleaves,) = build_vjp(dtable.T)
@@ -589,6 +647,10 @@ def replay_grad(
         aux_cot["tri_rec"] = dleaves["tri_rec"]
     if tex_tables is not None:
         aux_cot["texrec"] = dleaves["texrec"]
+    if has_img:
+        aux_cot["tex_img"] = dimg
+    if has_cube:
+        aux_cot["cube"] = dcube
     if has_motion:
         aux_cot["move"] = dleaves["move"]
     if has_volumes:

@@ -229,11 +229,44 @@ def build_entity_rows(
     return entity_rows, dict(mvbase=mvbase, txbase=txbase, cols=cols)
 
 
+def _onehot_fetch3(tbl, w_pad: int, h_pad: int, colx, rowy):
+    """Per-lane nearest texel from a (3*w_pad, h_pad) channel-plane
+    table via row one-hot contraction + column mask-reduce — the SAME
+    fetch shape as the forward kernel (pallas_megatrace._bounce_textures)
+    so Mosaic lowers it, and jax.vjp transposes it into the MXU texel
+    cotangent scatter the backward kernel needs (ops/megatrace_bwd).
+    colx/rowy may be any 2-D lane block (e.g. the packed (8, 128))."""
+    shp = colx.shape
+    m = colx.size
+    cflat = colx.reshape(1, m)
+    rflat = rowy.reshape(1, m)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (h_pad, m), 0)
+    r_hot = (r_iota == rflat).astype(jnp.float32)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (w_pad, m), 0)
+    c_hot = (c_iota == cflat).astype(jnp.float32)
+    out = []
+    for c in range(3):
+        col = jax.lax.dot_general(
+            tbl[c * w_pad : (c + 1) * w_pad, :], r_hot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w_pad, m)
+        out.append(
+            jnp.sum(c_hot * col, axis=0, keepdims=True).reshape(shp)
+        )
+    return out
+
+
 def replay_iteration(
     state, wt, tape_row, it, env, *,
     jitter, has_motion, has_volumes, has_rects, has_boxes, has_tris,
     has_tex, has_img, has_dielectrics, sky_on, trace_depth,
     t_min, img_pads, cube_pads, mvbase, txbase,
+    onehot_fetch: bool = False,  # Pallas-kernel context: per-lane flat
+    #   gathers have no Mosaic lowering — image/cubemap texels ride
+    #   one-hot MXU contractions against env["img_tbl"]/env["cube_tbl"]
+    #   instead of env["img_flat"]/env["cube_flat"], and the sphere UV's
+    #   arctan2/arccos take the kernel's select-based forms
 ):
     """One persistent-lane iteration of the tape replay: regen + one
     bounce at the tape-confirmed winner + fold/termination.  Runs
@@ -594,9 +627,18 @@ def replay_iteration(
             # Shirley Book-2 mapping; rect/box keep uv = 0 (kernel
             # winner-UV section).
             img_w, img_h, w_pad, ah_pad = img_pads
-            su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
-                  + jnp.pi) * (0.5 / jnp.pi)
-            sv = jnp.arccos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+            if onehot_fetch:
+                # jnp.arctan2/arccos have no Mosaic lowering; the
+                # select-based kernel forms match the forward exactly
+                su = (mk._atan2(-nz, jnp.where(s_hit, nx, 1.0))
+                      + jnp.pi) * (0.5 / jnp.pi)
+                sv = mk._acos(jnp.clip(-ny, -1.0, 1.0)) * (1.0 / jnp.pi)
+            else:
+                su = (jnp.arctan2(-nz, jnp.where(s_hit, nx, 1.0))
+                      + jnp.pi) * (0.5 / jnp.pi)
+                sv = jnp.arccos(
+                    jnp.clip(-ny, -1.0, 1.0)
+                ) * (1.0 / jnp.pi)
             tex_u = jnp.where(s_hit, su, 0.0)
             tex_v = jnp.where(s_hit, sv, 0.0)
             if has_tris:
@@ -621,12 +663,17 @@ def replay_iteration(
                 (tex_v * img_h).astype(jnp.int32), 0, img_h - 1
             )
             roww = wt[txbase + 8].astype(jnp.int32) + cy2
-            img_flat = env["img_flat"]
             is_img = (ttype > 3.5) & (ttype < 4.5)
-            texel = [
-                img_flat[(c2 * w_pad + cx2) * ah_pad + roww]
-                for c2 in range(3)
-            ]
+            if onehot_fetch:
+                texel = _onehot_fetch3(
+                    env["img_tbl"], w_pad, ah_pad, cx2, roww
+                )
+            else:
+                img_flat = env["img_flat"]
+                texel = [
+                    img_flat[(c2 * w_pad + cx2) * ah_pad + roww]
+                    for c2 in range(3)
+                ]
             alb_r = jnp.where(is_img, texel[0] * main_r, alb_r)
             alb_g = jnp.where(is_img, texel[1] * main_g, alb_g)
             alb_b = jnp.where(is_img, texel[2] * main_b, alb_b)
@@ -869,10 +916,15 @@ def replay_iteration(
             ((cvv + 1.0) * (c_h / 2.0)).astype(jnp.int32), c_h - 1
         )
         crow = face.astype(jnp.int32) * c_h + ccy
-        cube_flat = env["cube_flat"]
-        skr = cube_flat[(0 * cw_pad + ccx) * cfh_pad + crow]
-        skg = cube_flat[(1 * cw_pad + ccx) * cfh_pad + crow]
-        skb = cube_flat[(2 * cw_pad + ccx) * cfh_pad + crow]
+        if onehot_fetch:
+            skr, skg, skb = _onehot_fetch3(
+                env["cube_tbl"], cw_pad, cfh_pad, ccx, crow
+            )
+        else:
+            cube_flat = env["cube_flat"]
+            skr = cube_flat[(0 * cw_pad + ccx) * cfh_pad + crow]
+            skg = cube_flat[(1 * cw_pad + ccx) * cfh_pad + crow]
+            skb = cube_flat[(2 * cw_pad + ccx) * cfh_pad + crow]
     elif sky_on:
         sky_bottom, sky_top = env["sky_b"], env["sky_t"]
         tsky = 0.5 * (dy + 1.0)
@@ -1198,7 +1250,8 @@ def sample_batch_diff(
     kernel_bwd: bool = False,  # static: run the VJP as the Pallas
     #   backward kernel (ops/megatrace_bwd — VMEM-resident reverse
     #   sweep) instead of jax.vjp over the XLA replay.  Caller gates on
-    #   megatrace_bwd.kernel_bwd_eligible (no image atlas / cubemap).
+    #   megatrace_bwd.kernel_bwd_eligible (the full replay scope since
+    #   round 5 — atlas/cubemap texels ride the one-hot fetch's vjp).
 ):
     """sample_batch with gradients wrt (centers, radii, records, sky,
     camera_row, rect/box geo+rec tables, texture record/atlas tables) via
@@ -1359,18 +1412,19 @@ def sample_batch_diff(
             from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
 
             rt, bt, trt, tt, mv, v0, cube = _aux_pairs(aux)
-            assert cube is None  # kernel_bwd_eligible excludes cubemap
             cots = megatrace_bwd.replay_grad(
                 tape, lane_f, camera_row, centers, radii, records,
                 sky_b, sky_t, _i32_of(ints[0], ints[1]),
                 cot_color, cot_count,
                 rect_tables=rt, box_tables=bt, tri_tables=trt,
                 tex_tables=tt, move_vectors=mv, vol0=v0,
+                cube_table=cube,
                 samples=samples, trace_depth=trace_depth,
                 has_dielectrics=has_dielectrics, sky_on=sky_on,
                 jitter=jitter, interpret=interpret,
                 lane0=_i32_of(ints[2], ints[3]),
                 pixel0=_i32_of(ints[4], ints[5]),
+                img_dims=img_dims, cube_dims=cube_dims,
             )
             (cot_cam, cot_c, cot_r, cot_rec, cot_sb, cot_st,
              aux_part) = cots

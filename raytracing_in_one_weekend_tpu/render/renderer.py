@@ -301,9 +301,10 @@ def render_batch(
             has_dielectrics=scene.flags.has_dielectrics,
             sky_on=scene.flags.sky == 1,
             jitter=sub_pixel_jitter,
-            # VMEM-resident Pallas reverse sweep where eligible (no
-            # image atlas / cubemap); ineligible scenes keep the XLA
-            # replay's VJP (ops/megatrace_bwd.kernel_bwd_eligible)
+            # VMEM-resident Pallas reverse sweep across the full replay
+            # scope (round 5: image-atlas + cubemap texel cotangents ride
+            # the one-hot fetch's vjp); the XLA replay VJP remains the
+            # interpret-mode oracle (ops/megatrace_bwd.kernel_bwd_eligible)
             kernel_bwd=megatrace_bwd.kernel_bwd_eligible(scene),
         )
         # (no lane reorder here: the diff-fused gate caps triangles at

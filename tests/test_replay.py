@@ -1243,14 +1243,54 @@ class TestKernelBackward:
         leaves = dict(records=records, tex_tables=tex_all[:3])
         self._grad_pair(scene, camera, leaves, {}, w=w, h=h, s=s, d=d)
 
-    def test_ineligible_scenes_keep_xla_replay(self):
-        # image atlas and cubemap skies stay on the XLA replay's VJP
+    def test_image_atlas_texel_gradients(self):
+        # round 5: atlas scenes ride the kernel backward — texel
+        # cotangents via the one-hot fetch's vjp (Texture.cs:82-90)
         from raytracing_in_one_weekend_tpu.models import testbeds
         from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
 
-        scene, _ = testbeds.textured_sphere()
+        w = h = 12
+        s, d = 2, 4
+        scene, cs = testbeds.textured_sphere()
         assert megatrace_replay.replay_eligible(scene)
-        assert not megatrace_bwd.kernel_bwd_eligible(scene)
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        tex_all = pallas_megatrace.pack_texture_tables(scene)
+        assert tex_all is not None and tex_all[2] is not None
+        leaves = dict(records=records, tex_tables=tex_all[:3])
+        self._grad_pair(
+            scene, camera, leaves, dict(img_dims=tex_all[3]),
+            w=w, h=h, s=s, d=d,
+        )
+
+    def test_cubemap_texel_gradients(self):
+        # round 5: cubemap skies ride the kernel backward — env-map
+        # texel cotangents via the one-hot fetch (Texture.cs:172-210)
+        from raytracing_in_one_weekend_tpu.models import testbeds
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        w = h = 12
+        s, d = 2, 4
+        scene, cs = testbeds.cubemap_testbed()
+        assert megatrace_replay.replay_eligible(scene)
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        camera = camera_mod.make_camera(
+            cs.origin, cs.look_at, cs.up, cs.vertical_fov, w / h,
+            aperture=cs.aperture, focus_distance=cs.focus_distance,
+        )
+        packed = materials.pack_materials(scene)
+        records = pallas_megatrace.pack_sphere_records(scene, packed)
+        cube_all = pallas_megatrace.pack_cubemap_table(scene)
+        leaves = dict(records=records, cube_table=cube_all[0])
+        self._grad_pair(
+            scene, camera, leaves, dict(cube_dims=cube_all[1]),
+            w=w, h=h, s=s, d=d, sky_on=scene.flags.sky == 1,
+        )
 
 
 class TestKernelBackwardDeepDepth:
