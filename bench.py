@@ -129,6 +129,46 @@ def main() -> None:
         per_iter.append(grad_rays / (time.perf_counter() - t0) / 1e6)
     per_iter.sort()
     fwdbwd_mrays = per_iter[len(per_iter) // 2]
+
+    # --- depth 35: the reference's own default traceDepth -----------------
+    # (Raytracer.cs:88) — forward and fwd+bwd at the same honest ray
+    # counting so the driver captures the deep-depth pair every round.
+    DEPTH35 = 35
+    D35_SPP = 64
+
+    def fwd35(k):
+        a, m = renderer.render_batch_jit(
+            scene, camera, film.zero_accumulators(WIDTH * HEIGHT), k,
+            jnp.asarray(0, jnp.int32),
+            width=WIDTH, height=HEIGHT, samples=D35_SPP,
+            trace_depth=DEPTH35,
+        )
+        jax.block_until_ready(a)
+        return float(m.total_rays)
+
+    def loss35(centers, key):
+        s = params_mod.set_sphere_centers(scene, centers)
+        img = renderer.render_image(
+            s, camera, key, width=WIDTH, height=HEIGHT,
+            samples_per_pixel=D35_SPP, trace_depth=DEPTH35,
+        )
+        return jnp.mean((img.color - target) ** 2)
+
+    grad35 = jax.jit(jax.grad(loss35))
+    fwd35(key)  # warmup/compile
+    jax.block_until_ready(grad35(scene.spheres.center, key))
+    f35, fb35 = [], []
+    for i in range(3):
+        k = jax.random.fold_in(key, 200 + i)
+        t0 = time.perf_counter()
+        r35 = fwd35(k)
+        f35.append(r35 / (time.perf_counter() - t0) / 1e6)
+        t0 = time.perf_counter()
+        jax.block_until_ready(grad35(scene.spheres.center, k))
+        fb35.append(r35 / (time.perf_counter() - t0) / 1e6)
+    f35.sort()
+    fb35.sort()
+    fwd35_mrays, fwdbwd35_mrays = f35[1], fb35[1]
     # the same wall time under the reference-style full-depth formula
     # (W*H*spp*depth rays assumed — how rounds 1-2 and the r2 judge
     # counted): honest MEASURED rays are ~2.8/8 of that on this scene
@@ -152,6 +192,13 @@ def main() -> None:
                     "fwd_bwd_mrays_per_sec": round(fwdbwd_mrays, 3),
                     "fwd_bwd_vs_baseline": round(
                         fwdbwd_mrays / REFERENCE_MRAYS, 3
+                    ),
+                    "depth35_fwd_mrays_per_sec": round(fwd35_mrays, 3),
+                    "depth35_fwd_bwd_mrays_per_sec": round(
+                        fwdbwd35_mrays, 3
+                    ),
+                    "depth35_fwd_bwd_vs_baseline": round(
+                        fwdbwd35_mrays / REFERENCE_MRAYS, 3
                     ),
                     "fwd_bwd_full_depth_formula": round(
                         fwdbwd_full_depth, 3

@@ -61,6 +61,13 @@ from raytracing_in_one_weekend_tpu.render import integrator
 from raytracing_in_one_weekend_tpu.scene.scene import Scene
 
 
+# refracted-silhouette pair budget: each (glass, background) pair traces
+# its own root-find + probe graph, so the count is capped and the pairs
+# are PRIORITIZED by projected angular size (refracted_edge_gradients);
+# module-level so stress tests can shrink it
+REFRACTED_PAIR_CAP = 64
+
+
 class BoundaryConfig(NamedTuple):
     samples_per_sphere: int = 128
     samples_per_edge: int = 32  # per box/rect polyline edge
@@ -1048,13 +1055,30 @@ def refracted_edge_gradients(
     ]
     d_centers = jnp.zeros_like(centers)
     d_radii = jnp.zeros_like(radii)
-    if len(pairs) > 64:
+    if len(pairs) > REFRACTED_PAIR_CAP:
         # each pair traces its own root-find + probe graph; cover-scale
         # scenes (dozens of dielectrics x hundreds of spheres) would
-        # compile tens of thousands of bodies.  Inverse problems at that
-        # scale keep interior + opaque-family terms only (documented
-        # PARITY deviation); the term exists for the glass-POSE class.
-        return d_centers, d_radii
+        # compile tens of thousands of bodies.  Keep the 64 pairs with
+        # the largest expected silhouette contribution — the product of
+        # the two spheres' projected angular sizes from the camera (a
+        # refracted silhouette's image length scales with both) — so
+        # many-glass scenes degrade gracefully instead of losing the
+        # whole term.  Ranking needs CONCRETE geometry (the pair list is
+        # static Python); when centers/radii ride traced optimizer
+        # params the authored order is kept (first 64) — still a bounded
+        # subset, never a silent all-drop.
+        try:
+            c_np = _np.asarray(scene.spheres.center)
+            r_np = _np.abs(_np.asarray(scene.spheres.radius))
+            o_np = _np.asarray(camera.origin)
+            dist = _np.maximum(
+                _np.linalg.norm(c_np - o_np[None], axis=-1), 1e-6
+            )
+            ang = _np.clip(r_np / dist, 0.0, 1.0)
+            pairs.sort(key=lambda p: -(ang[p[0]] * ang[p[1]]))
+        except jax.errors.TracerArrayConversionError:
+            pass
+        pairs = pairs[:REFRACTED_PAIR_CAP]
     if not pairs:
         return d_centers, d_radii
 

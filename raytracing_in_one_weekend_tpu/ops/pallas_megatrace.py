@@ -802,7 +802,19 @@ def _bounce_step(
         # viable on TPU at this scale (per-lane gathers in a lockstep
         # while_loop), so this per-block cull + stream IS the big-mesh
         # path (FindHitCandidates, SampleBatchJob.cs:403-448, re-shaped).
-        tbl_h, ab_ref, sup_ref, tbl_s, dma_sem = tri_c
+        if len(tri_c) > 5:
+            # bounce-synchronous path (ops/pallas_meshtrace): per-tile
+            # NEAR-TO-FAR super order + lower-bound distances, XLA-
+            # precomputed from the tile's live-ray bounds — the while
+            # loop below breaks the moment no active lane's best hit can
+            # be beaten, the TPU analog of ordered BVH descent
+            # (FindHitCandidates' shrinking t_max, SampleBatchJob.cs:
+            # 403-448)
+            (tbl_h, ab_ref, sup_ref, tbl_s, dma_sem,
+             sord_ref, sdist_ref) = tri_c
+        else:
+            tbl_h, ab_ref, sup_ref, tbl_s, dma_sem = tri_c
+            sord_ref = sdist_ref = None
         n_blk = tbl_h.shape[0] // TRI_ROWS
         n_sup = n_blk // TRI_SUP
         rb = TRI_STREAM_REC_BASE
@@ -987,28 +999,40 @@ def _bounce_step(
 
             return jax.lax.cond(sup_pred, _do_sup, lambda c: c, carry)
 
-        if os.environ.get("MESH_COUNT") is not None:
-            tri_best, tri_u, tri_v, trec, _sweep_ct = jax.lax.fori_loop(
-                0, n_sup, _sup_body,
-                (
-                    jnp.full((1, t_cols), BIG, jnp.float32),
-                    zero, zero,
-                    jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
-                    zero,
-                ),
-            )
+        _count = os.environ.get("MESH_COUNT") is not None
+        init = (
+            jnp.full((1, t_cols), BIG, jnp.float32),
+            zero,
+            zero,
+            jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
+        ) + ((zero,) if _count else ())
+        if sord_ref is not None:
+            # ordered traversal: visit supers nearest-first; a super
+            # whose lower-bound distance exceeds every active lane's
+            # current best hit cannot win — its pred, DMA and sweep are
+            # all cond-skipped, the BVH's shrinking-t_max cull.  (A true
+            # while-loop break was tried first: Mosaic's compile of the
+            # big-carry while hung >45 min; the fori + cond form
+            # compiles like the unordered loop and skips the same work.)
+            def _sup_sorted(k, carry):
+                bound = jnp.max(jnp.where(
+                    active > 0.0, jnp.minimum(carry[0], best_t), 0.0
+                ))
+                return jax.lax.cond(
+                    sdist_ref[0, 0, k] < bound,
+                    lambda c: _sup_body(sord_ref[0, 0, k], c),
+                    lambda c: c,
+                    carry,
+                )
+
+            out = jax.lax.fori_loop(0, n_sup, _sup_sorted, init)
         else:
-            tri_best, tri_u, tri_v, trec = jax.lax.fori_loop(
-                0, n_sup, _sup_body,
-                (
-                    jnp.full((1, t_cols), BIG, jnp.float32),
-                    zero,
-                    zero,
-                    jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
-                ),
-            )
-        if os.environ.get("MESH_COUNT") is not None:
+            out = jax.lax.fori_loop(0, n_sup, _sup_body, init)
+        if _count:
+            tri_best, tri_u, tri_v, trec, _sweep_ct = out
             rays_cast = rays_cast + _sweep_ct
+        else:
+            tri_best, tri_u, tri_v, trec = out
         tri_wins = tri_best < best_t
         best_t = jnp.where(tri_wins, tri_best, best_t)
         mat = jnp.where(tri_wins, trec[0:11, :], mat)

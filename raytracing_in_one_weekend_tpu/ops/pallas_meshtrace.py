@@ -65,9 +65,49 @@ _SALT_WAVE = 1640531527  # golden-ratio odd constant (int32 range)
 _SALT_BOUNCE = 40503
 
 
+def _tile_super_order(state, sup_arr, n_tiles: int, n_sup: int):
+    """Per-tile NEAR-TO-FAR super visit order + conservative lower-bound
+    distances, from the tile's live-ray bounds (XLA-side, per bounce).
+
+    For each RAY_TILE of lanes: the AABB of active-ray origins and the
+    per-component direction bounds give (a) a Euclidean lower bound on
+    the ray parameter t at which ANY tile ray can enter each super's
+    AABB (directions are unit), and (b) a sound reachability cull (a
+    super strictly on one side of the origin box needs a direction
+    component of that sign).  Unreachable supers sort to the end with
+    dist = inf; the kernel's while loop never reaches them."""
+    o = state[0:3].reshape(3, n_tiles, RAY_TILE)
+    d = state[3:6].reshape(3, n_tiles, RAY_TILE)
+    act = (state[12].reshape(n_tiles, RAY_TILE) >= 0.5)[None]
+    big = jnp.float32(1e30)
+    olo = jnp.min(jnp.where(act, o, big), axis=2).T  # (T, 3)
+    ohi = jnp.max(jnp.where(act, o, -big), axis=2).T
+    dlo = jnp.min(jnp.where(act, d, big), axis=2).T
+    dhi = jnp.max(jnp.where(act, d, -big), axis=2).T
+    sup8 = sup_arr.reshape(n_sup, 8)
+    slo, shi = sup8[None, :, 0:3], sup8[None, :, 3:6]  # (1, S, 3)
+    gap = jnp.maximum(
+        jnp.maximum(slo - ohi[:, None, :], olo[:, None, :] - shi), 0.0
+    )  # (T, S, 3)
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=2)) * 0.999
+    unreach = (
+        ((slo > ohi[:, None, :]) & (dhi[:, None, :] <= 0.0))
+        | ((shi < olo[:, None, :]) & (dlo[:, None, :] >= 0.0))
+    )
+    key = jnp.where(jnp.any(unreach, axis=2), jnp.inf, dist)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (T, S)
+    dist_sorted = jnp.take_along_axis(key, order, axis=1)
+    # (T, 1, S): leading tile dim blocked by 1, trailing dims full —
+    # the only per-tile SMEM block shape Mosaic admits
+    return (
+        order[:, None, :],
+        dist_sorted.astype(jnp.float32)[:, None, :],
+    )
+
+
 def _sync_kernel(
     seed_ref, sky_ref, sph_ref, rec_ref, state_ref, tbl_h, ab_ref, sup_ref,
-    out_ref, tbl_s, dma_sem, *,
+    sord_ref, sdist_ref, out_ref, tbl_s, dma_sem, *,
     t_min: float, has_dielectrics: bool, sky_on: bool,
 ):
     """One bounce for one RAY_TILE of lanes (state rows in/out)."""
@@ -95,12 +135,17 @@ def _sync_kernel(
             zero - 1.0, zero, zero, zero, zero, zero, zero, zero,
             zero,  # shutter time (has_motion off)
         )
+        import os as _os
+
         consts = (
             (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
              sph_ref[:, 3:4], rec_ref, None, None),
             None,  # rects
             None,  # boxes
-            (tbl_h, ab_ref, sup_ref, tbl_s, dma_sem),  # streamed triangles
+            # streamed triangles + the per-tile near-to-far super order
+            # (MESH_SYNC_NOMESH: debug floor — skip the whole mesh phase)
+            None if _os.environ.get("MESH_SYNC_NOMESH") else
+            (tbl_h, ab_ref, sup_ref, tbl_s, dma_sem, sord_ref, sdist_ref),
             None,  # textures
             None,  # cubemap
             (sky_ref[0, 0], sky_ref[0, 1], sky_ref[0, 2]),
@@ -122,11 +167,14 @@ def _bounce_launch(
 ):
     n_pad = state.shape[1]
     s_pad = sph.shape[0]
+    n_tiles = n_pad // RAY_TILE
+    n_sup = sup_row.shape[1] // 8
+    sord, sdist = _tile_super_order(state, sup_row, n_tiles, n_sup)
     seed_arr = jnp.stack(
         [jnp.asarray(seed, jnp.int32), jnp.asarray(salt, jnp.int32),
          jnp.asarray(bounce, jnp.int32), jnp.int32(0)]
     ).reshape(1, 4)
-    grid = (n_pad // RAY_TILE,)
+    grid = (n_tiles,)
     return pl.pallas_call(
         functools.partial(
             _sync_kernel,
@@ -153,6 +201,14 @@ def _bounce_launch(
             pl.BlockSpec(
                 sup_row.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(  # per-tile near-to-far super ids
+                (1, 1, sord.shape[2]), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(  # matching lower-bound distances
+                (1, 1, sdist.shape[2]), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (ST_ROWS, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -164,7 +220,8 @@ def _bounce_launch(
         ],
         input_output_aliases={4: 0},
         interpret=interpret,
-    )(seed_arr, sky, sph, rec_t, state, tbl_h, aabb_row, sup_row)
+    )(seed_arr, sky, sph, rec_t, state, tbl_h, aabb_row, sup_row,
+      sord, sdist)
 
 
 def sample_batch_sync(
@@ -264,6 +321,19 @@ def sample_batch_sync(
             jnp.arange(nw_pad, dtype=jnp.float32)
         )
 
+        def _lane_sort(state, keys):
+            """Permute lanes by ascending integer keys via a stable
+            multi-payload lax.sort — the ONLY fast 2M-lane permute on
+            this hardware (measured: 24-payload sort ~29 ms vs ~90 ms
+            for every gather/scatter/take formulation of the same
+            permutation; the round-5 first cut's cumsum+scatter+gather
+            partition was the sync path's dominant cost)."""
+            rows = tuple(state[i] for i in range(ST_ROWS))
+            out = jax.lax.sort(
+                (keys,) + rows, dimension=0, num_keys=1, is_stable=True
+            )
+            return jnp.stack(out[1:])
+
         def bstep(state, b):
             salt = (
                 w * jnp.int32(_SALT_WAVE) + b * jnp.int32(_SALT_BOUNCE)
@@ -276,22 +346,32 @@ def sample_batch_sync(
             )
             if compact:
                 # stable alive-first partition: survivors keep Morton
-                # order (coherent tiles), dead lanes sink to trailing
-                # tiles the kernel's whole-tile early-out skips
-                dead = state[12, :] < 0.5
-                perm = jnp.argsort(dead, stable=True)
-                state = state[:, perm]
+                # order (coherent tiles) and pack densely; dead lanes
+                # sink to trailing tiles the kernel's whole-tile
+                # early-out skips.  Only the EARLY bounces partition —
+                # most lanes die at bounces 1-3, later partitions move
+                # little and still cost a full sort
+                state = jax.lax.cond(
+                    b < 4,
+                    lambda st: _lane_sort(
+                        st, (st[12, :] < 0.5).astype(jnp.int32)
+                    ),
+                    lambda st: st,
+                    state,
+                )
             return state, None
 
         state, _ = jax.lax.scan(bstep, state0, jnp.arange(trace_depth))
 
-        # un-permute via the lane row (iota at wave start -> the row IS
-        # the original index after any composition of partitions)
-        orig = state[LANE_ROW, :].astype(jnp.int32)
-        res_rows = state[
+        if compact:
+            # restore original lane order: sort by the lane-id row (iota
+            # at wave start, exact f32 ints)
+            state = _lane_sort(
+                state, state[LANE_ROW, :].astype(jnp.int32)
+            )
+        res = state[
             jnp.array([9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 21, 22])
-        ]
-        res = jnp.zeros_like(res_rows).at[:, orig].set(res_rows)[:, :nw]
+        ][:, :nw]
         res = res.reshape(12, n, k_spp)
         rad = res[0:3]
         valid = res[3]  # 0/1 (depth-exhausted lanes keep 0: failed sample)

@@ -49,3 +49,74 @@ def _drop_live_executables_between_modules():
     executables at every module boundary instead."""
     jax.clear_caches()
     yield
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: big interpret-mode compiles / full-frame FD sweeps; "
+        "excluded from the fast tier (pytest -m 'not slow')",
+    )
+
+
+# Fast-tier split (round 5): the suite had grown to ~50-60 min, which is
+# how round 3 shipped red — nobody reruns an hour-long gate.  Tests
+# measured >= ~15 s on the 1-core CI box (pytest --durations, full-run
+# log in the round-5 notes) are centrally marked `slow` here by
+# (file, test-name) prefix — every slow family keeps faster siblings in
+# the default tier.  Tiers:
+#     python -m pytest tests/ -m "not slow" -q   (~10 min gate)
+#     python -m pytest tests/ -q                 (full, ~50-60 min)
+_SLOW_PREFIXES = (
+    ("test_boundary.py", "TestBoundaryGradients::"),
+    ("test_boundary.py", "TestBoundaryInverse::"),
+    ("test_boundary.py", "TestBoxRectBoundaryGradients::"),
+    ("test_boundary.py", "TestCameraBoundaryGradients::"),
+    ("test_boundary.py", "TestMotionBoundaryGradients::"),
+    ("test_boundary.py", "TestRefractedBoundaryGradients::"),
+    ("test_boundary.py", "TestRefractedPairPrioritization::"),
+    ("test_boundary.py",
+     "TestTriangleBoundaryGradients::test_vertex_gradient"),
+    ("test_driver.py", "TestInverseCli::test_optimize_albedo_improves"),
+    ("test_driver.py",
+     "TestTestbedScenes::test_builds_and_renders[final_book2]"),
+    ("test_driver.py",
+     "TestTestbedScenes::test_builds_and_renders[perlin]"),
+    ("test_grad.py", "TestAOVFallback::"),
+    ("test_grad.py", "TestDeepDepthGrad::"),
+    ("test_grad.py", "TestGradients::test_ior_grad"),
+    ("test_grad.py", "TestGradients::test_texture_atlas_grad"),
+    ("test_grad.py", "TestGradients::test_volume_density_grad"),
+    ("test_inverse.py", "TestInverseRender::test_recover_albedo"),
+    ("test_legacy_golden.py", "test_legacy_final_book1_ssim"),
+    ("test_megakernel.py", "TestTextureKernel::test_final_book2"),
+    ("test_megakernel.py", "TestTextureKernel::test_image_texture_on_mesh"),
+    ("test_megakernel.py", "TestTextureKernel::test_perlin_matches"),
+    ("test_randomsource.py",
+     "TestRenderWithNoiseFlavors::test_stbn_reduces_variance"),
+    ("test_replay.py", "TestKernelBackward::"),
+    ("test_replay.py", "TestKernelBackwardDeepDepth::"),
+    ("test_replay.py", "TestReplayCubemap::test_envmap_texel_gradient"),
+    ("test_replay.py", "TestReplayParity::test_gradients_match"),
+    ("test_replay.py", "TestReplayRectBox::"),
+    ("test_replay.py", "TestReplayTriangles::"),
+    ("test_replay.py", "TestReplayVolumesMotion::"),
+    ("test_replay.py", "test_aov_loss_flows_photometric_ok"),
+    ("test_replay.py", "test_replay_ior_score_gradient"),
+    ("test_scaling.py", "TestScalingHarness::test_measures_all_mesh"),
+    ("test_sharding.py", "TestShardedFused::test_fused_train_grads"),
+    ("test_sharding.py",
+     "TestShardedFused::test_matches_single_device_kernel_bitwise"),
+    ("test_sharding.py", "TestShardedTrain::"),
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        fname = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        rest = item.nodeid.split("::", 1)[1] if "::" in item.nodeid else ""
+        for f, prefix in _SLOW_PREFIXES:
+            if fname == f and rest.startswith(prefix):
+                item.add_marker(slow)
+                break

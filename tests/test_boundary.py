@@ -762,3 +762,60 @@ class TestRefractedBoundaryGradients:
         assert 0.5 < ratio < 2.0, (ad[0, 0], fd, ratio)
         # (without this term the whole family measured 0.15x of FD on
         # this axis — .scratch/glass_grad calibration runs)
+
+
+class TestRefractedPairPrioritization:
+    """Many-glass scenes (> 64 candidate pairs) must keep the term for
+    the highest-contribution pairs — ranked by the product of projected
+    angular sizes — instead of silently dropping it (the round-4 cap at
+    diff/boundary.py)."""
+
+    def _many_glass_scene(self):
+        from raytracing_in_one_weekend_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        glass = b.dielectric(1.5)
+        red = b.lambert((0.8, 0.2, 0.2))
+        grey = b.lambert((0.5, 0.5, 0.5))
+        # the dominant pair: big near glass in front of a red sphere
+        b.add_sphere((0.0, 0.0, -1.0), 0.5, glass)
+        b.add_sphere((0.35, 0.1, -2.4), 0.45, red)
+        # 13 tiny, far glass spheres x 6 background spheres inflate the
+        # pair count past the cap: 14 glass x 7 bg = 98 pairs
+        for i in range(13):
+            b.add_sphere(
+                (4.0 + 0.3 * i, 3.0, -22.0 - 0.5 * i), 0.02, glass
+            )
+        for i in range(5):
+            b.add_sphere(
+                (-4.0 - 0.3 * i, -3.0, -25.0 - 0.5 * i), 0.05, grey
+            )
+        b.set_gradient_sky()
+        return b.build()
+
+    def test_cap_keeps_dominant_pair(self, monkeypatch):
+        w = h = 24
+        scene = self._many_glass_scene()
+        cam = camera_mod.make_camera(
+            jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, -1.0]),
+            jnp.asarray([0.0, 1.0, 0.0]), 60.0, 1.0,
+        )
+        # shrink the budget so the eager test runs in seconds; the
+        # ranking under test is identical at any cap
+        monkeypatch.setattr(boundary, "REFRACTED_PAIR_CAP", 4)
+        g_image = jnp.ones((w * h, 3), jnp.float32)
+        dc, dr = boundary.refracted_edge_gradients(
+            scene, cam, g_image, w, h, jax.random.PRNGKey(0),
+            boundary.BoundaryConfig(
+                samples_per_sphere=16, trace_depth=4, probe_spp=1
+            ),
+        )
+        dc = np.asarray(dc)
+        dr = np.asarray(dr)
+        assert np.isfinite(dc).all() and np.isfinite(dr).all()
+        # the dominant near pair survives the cap and carries signal
+        dom = np.abs(dc[0]).max() + np.abs(dc[1]).max()
+        assert dom > 0.0, "cap dropped the dominant refracted pair"
+        # far dust pairs are subordinate to the dominant one
+        rest = np.abs(dc[2:]).max() if dc.shape[0] > 2 else 0.0
+        assert dom > rest, (dom, rest)
