@@ -68,9 +68,27 @@ def make_noise_state(
     if color == NoiseColor.BLUE:
         baked = stbn.load_blue_noise()
         if baked is not None:
-            return NoiseState(tiles=jnp.asarray(baked))
+            # Full Blue routing (round 5): the reference's Blue arm
+            # feeds EVERY NextFloat from the blue-noise textures
+            # (RandomSource.cs:27-33,50-53,70-71 channel cycling) — the
+            # per-channel planes double as the SCALAR draw stack
+            # (slice = texture*4 + channel), so material lotteries,
+            # inversions and free paths all ride blue like STBN's
+            # scalar set.  (pack_noise_tables caps how many slices the
+            # in-kernel VMEM copy keeps; the XLA-side wavefront cycles
+            # through all of them.)
+            scal = jnp.asarray(
+                baked.transpose(0, 3, 1, 2).reshape(
+                    -1, *baked.shape[1:3]
+                )
+            )
+            return NoiseState(tiles=jnp.asarray(baked), scalar=scal)
+        tiles = noise.make_blue_noise_tile(TILE, 4, seed)[None]
         return NoiseState(
-            tiles=noise.make_blue_noise_tile(TILE, 4, seed)[None]
+            tiles=tiles,
+            scalar=jnp.asarray(
+                tiles.transpose(0, 3, 1, 2).reshape(-1, TILE, TILE)
+            ),
         )
     tables = stbn.load_stbn(temporal=temporal)
     if tables is not None:

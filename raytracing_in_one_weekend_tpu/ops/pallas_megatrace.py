@@ -2102,9 +2102,15 @@ def pack_noise_tables(noise_state, temporal: int = 8):
         return None
     tiles = noise_state.tiles  # (T0, S, S, 4) — may be traced (jit)
     t0, size = tiles.shape[0], tiles.shape[1]
-    if size > 128:
-        return None  # 256px blue-noise EXRs keep the pre-drawn path
-    t = min(t0, temporal)
+    if size > 256:
+        return None
+    # 256px tables (the blue-noise EXRs) split each tile row across
+    # `halves` 128-col packed rows — Mosaic's lane tiling wants 128-col
+    # reads; _stbn_rows concatenates the halves back per fetch.  Their
+    # 4x-per-slice area also quadruples VMEM cost, so fewer temporal
+    # slices ride in-kernel (~4MB either way)
+    halves = max(1, size // 128)
+    t = min(t0, temporal if halves == 1 else 2)
     blocks = [
         tiles[:t, :, :, c].reshape(t * size, size) for c in range(4)
     ]
@@ -2121,9 +2127,16 @@ def pack_noise_tables(noise_state, temporal: int = 8):
     if noise_state.scalar is not None:
         scal = noise_state.scalar
         assert scal.shape[1] == size
+        # channel-derived stacks (the Blue arm: slice = texture*4 +
+        # channel, randomsource.make_noise_state) carry 4 slices per
+        # tile — keep them all; same-family stacks (STBN) keep t
+        ts = 4 * t if scal.shape[0] == 4 * t0 else t
         meta["scal"] = rows
-        blocks.append(scal[:t].reshape(t * size, size))
-        rows += t * size
+        meta["scalT"] = ts
+        blocks.append(scal[:ts].reshape(ts * size, size))
+        rows += ts * size
+    else:
+        meta["scalT"] = t
     meta["uv3"] = -1
     if getattr(noise_state, "unitvec3", None) is not None:
         uv3 = noise_state.unitvec3
@@ -2132,10 +2145,13 @@ def pack_noise_tables(noise_state, temporal: int = 8):
         for c in range(3):
             blocks.append(uv3[:t, :, :, c].reshape(t * size, size))
         rows += 3 * t * size
-    tbl = jnp.zeros((rows, 128), jnp.float32)
-    tbl = tbl.at[:, :size].set(
-        jnp.concatenate(blocks, axis=0).astype(jnp.float32)
-    )
+    cat = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
+    if halves > 1:
+        # logical row y -> packed rows y*halves..y*halves+halves-1
+        tbl = cat.reshape(rows * halves, 128)
+    else:
+        tbl = jnp.zeros((rows, 128), jnp.float32)
+        tbl = tbl.at[:, :size].set(cat)
     return jnp.asarray(tbl), meta
 
 
@@ -2300,6 +2316,8 @@ def _turbulence_rows(perlin_ref, px, py, pz, t_cols, depth: int = 7):
 
 def _stbn_rows(
     ntbl_ref, meta, base, chn, seq, salt, px_row, py_row, t_cols,
+    t_override=None,  # per-set temporal count (meta's scalT for the
+    #   channel-derived Blue scalar stack); default meta[1]
 ):
     """In-kernel flavored-draw fetch: chn (1, t_cols) rows with
     value[lane] = tile[t_idx, (py+offy) % S, (px+offx) % S] from the
@@ -2318,7 +2336,10 @@ def _stbn_rows(
     Returns a LIST of chn rows (uniform channels; the caller applies
     Cranley-Patterson rotations where the draw is a scalar)."""
     size, t = meta[0], meta[1]
-    nrows = t_cols // max(size, 1)  # lane reps of one tile row
+    if t_override is not None:
+        t = t_override
+    halves = max(1, size // 128)
+    nrows = max(1, t_cols // max(size, 1))  # lane reps of one tile row
     # R2 offsets (R2.cs:8-16 plastic constants) + temporal slice — all
     # scalars shared by the tile
     # wrap before the float R2 math: frac(seq * alpha) in f32 loses the
@@ -2350,7 +2371,18 @@ def _stbn_rows(
         mask = py_row == (py0 + rr).astype(jnp.float32)
         for c in range(chn):
             row_idx = base + (c * t + t_idx) * size + y_rr
-            tile_row = ntbl_ref[pl.ds(row_idx, 1), :][:, :size]
+            if halves == 1:
+                tile_row = ntbl_ref[pl.ds(row_idx, 1), :][:, :size]
+            else:
+                # 256px tables: the logical tile row lives split across
+                # `halves` consecutive 128-col packed rows
+                tile_row = jnp.concatenate(
+                    [
+                        ntbl_ref[pl.ds(row_idx * halves + h, 1), :]
+                        for h in range(halves)
+                    ],
+                    axis=1,
+                )
             rot = jax.lax.dot_general(
                 tile_row, perm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -2668,6 +2700,10 @@ def _batch_kernel(
                     _stbn_rows(
                         ntbl_ref, noise_meta, noise_meta[4], 1, seq, 9,
                         px_row, py_row, t_shape[1],
+                        t_override=(
+                            noise_meta[7] if len(noise_meta) > 7
+                            else None
+                        ),
                     ),
                     seq, 9,
                 )[0]
@@ -2700,6 +2736,9 @@ def _batch_kernel(
                 r = _stbn_rows(
                     ntbl_ref, noise_meta, noise_meta[4], 1, seq, 2 + k,
                     px_row, py_row, t_shape[1],
+                    t_override=(
+                        noise_meta[7] if len(noise_meta) > 7 else None
+                    ),
                 )
                 srows.append(_cp_rotate(r, seq, 2 + k)[0])
             ub = jnp.concatenate(srows + [ub[7:8]], axis=0)

@@ -161,6 +161,167 @@ def _sync_kernel(
         out_ref[LANE_ROW : LANE_ROW + 1, :] = lane
 
 
+_PAIR = 2 * RAY_TILE  # lanes per pair-compaction block (two bounce tiles)
+
+
+def _pair_compact_kernel(state_ref, out_ref):
+    """Stable alive-first partition WITHIN a pair of adjacent tiles.
+
+    XLA-side lane-level partitions are catastrophically slow on this
+    hardware (measured: every gather/scatter/sort formulation of a 2M
+    permutation costs 90-270 ms, and the 24-payload lax.sort that runs
+    in 29 ms never finishes COMPILING) — so the partition runs on the
+    MXU instead: exclusive prefix sums of the alive mask via strict
+    upper-triangular one-hot matmuls give each lane its destination,
+    and a destination one-hot contraction permutes all state rows at
+    once.  One pass per bounce over (Morton-adjacent) tile pairs
+    empties the back tile whenever the pair's survivors fit the front
+    one; repeated across bounces this drains whole tiles for the bounce
+    kernel's early-out, which is where compaction actually pays (the
+    mesh phase measured 12.3 s sparse vs 4.3 s densified on
+    mesh_large).  Stable: survivors keep Morton order."""
+    t = RAY_TILE
+    alive = (state_ref[12:13, :] > 0.5).astype(jnp.float32)  # (1, 2t)
+    a0 = alive[:, :t]
+    a1 = alive[:, t:]
+    # strict upper-triangular ones: sut[j, s] = 1 where j < s
+    br = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    bc = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    sut = (br < bc).astype(jnp.float32)
+
+    def _excl(a):  # (1, t) -> exclusive prefix sum at each lane
+        return jax.lax.dot_general(
+            a, sut, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    n0 = jnp.sum(a0)
+    p = jnp.concatenate([_excl(a0), _excl(a1) + n0], axis=1)  # (1, 2t)
+    n_alive = n0 + jnp.sum(a1)
+    lane_i = jax.lax.broadcasted_iota(
+        jnp.float32, (1, _PAIR), 1
+    )
+    dest = jnp.where(alive > 0.5, p, n_alive + (lane_i - p))  # (1, 2t)
+
+    # permute every state row by destination one-hot, 512-dst chunks
+    # (a full (2t, 2t) one-hot is 16MB of VMEM)
+    src_rows = state_ref[:, :]
+    for c in range(_PAIR // 512):
+        d_iota = jax.lax.broadcasted_iota(
+            jnp.float32, (_PAIR, 512), 1
+        ) + jnp.float32(c * 512)
+        onehot = (d_iota == dest.reshape(_PAIR, 1)).astype(jnp.float32)
+        out_ref[:, c * 512 : (c + 1) * 512] = jax.lax.dot_general(
+            src_rows, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _pair_compact(state, interpret: bool):
+    n_pad = state.shape[1]
+    if n_pad < _PAIR:
+        return state
+    grid = (n_pad // _PAIR,)
+    return pl.pallas_call(
+        _pair_compact_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ST_ROWS, _PAIR), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ST_ROWS, _PAIR), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ST_ROWS, n_pad), jnp.float32),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(state)
+
+
+_HALF_BAND = 8  # restore band: a lane migrates <= 1 tile per
+# pair-compaction pass and <= _HALF_BAND passes run per wave
+
+
+def _restore_kernel(tid_ref, *refs):
+    """Banded inverse permutation: dest tile d gathers the lanes whose
+    lane-id row falls in [d*RAY_TILE, (d+1)*RAY_TILE) from the source
+    tiles within +-_HALF_BAND of d (pair compaction moves a lane at
+    most one tile per pass), via destination one-hot MXU contractions —
+    no XLA gather/scatter anywhere."""
+    out_ref = refs[-1]
+    srcs = refs[:-1]
+    t = RAY_TILE
+    d = tid_ref[0, 0, 0]  # dest tile id (program_id has no interpret
+    # lowering; an SMEM iota row carries it)
+    base = d.astype(jnp.float32) * t
+    d_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1) + base
+    acc = jnp.zeros((ST_ROWS, t), jnp.float32)
+    n_band = len(srcs)
+    for k in range(n_band):
+        src = srcs[k]
+        lane = src[LANE_ROW : LANE_ROW + 1, :]  # (1, t) original ids
+        # mask away edge-clamped duplicate blocks: block k is canonical
+        # only when d - _HALF_BAND + k is its own clamped index
+        rel = d + jnp.int32(k - _HALF_BAND)
+        ok = (
+            (rel >= 0) & (rel < jnp.int32(tid_ref[0, 0, 1]))
+            # clamped duplicates present themselves at k != canonical
+            & (
+                jnp.clip(rel, 0, jnp.int32(tid_ref[0, 0, 1]) - 1) == rel
+            )
+        ).astype(jnp.float32)
+        onehot = (
+            (d_iota == lane.reshape(t, 1)).astype(jnp.float32) * ok
+        )
+        acc = acc + jax.lax.dot_general(
+            src[:, :], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:, :] = acc
+
+
+def _restore(state, interpret: bool):
+    """Undo the wave's compaction permutation (banded inverse)."""
+    n_pad = state.shape[1]
+    n_tiles = n_pad // RAY_TILE
+    tid = jnp.stack(
+        [
+            jnp.arange(n_tiles, dtype=jnp.int32),
+            jnp.full((n_tiles,), n_tiles, jnp.int32),
+        ],
+        axis=-1,
+    ).reshape(n_tiles, 1, 2)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    nb = 2 * _HALF_BAND + 1
+
+    def _mk(k):
+        off = k - _HALF_BAND
+        return pl.BlockSpec(
+            (ST_ROWS, RAY_TILE),
+            lambda i, off=off: (0, jnp.clip(i + off, 0, n_tiles - 1)),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs += [_mk(k) for k in range(nb)]
+    return pl.pallas_call(
+        _restore_kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (ST_ROWS, RAY_TILE), lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ST_ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(tid, *([state] * nb))
+
+
 def _bounce_launch(
     state, seed, salt, bounce, sph, rec_t, sky, tbl_h, aabb_row, sup_row,
     *, t_min: float, has_dielectrics: bool, sky_on: bool, interpret: bool,
@@ -321,22 +482,13 @@ def sample_batch_sync(
             jnp.arange(nw_pad, dtype=jnp.float32)
         )
 
-        def _lane_sort(state, keys):
-            """Permute lanes by ascending integer keys via a stable
-            multi-payload lax.sort — the ONLY fast 2M-lane permute on
-            this hardware (measured: 24-payload sort ~29 ms vs ~90 ms
-            for every gather/scatter/take formulation of the same
-            permutation; the round-5 first cut's cumsum+scatter+gather
-            partition was the sync path's dominant cost)."""
-            rows = tuple(state[i] for i in range(ST_ROWS))
-            out = jax.lax.sort(
-                (keys,) + rows, dimension=0, num_keys=1, is_stable=True
-            )
-            return jnp.stack(out[1:])
-
-        def bstep(state, b):
-            salt = (
-                w * jnp.int32(_SALT_WAVE) + b * jnp.int32(_SALT_BOUNCE)
+        # python bounce loop (static b): one cached kernel instance per
+        # bounce, pair-compaction phase alternates with b
+        n_passes = min(trace_depth - 1, _HALF_BAND)
+        state = state0
+        for b in range(trace_depth):
+            salt = w * jnp.int32(_SALT_WAVE) + jnp.int32(
+                b * _SALT_BOUNCE
             )
             state = _bounce_launch(
                 state, seed, salt, b, sph, rec_t, sky,
@@ -344,31 +496,33 @@ def sample_batch_sync(
                 t_min=t_min, has_dielectrics=has_dielectrics,
                 sky_on=sky_on, interpret=interpret,
             )
-            if compact:
-                # stable alive-first partition: survivors keep Morton
-                # order (coherent tiles) and pack densely; dead lanes
-                # sink to trailing tiles the kernel's whole-tile
-                # early-out skips.  Only the EARLY bounces partition —
-                # most lanes die at bounces 1-3, later partitions move
-                # little and still cost a full sort
-                state = jax.lax.cond(
-                    b < 4,
-                    lambda st: _lane_sort(
-                        st, (st[12, :] < 0.5).astype(jnp.int32)
-                    ),
-                    lambda st: st,
-                    state,
-                )
-            return state, None
-
-        state, _ = jax.lax.scan(bstep, state0, jnp.arange(trace_depth))
-
-        if compact:
-            # restore original lane order: sort by the lane-id row (iota
-            # at wave start, exact f32 ints)
-            state = _lane_sort(
-                state, state[LANE_ROW, :].astype(jnp.int32)
-            )
+            if compact and b < n_passes:
+                # alternating-phase pair compaction: survivors of two
+                # Morton-adjacent tiles pack into the front tile (MXU
+                # one-hot permute, _pair_compact_kernel); the phase
+                # shift lets density propagate across pair boundaries
+                # over successive bounces.  Dead trailing tiles then
+                # skip in the bounce kernel's whole-tile early-out.
+                if b % 2 == 0 or nw_pad < 3 * RAY_TILE:
+                    state = _pair_compact(state, interpret)
+                else:
+                    inner = (
+                        (nw_pad // RAY_TILE - 1) // 2 * 2 * RAY_TILE
+                    )
+                    state = jnp.concatenate(
+                        [
+                            state[:, :RAY_TILE],
+                            _pair_compact(
+                                state[:, RAY_TILE : RAY_TILE + inner],
+                                interpret,
+                            ),
+                            state[:, RAY_TILE + inner :],
+                        ],
+                        axis=1,
+                    )
+        if compact and n_passes > 0:
+            # banded inverse permutation back to wave-start lane order
+            state = _restore(state, interpret)
         res = state[
             jnp.array([9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 21, 22])
         ][:, :nw]

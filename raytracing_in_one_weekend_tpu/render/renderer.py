@@ -441,6 +441,7 @@ def render_batch(
             noise_meta = (
                 meta["size"], meta["T"], meta["cam"], meta["cos"],
                 meta["scal"], n_img_rows, meta.get("uv3", -1),
+                meta.get("scalT", meta["T"]),
             )
         elif noise_color != 0:
             noise_u = pallas_megatrace.pack_noise_uniforms(

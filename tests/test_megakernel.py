@@ -1201,6 +1201,56 @@ class TestNoiseTablesKernel:
             float(mref.total_rays), rel=0.05
         )
 
+    def test_blue_in_kernel_matches_wavefront_statistically(self):
+        """Round 5: the BLUE flavor rides the in-kernel tile fetch with
+        FULL RandomSource routing — 256px EXR rows split across two
+        128-col packed rows (pack_noise_tables halves), the per-channel
+        planes doubling as the scalar stack (BlueNoise.cs:6-41,
+        RandomSource.cs:27-33,50-53)."""
+        from raytracing_in_one_weekend_tpu.core import randomsource
+        from raytracing_in_one_weekend_tpu.ops import pallas_sphere
+        from raytracing_in_one_weekend_tpu.utils.config import NoiseColor
+
+        state = randomsource.make_noise_state(NoiseColor.BLUE)
+        if state is None or state.tiles.shape[1] != 256:
+            pytest.skip("real blue-noise EXR assets unavailable")
+        assert state.scalar is not None  # channel-derived scalar stack
+        pack = pallas_megatrace.pack_noise_tables(state)
+        assert pack is not None and pack[1]["size"] == 256
+        assert pack[1]["scal"] >= 0
+
+        w, h = 256, 4  # width % 256 == 0 -> in-kernel split-row path
+        s, d = 8, 5
+        scene, camera = _setup(book_scenes.three_spheres, w, h)
+        acc0 = film.zero_accumulators(w * h)
+        ref, mref = renderer.render_batch(
+            scene, camera, acc0, jax.random.PRNGKey(0),
+            width=w, height=h, samples=s, trace_depth=d,
+            noise_color=1, noise_state=state, differentiable=True,
+        )
+        saved = pallas_sphere.use_pallas
+        pallas_sphere.use_pallas = lambda: True
+        pallas_megatrace.FORCE_INTERPRET = True
+        try:
+            out, mout = renderer.render_batch(
+                scene, camera, film.zero_accumulators(w * h),
+                jax.random.PRNGKey(0),
+                width=w, height=h, samples=s, trace_depth=d,
+                noise_color=1, noise_state=state, differentiable=False,
+            )
+        finally:
+            pallas_sphere.use_pallas = saved
+            pallas_megatrace.FORCE_INTERPRET = False
+        assert float(jnp.mean(out.sample_count)) == pytest.approx(
+            float(jnp.mean(ref.sample_count)), rel=0.03
+        )
+        assert float(jnp.mean(out.color)) == pytest.approx(
+            float(jnp.mean(ref.color)), rel=0.05
+        )
+        assert float(mout.total_rays) == pytest.approx(
+            float(mref.total_rays), rel=0.05
+        )
+
     def test_stbn_volume_unitvec3_matches_wavefront(self):
         """The isotropic volume scatter rides the baked unitvec3 set
         (RandomSource.cs:113-128 NextFloat3Direction) in BOTH
