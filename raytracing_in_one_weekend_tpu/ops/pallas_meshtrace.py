@@ -182,8 +182,18 @@ def _pair_compact_kernel(state_ref, out_ref):
     mesh_large).  Stable: survivors keep Morton order."""
     t = RAY_TILE
     alive = (state_ref[12:13, :] > 0.5).astype(jnp.float32)  # (1, 2t)
-    a0 = alive[:, :t]
-    a1 = alive[:, t:]
+    # 9-way class key: alive lanes grouped by DIRECTION OCTANT (0-7),
+    # dead lanes last (class 8).  Secondary bounces are where the mesh
+    # cull drowns — surface-scattered rays union a hemisphere per tile
+    # (measured: bounce 0 runs 0.5 s, each secondary bounce 1.5-3.5 s
+    # on mesh_large) — so the local sort narrows each tile toward one
+    # direction cone AND drains dead tiles.
+    octant = (
+        jnp.where(state_ref[3:4, :] > 0.0, 4.0, 0.0)
+        + jnp.where(state_ref[4:5, :] > 0.0, 2.0, 0.0)
+        + jnp.where(state_ref[5:6, :] > 0.0, 1.0, 0.0)
+    )
+    cls = jnp.where(alive > 0.5, octant, 8.0)  # (1, 2t)
     # strict upper-triangular ones: sut[j, s] = 1 where j < s
     br = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     bc = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
@@ -193,27 +203,40 @@ def _pair_compact_kernel(state_ref, out_ref):
         return jax.lax.dot_general(
             a, sut, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
-    n0 = jnp.sum(a0)
-    p = jnp.concatenate([_excl(a0), _excl(a1) + n0], axis=1)  # (1, 2t)
-    n_alive = n0 + jnp.sum(a1)
-    lane_i = jax.lax.broadcasted_iota(
-        jnp.float32, (1, _PAIR), 1
-    )
-    dest = jnp.where(alive > 0.5, p, n_alive + (lane_i - p))  # (1, 2t)
+    dest = jnp.zeros((1, _PAIR), jnp.float32)
+    offset = jnp.float32(0.0)
+    for c in range(9):
+        m = (cls == jnp.float32(c)).astype(jnp.float32)
+        m0, m1 = m[:, :t], m[:, t:]
+        n0 = jnp.sum(m0)
+        rank = jnp.concatenate([_excl(m0), _excl(m1) + n0], axis=1)
+        dest = jnp.where(m > 0.5, offset + rank, dest)
+        offset = offset + n0 + jnp.sum(m1)
 
-    # permute every state row by destination one-hot, 512-dst chunks
-    # (a full (2t, 2t) one-hot is 16MB of VMEM)
+    # permute every state row by destination one-hot, 512-dst chunks (a
+    # full (2t, 2t) one-hot is 16MB of VMEM).  The one-hot is built
+    # TRANSPOSED — (dst, src) with dest broadcast along sublanes — so
+    # no (1, N) -> (N, 1) cross-lane reshape exists anywhere (hardware
+    # runs of that relayout silently corrupted the permutation at 2048
+    # tiles while interpret mode stayed exact)
     src_rows = state_ref[:, :]
     for c in range(_PAIR // 512):
         d_iota = jax.lax.broadcasted_iota(
-            jnp.float32, (_PAIR, 512), 1
-        ) + jnp.float32(c * 512)
-        onehot = (d_iota == dest.reshape(_PAIR, 1)).astype(jnp.float32)
+            jnp.int32, (512, _PAIR), 0
+        ).astype(jnp.float32) + jnp.float32(c * 512)
+        onehot_t = (d_iota == dest).astype(jnp.float32)  # (512, 2t)
+        # HIGHEST: the default TPU matmul precision feeds the MXU
+        # bf16-rounded operands — every compaction pass would quantize
+        # ray state to 8 mantissa bits (hardware-only corruption the
+        # f32 interpret oracle cannot see; measured as +22% rays on
+        # mesh_large from drifted intersections)
         out_ref[:, c * 512 : (c + 1) * 512] = jax.lax.dot_general(
-            src_rows, onehot, (((1,), (0,)), ((), ())),
+            src_rows, onehot_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
@@ -256,28 +279,29 @@ def _restore_kernel(tid_ref, *refs):
     d = tid_ref[0, 0, 0]  # dest tile id (program_id has no interpret
     # lowering; an SMEM iota row carries it)
     base = d.astype(jnp.float32) * t
-    d_iota = jax.lax.broadcasted_iota(jnp.float32, (t, t), 1) + base
+    # transposed one-hot (dst, src): dest-id iota along sublanes, the
+    # lane-id row broadcast along them — no cross-lane reshapes (see
+    # _pair_compact_kernel)
+    d_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (t, t), 0
+    ).astype(jnp.float32) + base
     acc = jnp.zeros((ST_ROWS, t), jnp.float32)
     n_band = len(srcs)
     for k in range(n_band):
         src = srcs[k]
         lane = src[LANE_ROW : LANE_ROW + 1, :]  # (1, t) original ids
-        # mask away edge-clamped duplicate blocks: block k is canonical
-        # only when d - _HALF_BAND + k is its own clamped index
+        # mask away edge-clamped duplicate blocks: block k contributes
+        # only when d - _HALF_BAND + k is in range (clamped duplicates
+        # land at out-of-range rel)
         rel = d + jnp.int32(k - _HALF_BAND)
         ok = (
             (rel >= 0) & (rel < jnp.int32(tid_ref[0, 0, 1]))
-            # clamped duplicates present themselves at k != canonical
-            & (
-                jnp.clip(rel, 0, jnp.int32(tid_ref[0, 0, 1]) - 1) == rel
-            )
         ).astype(jnp.float32)
-        onehot = (
-            (d_iota == lane.reshape(t, 1)).astype(jnp.float32) * ok
-        )
+        onehot_t = (d_iota == lane).astype(jnp.float32) * ok  # (t, t)
         acc = acc + jax.lax.dot_general(
-            src[:, :], onehot, (((1,), (0,)), ((), ())),
+            src[:, :], onehot_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact f32 state
         )
     out_ref[:, :] = acc
 
@@ -318,6 +342,13 @@ def _restore(state, interpret: bool):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((ST_ROWS, n_pad), jnp.float32),
+        compiler_params=(
+            # 17 unrolled (t, t) one-hot streams exceed the default 16M
+            # scoped-vmem; v5e has 128M physical (same raise as
+            # megatrace_bwd.VMEM_LIMIT)
+            None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(tid, *([state] * nb))
 

@@ -161,7 +161,35 @@ def _training_scenes():
         "checkered": testbeds.checkered_spheres,
         "simple_light": testbeds.simple_light,
         "cornell": book_scenes.cornell_box,
+        # round 5: widen coverage past the 4 bench scenes — textured /
+        # procedural / volumetric content teaches the net which high
+        # frequencies are SIGNAL (the a-trous filter was beating it on
+        # SSIM for structured scenes)
+        "textured_sphere": testbeds.textured_sphere,
+        "perlin": testbeds.perlin_spheres,
+        "volume": book_scenes.volume_test,
     }
+
+
+def _ssim(a, b, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2):
+    """Mean SSIM over (B, H, W, C) pairs with an 8x8 box window (XLA
+    reduce_window, MXU/VPU-friendly) — used as a structural loss term;
+    inputs are expected in a roughly [0, 1] range (log1p display space)."""
+
+    def win_mean(x):
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 8, 8, 1), (1, 4, 4, 1), "VALID"
+        )
+        return s / 64.0
+
+    ma, mb = win_mean(a), win_mean(b)
+    va = win_mean(a * a) - ma * ma
+    vb = win_mean(b * b) - mb * mb
+    cab = win_mean(a * b) - ma * mb
+    ssim = ((2 * ma * mb + c1) * (2 * cab + c2)) / (
+        (ma * ma + mb * mb + c1) * (va + vb + c2)
+    )
+    return jnp.mean(ssim)
 
 
 def render_pairs(
@@ -266,10 +294,13 @@ def train(
     def loss_fn(p, xb, yb):
         c, n, a = xb[..., 0:3], xb[..., 3:6], xb[..., 6:9]
         pred = apply(p, c, n, a)
-        # log-space L1: OIDN-style HDR-robust objective
-        return jnp.mean(jnp.abs(
-            jnp.log1p(pred) - jnp.log1p(jnp.maximum(yb, 0.0))
-        ))
+        lp = jnp.log1p(pred)
+        ly = jnp.log1p(jnp.maximum(yb, 0.0))
+        # log-space L1 (OIDN-style HDR-robust) + an SSIM term: the
+        # round-4 net won PSNR on the dark scenes but lost SSIM to the
+        # a-trous filter on structured ones — the structural term is
+        # what the benchmark actually gates on (denoise_bench)
+        return jnp.mean(jnp.abs(lp - ly)) + 0.35 * (1.0 - _ssim(lp, ly))
 
     @jax.jit
     def step(p, s, xb, yb):
