@@ -941,28 +941,39 @@ def _bounce_step(
         _force = os.environ.get("MESH_FORCE_SWEEP") is not None
         _sup_only = os.environ.get("MESH_SUP_ONLY") is not None
 
-        def _blk_body(blk, carry):
-            # post-DMA per-block cull: the block's rows are already VMEM
-            # resident (the super-level DMA below), so this pred only
-            # gates the 192-triangle sweep — no transfer latency rides
-            # on it.  The shrinking per-lane bound (carry[0]) still
-            # culls the back shell of closed meshes block by block.
-            if _force or _sup_only:
-                blk_pred = jnp.bool_(True)
-            else:
-                blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
+        def _mk_blk_body(slot_base):
+            def _blk_body(blk, carry):
+                # post-DMA per-block cull: the block's rows are already
+                # VMEM resident (the super-level DMA), so this pred only
+                # gates the 192-triangle sweep — no transfer latency
+                # rides on it.  The shrinking per-lane bound (carry[0])
+                # still culls the back shell of closed meshes block by
+                # block.  slot_base selects the double-buffer slot on
+                # the sorted-stream path (0 on the megakernel path).
+                if _force or _sup_only:
+                    blk_pred = jnp.bool_(True)
+                else:
+                    blk_pred = _slab_pred(ab_ref, blk * 8, carry[0])
 
-            def _do(carry):
-                rows = tbl_s[
-                    pl.ds((blk % TRI_SUP) * TRI_ROWS, TRI_ROWS), :
-                ]
-                c = _stream_sweep(carry, rows)
-                if os.environ.get("MESH_COUNT") is not None:
-                    # debug: sweep tally rides the 5th carry slot
-                    return c[:4] + (c[4] + 1.0,)
-                return c
+                def _do(carry):
+                    rows = tbl_s[
+                        pl.ds(
+                            slot_base + (blk % TRI_SUP) * TRI_ROWS,
+                            TRI_ROWS,
+                        ),
+                        :,
+                    ]
+                    c = _stream_sweep(carry, rows)
+                    if os.environ.get("MESH_COUNT") is not None:
+                        # debug: sweep tally rides the 5th carry slot
+                        return c[:4] + (c[4] + 1.0,)
+                    return c
 
-            return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
+                return jax.lax.cond(blk_pred, _do, lambda c: c, carry)
+
+            return _blk_body
+
+        _blk_body = _mk_blk_body(0)
 
         def _sup_body(sup, carry):
             # level-2 cull + super-granular DMA: one slab test skips
@@ -1007,25 +1018,63 @@ def _bounce_step(
             jnp.zeros((TRI_REC_ROWS, t_cols), jnp.float32),
         ) + ((zero,) if _count else ())
         if sord_ref is not None:
-            # ordered traversal: visit supers nearest-first; a super
-            # whose lower-bound distance exceeds every active lane's
-            # current best hit cannot win — its pred, DMA and sweep are
-            # all cond-skipped, the BVH's shrinking-t_max cull.  (A true
-            # while-loop break was tried first: Mosaic's compile of the
-            # big-carry while hung >45 min; the fori + cond form
-            # compiles like the unordered loop and skips the same work.)
-            def _sup_sorted(k, carry):
-                bound = jnp.max(jnp.where(
-                    active > 0.0, jnp.minimum(carry[0], best_t), 0.0
-                ))
-                return jax.lax.cond(
-                    sdist_ref[0, 0, k] < bound,
-                    lambda c: _sup_body(sord_ref[0, 0, k], c),
-                    lambda c: c,
-                    carry,
+            # ordered DOUBLE-BUFFERED stream: reachable supers (finite
+            # lower-bound distance) are DMA'd unconditionally in
+            # nearest-first order, each transfer overlapping the
+            # previous super's sweep — the serialized per-super DMA
+            # round trip (~10-20us x passing supers x live tile-bounces)
+            # measured as the secondary-bounce bottleneck.  Sweeps stay
+            # pred-gated: a super whose lower bound exceeds every active
+            # lane's best hit ships bytes (VPU-free) but is never swept
+            # — the BVH's shrinking-t_max cull.  (A true while-loop
+            # break was tried first: Mosaic's compile of the big-carry
+            # while hung >45 min.)
+            rows_sup = TRI_SUP * TRI_ROWS
+            big_cut = jnp.float32(1e29)
+
+            def _dma(slot, sup):
+                return pltpu.make_async_copy(
+                    tbl_h.at[pl.ds(sup * rows_sup, rows_sup)],
+                    tbl_s.at[pl.ds(slot * rows_sup, rows_sup)],
+                    dma_sem.at[slot],
                 )
 
-            out = jax.lax.fori_loop(0, n_sup, _sup_sorted, init)
+            @pl.when(sdist_ref[0, 0, 0] < big_cut)
+            def _():
+                _dma(jnp.int32(0), sord_ref[0, 0, 0]).start()
+
+            def _sup_stream(k, carry):
+                reach_k = sdist_ref[0, 0, k] < big_cut
+                nxt = jnp.minimum(k + 1, n_sup - 1)
+
+                @pl.when(
+                    (k + 1 < n_sup) & (sdist_ref[0, 0, nxt] < big_cut)
+                )
+                def _():
+                    _dma((k + 1) % 2, sord_ref[0, 0, nxt]).start()
+
+                def _consume(carry):
+                    _dma(k % 2, sord_ref[0, 0, k]).wait()
+                    bound = jnp.max(jnp.where(
+                        active > 0.0,
+                        jnp.minimum(carry[0], best_t), 0.0,
+                    ))
+
+                    def _sweep(carry):
+                        sup = sord_ref[0, 0, k]
+                        return jax.lax.fori_loop(
+                            sup * TRI_SUP, (sup + 1) * TRI_SUP,
+                            _mk_blk_body((k % 2) * rows_sup), carry,
+                        )
+
+                    return jax.lax.cond(
+                        sdist_ref[0, 0, k] < bound, _sweep,
+                        lambda c: c, carry,
+                    )
+
+                return jax.lax.cond(reach_k, _consume, lambda c: c, carry)
+
+            out = jax.lax.fori_loop(0, n_sup, _sup_stream, init)
         else:
             out = jax.lax.fori_loop(0, n_sup, _sup_body, init)
         if _count:

@@ -48,6 +48,14 @@ from raytracing_in_one_weekend_tpu.ops.pallas_megatrace import (
 
 FORCE_INTERPRET = False  # test hook (see pallas_megatrace.FORCE_INTERPRET)
 
+# Renderer routing threshold: the bounce-sync path beats the persistent-
+# lane megakernel only once the mesh is big enough for the ordered
+# near-to-far super cull to outweigh the per-bounce launch overheads —
+# measured on v5e: mesh_huge (103k tris, 34 supers) 1.5 vs 1.3 MRays/s,
+# mesh_large (21k tris, 7 supers) 3.2 vs 4.0.  Scenes at or below this
+# keep the megakernel's streamed path.
+SYNC_TRI_MIN = 65536
+
 # State rows: carry slots 0..22 of pallas_megatrace._bounce_step in order
 # (origin xyz, direction xyz, throughput rgb, radiance rgb, active, valid,
 # aov-normal xyz, aov-albedo xyz, got_nonspecular, events, rays_cast),
@@ -407,8 +415,10 @@ def _bounce_launch(
         ),
         out_shape=jax.ShapeDtypeStruct((ST_ROWS, n_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TRI_SUP * TRI_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            # two 512KB slots: the sorted-stream path double-buffers
+            # super DMAs (transfer k+1 overlaps sweep k)
+            pltpu.VMEM((2 * TRI_SUP * TRI_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={4: 0},
         interpret=interpret,

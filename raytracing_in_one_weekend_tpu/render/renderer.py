@@ -382,8 +382,11 @@ def render_batch(
         # reference's per-ray BVH walk, SampleBatchJob.cs:403-448).
         import os as _os
 
+        from raytracing_in_one_weekend_tpu.ops import pallas_meshtrace
+
         if (
             tri_stream_tables is not None
+            and tri_count > pallas_meshtrace.SYNC_TRI_MIN
             and noise_color == 0
             and not scene.flags.has_volumes
             and not scene.flags.has_motion
@@ -393,8 +396,6 @@ def render_batch(
             and scene.boxes.rot.shape[0] == 0
             and _os.environ.get("MESH_SYNC", "1") != "0"
         ):
-            from raytracing_in_one_weekend_tpu.ops import pallas_meshtrace
-
             lane_count = jnp.where(row_active, per_pixel, 0)
             d = pallas_meshtrace.sample_batch_sync(
                 lane_count,

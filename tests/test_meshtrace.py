@@ -115,6 +115,10 @@ class TestBounceSyncMesh:
             aperture=cs.aperture, focus_distance=cs.focus_distance,
         )
         monkeypatch.setattr(pallas_meshtrace, "sample_batch_sync", spy)
+        monkeypatch.setattr(
+            pallas_meshtrace, "SYNC_TRI_MIN", pallas_megatrace.TRI_MAX
+        )  # production threshold is 65536 (perf-routed); the test mesh
+        # is 5120 tris
         monkeypatch.setattr(pallas_sphere, "use_pallas", lambda: True)
         pallas_megatrace.FORCE_INTERPRET = True
         try:
