@@ -46,11 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused kernel's tile tails — see BENCHMARKS.md)")
     p.add_argument("--no-adaptive", action="store_true")
     p.add_argument("--interlacing", type=int, default=1)
-    p.add_argument("--denoise", nargs="?", const="atrous",
-                   choices=("atrous", "learned"), default=None,
+    p.add_argument("--denoise", nargs="?", const="auto",
+                   choices=("atrous", "learned", "auto"), default=None,
                    help="AOV-guided denoise of the final image: 'atrous' "
-                        "(edge-avoiding wavelet) or 'learned' (the "
-                        "OIDN-analog U-Net, render/denoise_ml.py)")
+                        "(edge-avoiding wavelet), 'learned' (the "
+                        "OIDN-analog U-Net, render/denoise_ml.py), or "
+                        "'auto' (per-image selection — the measured "
+                        "per-scene winner, render/denoise_ml.select_mode)")
     p.add_argument("--tonemap", choices=("gamma", "aces"), default="gamma")
     p.add_argument("--noise", choices=("white", "blue", "stbn"),
                    default="white",
@@ -160,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             None: DenoiseMode.NONE,
             "atrous": DenoiseMode.ATROUS,
             "learned": DenoiseMode.LEARNED,
+            "auto": DenoiseMode.AUTO,
         }[args.denoise],
         noise_color={
             "white": NoiseColor.WHITE,

