@@ -134,7 +134,9 @@ def main() -> None:
     # (Raytracer.cs:88) — forward and fwd+bwd at the same honest ray
     # counting so the driver captures the deep-depth pair every round.
     DEPTH35 = 35
-    D35_SPP = 64
+    D35_SPP = 128  # deep depth amortizes tile tails further than the
+    # depth-8 sweet spot of 64 (measured fwd+bwd 40.9 at 64 -> 43.1 at
+    # 128, 42.3 at 96 — long-tail lanes keep more of the tile waiting)
 
     def fwd35(k):
         a, m = renderer.render_batch_jit(
