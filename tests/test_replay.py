@@ -1305,6 +1305,28 @@ class TestKernelBackwardDeepDepth:
     gradients is the depth-35 hardware bench row in BENCHMARKS.md plus
     tests/test_grad.py::TestDeepDepthGrad (wavefront FD, depth 16)."""
 
+    def test_three_spheres_depth12_ungated(self):
+        """Round 5: the UNGATED deep-depth check — depth 12 exceeds the
+        full-store tape budget at real tile sizes, so the checkpoint/
+        re-forward backward engages, and at w=8 x 1 spp the whole
+        kernel-vs-XLA comparison runs in ~30-60 s (measured leaf
+        agreement ~7e-8 relative).  The depth-16 variant below stays
+        RTIW_SLOW-gated for the full-size configuration."""
+        w = h = 8
+        s, d = 1, 12
+        scene, camera, records = _setup(book_scenes.three_spheres, w, h)
+        from raytracing_in_one_weekend_tpu.ops import megatrace_bwd
+
+        assert megatrace_bwd.kernel_bwd_eligible(scene)
+        cam_row = pallas_megatrace.pack_camera_row(camera, w, h)
+        leaves = dict(
+            centers=scene.spheres.center, radii=scene.spheres.radius,
+            records=records, cam_row=cam_row,
+        )
+        TestKernelBackward._grad_pair(
+            scene, camera, leaves, {}, w=w, h=h, s=s, d=d
+        )
+
     @pytest.mark.skipif(
         not __import__("os").environ.get("RTIW_SLOW"),
         reason="~15 min interpret compile; set RTIW_SLOW=1",
