@@ -34,6 +34,7 @@ input_output_aliases); per-wave camera regeneration happens XLA-side
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -143,8 +144,6 @@ def _sync_kernel(
             zero - 1.0, zero, zero, zero, zero, zero, zero, zero,
             zero,  # shutter time (has_motion off)
         )
-        import os as _os
-
         consts = (
             (sph_ref[:, 0:1], sph_ref[:, 1:2], sph_ref[:, 2:3],
              sph_ref[:, 3:4], rec_ref, None, None),
@@ -152,7 +151,7 @@ def _sync_kernel(
             None,  # boxes
             # streamed triangles + the per-tile near-to-far super order
             # (MESH_SYNC_NOMESH: debug floor — skip the whole mesh phase)
-            None if _os.environ.get("MESH_SYNC_NOMESH") else
+            None if os.environ.get("MESH_SYNC_NOMESH") else
             (tbl_h, ab_ref, sup_ref, tbl_s, dma_sem, sord_ref, sdist_ref),
             None,  # textures
             None,  # cubemap
@@ -173,7 +172,8 @@ _PAIR = 2 * RAY_TILE  # lanes per pair-compaction block (two bounce tiles)
 
 
 def _pair_compact_kernel(state_ref, out_ref):
-    """Stable alive-first partition WITHIN a pair of adjacent tiles.
+    """Stable 9-class sort WITHIN a pair of adjacent tiles: live lanes
+    grouped by direction octant (classes 0-7), dead lanes last (8).
 
     XLA-side lane-level partitions are catastrophically slow on this
     hardware (measured: every gather/scatter/sort formulation of a 2M
